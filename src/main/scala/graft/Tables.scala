@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All queries read through here so that the scan shape is uniform:
+  * plain parquet scans that Catalyst can prune/push into
+  * (`PushedFilters`/`ReadSchema` visible in `.explain("formatted")`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read it as raw nanos and convert to a micros
+      // timestamp (lossless: driver data is micro-precision, and the
+      // DuckDB oracle also reads it as micros TIMESTAMP).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts") / 1000 cast "long"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so spark.sql(...) queries can
+    * share the exact SQL text with the DuckDB oracle. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

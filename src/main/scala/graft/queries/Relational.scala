@@ -1,0 +1,478 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator battery mirroring the surface the reference
+  * delegates to its host engine (SURVEY.md §2.3): scans, projection and
+  * filter pushdown shapes, joins of every flavor, aggregation,
+  * windows, set ops, sorts/limits, scalar expressions.
+  *
+  * Oracle-parity conventions (the driver hash-compares values against
+  * DuckDB running the SQL in `Relational.oracle`):
+  *   - Every floating-point SUM goes through an exact DECIMAL
+  *     accumulation and is cast back to DOUBLE only at the end, so the
+  *     result does not depend on partition/summation order.
+  *   - Every query has a total deterministic ORDER BY.
+  *   - Every computed column is aliased identically on both sides.
+  */
+object Relational {
+
+  /** Exact decimal view of a 2-dp double column (prices, discounts...). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Sum a double column exactly, return DOUBLE. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- //
+  // q01: TPC-H Q1-shaped pricing summary (partial agg + shuffle agg)
+  // ---------------------------------------------------------------- //
+  def q01_agg_pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q02: filter pushdown shape (predicates reach the parquet scan)
+  // ---------------------------------------------------------------- //
+  def q02_filter_pushdown(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24 &&
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q02_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q03: count(*)-only scan (reference prunes to SELECT NULL —
+  // Spark prunes to an empty ReadSchema; same idea)
+  // ---------------------------------------------------------------- //
+  def q03_count_star(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+
+  val q03_sql: String = "SELECT COUNT(*) AS n FROM lineitem"
+
+  // ---------------------------------------------------------------- //
+  // q04: projection pushdown + top-k (TakeOrderedAndProject)
+  // ---------------------------------------------------------------- //
+  def q04_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+
+  val q04_sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q05: broadcast hash join (small dim broadcast — scale path: dim
+  // tables stay < broadcast threshold even at sf100)
+  // ---------------------------------------------------------------- //
+  def q05_join_broadcast(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q05_sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q06: multi-way join through the dimension chain
+  // region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem (TPC-H Q5 shape).
+  // Dims are broadcast; the orders⋈lineitem join shuffles on orderkey.
+  // ---------------------------------------------------------------- //
+  def q06_join_multi(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q06_sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q07/q08: semi / anti joins (EXISTS / NOT EXISTS)
+  // ---------------------------------------------------------------- //
+  def q07_semi_join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q07_sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer WHERE EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def q08_anti_join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q08_sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q09: ranking window — top-3 orders per customer
+  // ---------------------------------------------------------------- //
+  def q09_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q09_sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q10: running-frame window over the events stream table
+  // ---------------------------------------------------------------- //
+  def q10_window_running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q10_sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+      |    ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q11: set operations
+  // ---------------------------------------------------------------- //
+  def q11_setops(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val big = o.filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey").as("custkey")).distinct()
+    big.intersect(auto).orderBy(col("custkey"))
+  }
+
+  val q11_sql: String =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+      |INTERSECT
+      |SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |ORDER BY custkey""".stripMargin
+
+  def q12_union_except(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+    val cn = c.select(col("c_nationkey").as("nationkey"))
+    val sn = su.select(col("s_nationkey").as("nationkey"))
+    cn.union(sn).distinct()
+      .except(t(s, dir, "nation").filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  val q12_sql: String =
+    """SELECT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION
+      |  SELECT s_nationkey AS nationkey FROM supplier) u
+      |EXCEPT
+      |SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q13: rollup (grouping sets family)
+  // ---------------------------------------------------------------- //
+  def q13_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q13_sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q14: distinct aggregation + multiple distinct counts
+  // ---------------------------------------------------------------- //
+  def q14_distinct_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q14_sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q15: scalar expression battery (strings, dates, arithmetic, case)
+  // ---------------------------------------------------------------- //
+  def q15_scalar_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_brand"), 1, 5).as("brand5"),
+        length(col("p_type")).as("type_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_retailprice") * 2.0 + 1.0).as("price2"),
+        when(col("p_size") < 10, lit("small"))
+          .when(col("p_size") < 30, lit("medium"))
+          .otherwise(lit("large")).as("size_class"))
+      .orderBy(col("p_partkey"))
+
+  val q15_sql: String =
+    """SELECT p_partkey, UPPER(p_name) AS uname,
+      |  SUBSTRING(p_brand, 1, 5) AS brand5,
+      |  LENGTH(p_type) AS type_len,
+      |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+      |  p_retailprice * 2.0 + 1.0 AS price2,
+      |  CASE WHEN p_size < 10 THEN 'small'
+      |       WHEN p_size < 30 THEN 'medium'
+      |       ELSE 'large' END AS size_class
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q16: date/time functions over orders
+  // ---------------------------------------------------------------- //
+  def q16_date_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  val q16_sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q17: IN-subquery (rewritten by Catalyst into a semi join)
+  // ---------------------------------------------------------------- //
+  def q17_in_subquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q17_sql)
+  }
+
+  val q17_sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      |  AND o_totalprice > 100000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q18: correlated scalar subquery (orders above their customer avg)
+  // ---------------------------------------------------------------- //
+  def q18_corr_subquery(s: SparkSession, dir: String): DataFrame = {
+    // Spark-first shape: window-based decorrelation — the scalar
+    // subquery "avg price of this customer's orders" is an AVG window
+    // over the customer partition; strictly one shuffle.
+    val o = t(s, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+    o.withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q18_sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+      |  FROM orders) x
+      |WHERE o_totalprice > cust_avg * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q19: min/max/first-order statistics (exact, order-insensitive)
+  // ---------------------------------------------------------------- //
+  def q19_minmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy(col("l_linestatus"))
+
+  val q19_sql: String =
+    """SELECT l_linestatus, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q20: outer join with null handling + coalesce
+  // ---------------------------------------------------------------- //
+  def q20_outer_join(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation"); val c = t(s, dir, "customer")
+    val perNation = c.groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+    n.join(perNation, n("n_nationkey") === perNation("c_nationkey"), "left_outer")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_customers"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q20_sql: String =
+    """SELECT n_nationkey, n_name, COALESCE(cnt, 0) AS n_customers
+      |FROM nation LEFT OUTER JOIN
+      |  (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) x
+      |  ON n_nationkey = c_nationkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q21: HAVING over grouped aggregation
+  // ---------------------------------------------------------------- //
+  def q21_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+      .orderBy(col("l_suppkey"))
+
+  val q21_sql: String =
+    """SELECT l_suppkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem GROUP BY l_suppkey
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300
+      |ORDER BY l_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q22: lead/lag analytic windows over events
+  // ---------------------------------------------------------------- //
+  def q22_lead_lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q22_sql: String =
+    """SELECT user_id, event_id,
+      |  LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** name → (query fn, oracle sql) */
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q01_agg_pricing" -> ((q01_agg_pricing _, q01_sql)),
+    "q02_filter_pushdown" -> ((q02_filter_pushdown _, q02_sql)),
+    "q03_count_star" -> ((q03_count_star _, q03_sql)),
+    "q04_topk" -> ((q04_topk _, q04_sql)),
+    "q05_join_broadcast" -> ((q05_join_broadcast _, q05_sql)),
+    "q06_join_multi" -> ((q06_join_multi _, q06_sql)),
+    "q07_semi_join" -> ((q07_semi_join _, q07_sql)),
+    "q08_anti_join" -> ((q08_anti_join _, q08_sql)),
+    "q09_window_rank" -> ((q09_window_rank _, q09_sql)),
+    "q10_window_running" -> ((q10_window_running _, q10_sql)),
+    "q11_setops" -> ((q11_setops _, q11_sql)),
+    "q12_union_except" -> ((q12_union_except _, q12_sql)),
+    "q13_rollup" -> ((q13_rollup _, q13_sql)),
+    "q14_distinct_agg" -> ((q14_distinct_agg _, q14_sql)),
+    "q15_scalar_funcs" -> ((q15_scalar_funcs _, q15_sql)),
+    "q16_date_funcs" -> ((q16_date_funcs _, q16_sql)),
+    "q17_in_subquery" -> ((q17_in_subquery _, q17_sql)),
+    "q18_corr_subquery" -> ((q18_corr_subquery _, q18_sql)),
+    "q19_minmax" -> ((q19_minmax _, q19_sql)),
+    "q20_outer_join" -> ((q20_outer_join _, q20_sql)),
+    "q21_having" -> ((q21_having _, q21_sql)),
+    "q22_lead_lag" -> ((q22_lead_lag _, q22_sql)),
+  )
+}
