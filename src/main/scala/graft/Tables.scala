@@ -20,10 +20,12 @@ object Tables {
       // timestamp (lossless: driver data is micro-precision, and the
       // DuckDB oracle also reads it as micros TIMESTAMP).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer `div`, NOT `/`: epoch nanos exceed double's 53-bit
+      // mantissa, so floating division would round some values by ±1µs
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts") / 1000 cast "long"))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view so spark.sql(...) queries can

@@ -1,0 +1,461 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Training-data pipeline operators over the `documents` / `embeddings` /
+  * `events` tables: text analysis, fingerprinting, dedup (exact,
+  * normalized, MinHash+LSH, SimHash), ANN similarity search,
+  * sessionization and tumbling-window aggregation.
+  *
+  * Design notes for 100 TB scale:
+  *   - Everything is built from codegen'd built-ins (higher-order array
+  *     functions, window functions) — no Scala UDFs in the hot path.
+  *   - The LSH pair join is blocked by (source, band) so the candidate
+  *     set stays near-linear instead of O(n²); at cluster scale the
+  *     band join is a shuffle on a high-cardinality composite key.
+  *   - Cross joins only against tiny broadcast sides (ANN query set).
+  *   - Per-row numeric folds (dot products, jaccard) are sequential
+  *     left-to-right double arithmetic — deterministic and
+  *     partition-order independent, so oracle hash-compare is exact.
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Whitespace tokens of `text`. */
+  private val tokens: Column = split(trim(col("text")), "\\s+")
+
+  // ---------------------------------------------------------------- //
+  // p01: token counting (whitespace tokenizer)
+  // ---------------------------------------------------------------- //
+  def p01_token_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_distinct_tokens"),
+        length(col("text")).as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+
+  val p01_sql: String =
+    """SELECT doc_id,
+      |  CAST(length(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT) AS n_distinct_tokens,
+      |  CAST(length(text) AS INT) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p02: quality scoring (length / stopword / type-token ratios)
+  // ---------------------------------------------------------------- //
+  def p02_quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens
+    val nTok = size(toks).cast("double")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok)
+          .as("avg_token_len"),
+        (size(filter(toks, c => c === "the" || c === "a")).cast("double") / nTok)
+          .as("stopword_ratio"),
+        (size(array_distinct(toks)).cast("double") / nTok)
+          .as("type_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p02_sql: String =
+    """SELECT doc_id,
+      |  CAST(length(toks) AS INT) AS n_tokens,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / length(toks) AS avg_token_len,
+      |  CAST(length(list_filter(toks, t -> t = 'the' OR t = 'a')) AS DOUBLE) / length(toks) AS stopword_ratio,
+      |  CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks) AS type_token_ratio
+      |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p03: language ID via stopword-overlap heuristic. The marker lists
+  // are standard high-frequency function words per language; predicted
+  // language = argmax overlap with deterministic priority tie-break.
+  // ---------------------------------------------------------------- //
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "了", "我", "不"))
+
+  def p03_langid(s: SparkSession, dir: String): DataFrame = {
+    val toks = array_distinct(tokens)
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.tail.foldLeft[Column](greatest(scores.head._2, scores.tail.head._2)) {
+      (acc, kv) => greatest(acc, kv._2)
+    }
+    // priority order = langMarkers order; unknown when all scores are 0
+    val pred = scores.reverse.foldLeft[Column](lit("unknown")) {
+      case (acc, (lang, sc)) => when(sc > 0 && sc === best, lit(lang)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        scores.find(_._1 == "en").get._2.as("score_en"),
+        pred.as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p03_sql: String = {
+    def sc(words: Seq[String]) =
+      s"CAST(length(list_intersect(toks, [${words.map(w => s"'$w'").mkString(",")}])) AS INT)"
+    val scoreExprs = langMarkers.map { case (l, ws) => l -> sc(ws) }.toMap
+    val bestExpr = s"greatest(${langMarkers.map(m => scoreExprs(m._1)).mkString(",")})"
+    // reverse-priority CASE chain: earlier languages win ties
+    val caseExpr = langMarkers.map { case (l, ws) =>
+      s"WHEN ${scoreExprs(l)} > 0 AND ${scoreExprs(l)} = $bestExpr THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'unknown' END")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  ${scoreExprs("en")} AS score_en,
+       |  $caseExpr AS predicted_lang
+       |FROM (SELECT doc_id, lang, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
+  // p04: document fingerprint (normalization + content hash)
+  // ---------------------------------------------------------------- //
+  def p04_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val p04_sql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p05: exact dedup — hash-groupBy on content hash; keeper = min id.
+  // At scale this is one shuffle on the 128-bit content hash.
+  // ---------------------------------------------------------------- //
+  def p05_exact_dedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val p05_sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p06: normalized dedup — same, over the normalization fingerprint
+  // ---------------------------------------------------------------- //
+  def p06_norm_dedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val p06_sql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // MinHash machinery. Portable hash family: h_j(x) = md5(j || ':' || x)
+  // compared as ascii hex strings — identical in Spark and DuckDB, no
+  // engine-specific hash needed. k=16 hashes.
+  // ---------------------------------------------------------------- //
+  private val K = 16
+
+  private def minhash(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(s"$j:"), sh))))
+
+  private def minhashSqlExpr(shinglesExpr: String, j: Int): String =
+    s"list_aggregate(list_transform($shinglesExpr, s -> md5('$j:' || s)), 'min')"
+
+  // ---------------------------------------------------------------- //
+  // p07: MinHash signatures over 3-token shingles; 4 LSH band keys
+  // (r=4, b=4) emitted as md5 of the band's minhash slice.
+  // ---------------------------------------------------------------- //
+  def p07_minhash_sig(s: SparkSession, dir: String): DataFrame = {
+    val withShingles = t(s, dir, "documents")
+      .select(col("doc_id"), tokens.as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), size(col("tok")) - 3),
+          i => concat_ws(" ", col("tok")(i), col("tok")(i + 1), col("tok")(i + 2))))
+          .as("shingles"))
+    val hs = (0 until K).map(j => minhash(col("shingles"), j).as(s"h$j"))
+    val sig = withShingles.select(col("doc_id") +: hs: _*)
+    val bands = (0 until K / 4).map { b =>
+      md5(concat((4 * b until 4 * b + 4).map(j => col(s"h$j")): _*)).as(f"band$b")
+    }
+    sig.select(col("doc_id") +: bands: _*).orderBy(col("doc_id"))
+  }
+
+  val p07_sql: String = {
+    val hDefs = (0 until K).map(j => s"${minhashSqlExpr("shingles", j)} AS h$j").mkString(",\n  ")
+    val bands = (0 until K / 4).map { b =>
+      s"md5(${(4 * b until 4 * b + 4).map(j => s"h$j").mkString(" || ")}) AS band$b"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, $bands FROM (
+       |SELECT doc_id, $hDefs FROM (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(tok)-1),
+       |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingles
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents)
+       |  WHERE len(tok) >= 3))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
+  // p08: MinHash-LSH near-dup pairs over token sets, blocked by source.
+  // k=16, r=2, b=8 bands → candidates = pairs sharing (source, band);
+  // exact jaccard >= 0.85 verifies. The band explode + join is the
+  // scale path: shuffle on (source, band_idx, band_hash), never O(n²).
+  // ---------------------------------------------------------------- //
+  def p08_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(tokens)).as("tok"))
+    val hs = (0 until K).map(j => minhash(col("tok"), j))
+    val bandCols = (0 until K / 2).map { b =>
+      struct(lit(b).as("band_idx"), md5(concat(hs(2 * b), hs(2 * b + 1))).as("band_hash"))
+    }
+    val banded = toks.select(col("doc_id"), col("source"), col("tok"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("source"), col("tok"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b,
+        col("a.source") === col("b.source") &&
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("jac",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+          size(array_union(col("tok_a"), col("tok_b"))))
+      .filter(col("jac") >= 0.85)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val p08_sql: String = {
+    val hDefs = (0 until K).map(j => s"${minhashSqlExpr("tok", j)} AS h$j").mkString(",\n  ")
+    val bandRows = (0 until K / 2).map { b =>
+      s"SELECT doc_id, source, tok, $b AS band_idx, md5(h${2 * b} || h${2 * b + 1}) AS band_hash FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |  FROM documents),
+       |sig AS (SELECT doc_id, source, tok, $hDefs FROM toks),
+       |banded AS ($bandRows),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.source = b.source AND a.band_idx = b.band_idx
+       |   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(ta.tok, tb.tok))) AS jac
+       |FROM cands JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
+       |WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(ta.tok, tb.tok))) >= 0.85
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
+  // p09: SimHash — 16-bit signature from per-token md5 nibbles.
+  // Portable bit source: nibble i of md5(token) >= 8. Computed via
+  // explode + groupBy (one shuffle on doc_id at scale).
+  // ---------------------------------------------------------------- //
+  def p09_simhash(s: SparkSession, dir: String): DataFrame = {
+    val exploded = t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(expr(s"conv(substring(h, ${i + 1}, 1), 16, 10)").cast("int") >= 8, 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    val agg = exploded.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16).map { i =>
+      when(col(s"s$i") > 0, lit(1L) * (1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  val p09_sql: String = {
+    val bitSums = (0 until 16).map { i =>
+      s"SUM(CASE WHEN strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(",\n  ")
+    val sim = (0 until 16).map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id, $bitSums
+       |  FROM (SELECT doc_id, md5(t.tok) AS h FROM
+       |    (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |     FROM documents) t)
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
+  // s01: brute-force cosine top-k ANN. Query set (vec_id < 5) is tiny
+  // and broadcast; per-row dot/norm folds are sequential double
+  // arithmetic (deterministic). At scale: broadcast-nested-loop of a
+  // small query set against a partitioned corpus, then a top-k window
+  // per query (TakeOrdered per partition group).
+  // ---------------------------------------------------------------- //
+  private def fold(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def s01_ann_brute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = corpus.join(broadcast(queries),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("cv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s01_sql: String = {
+    val dotE = "list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))"
+    val nq = "sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
+    val nc = "sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT q.query_id, c.neighbor_id, $dotE / ($nq * $nc) AS cos
+       |  FROM q JOIN c ON q.query_id <> c.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
+  // q23: sessionization — 30-minute inactivity gap splits sessions.
+  // lag + cumulative sum windows; one shuffle on user_id.
+  // ---------------------------------------------------------------- //
+  def q23_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q23_sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, ms,
+      |    CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
+      |FROM m GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q24: tumbling 5-minute window aggregation over events
+  // ---------------------------------------------------------------- //
+  def q24_tumbling_window(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("win_start_ms", expr("unix_millis(ts) div 300000") * 300000L)
+      .groupBy(col("win_start_ms"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+
+  val q24_sql: String =
+    """SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // st01: the same tumbling-window agg executed through Structured
+  // Streaming (readStream over the parquet + watermark + window +
+  // AvailableNow trigger into a memory sink). Oracle = the batch SQL:
+  // streaming and batch must agree.
+  // ---------------------------------------------------------------- //
+  def st01_stream_window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source lists a directory; select just the
+    // events table out of the shared sfDir via a glob filter
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    val name = s"st01_out_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("win_start_ms"), col("event_type"))
+  }
+
+  val st01_sql: String = q24_sql
+
+  /** name → (query fn, Some(oracle sql) | None = rows-only check) */
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "p01_token_count" -> ((p01_token_count _, Some(p01_sql))),
+    "p02_quality" -> ((p02_quality _, Some(p02_sql))),
+    "p03_langid" -> ((p03_langid _, Some(p03_sql))),
+    "p04_fingerprint" -> ((p04_fingerprint _, Some(p04_sql))),
+    "p05_exact_dedup" -> ((p05_exact_dedup _, Some(p05_sql))),
+    "p06_norm_dedup" -> ((p06_norm_dedup _, Some(p06_sql))),
+    "p07_minhash_sig" -> ((p07_minhash_sig _, Some(p07_sql))),
+    "p08_lsh_pairs" -> ((p08_lsh_pairs _, Some(p08_sql))),
+    "p09_simhash" -> ((p09_simhash _, Some(p09_sql))),
+    "s01_ann_brute" -> ((s01_ann_brute _, Some(s01_sql))),
+    "q23_sessionize" -> ((q23_sessionize _, Some(q23_sql))),
+    "q24_tumbling_window" -> ((q24_tumbling_window _, Some(q24_sql))),
+    "st01_stream_window" -> ((st01_stream_window _, Some(st01_sql))),
+  )
+}
