@@ -1,0 +1,461 @@
+package graft.codec
+
+import java.io.{DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.math.{BigDecimal => JBigDecimal, BigInteger, MathContext}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+
+import graft.types.PgType
+import graft.types.PgType._
+
+/** PGCOPY binary wire format ↔ Catalyst internal values.
+  *
+  * Byte layout (public PostgreSQL COPY BINARY documentation; the
+  * reference implements the same protocol in
+  * src/include/postgres_binary_reader.hpp:17-567 and
+  * postgres_binary_writer.hpp:18-443):
+  *   header   = "PGCOPY\n\377\r\n\0" + int32 flags + int32 extLen
+  *   tuple    = int16 nfields, then per field int32 len (-1 = NULL) + data
+  *   trailer  = int16 -1
+  * All integers are network (big-endian) order.
+  *
+  * Epoch shifts: PG dates count days from 2000-01-01 (JD 2451545),
+  * Spark from 1970-01-01 (JD 2440588) → +10957 days; timestamps are
+  * µs from 2000-01-01 → +946684800000000 µs
+  * (ref: src/include/postgres_conversion.hpp:24-33,
+  * binary_reader.hpp:131-161).
+  */
+object PgWire {
+  val Signature: Array[Byte] =
+    Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n', -1, '\r', '\n', 0)
+  val DateEpochShiftDays: Int = 10957
+  val TsEpochShiftMicros: Long = 946684800000000L
+  /** ±infinity sentinels (ref: binary_reader.hpp:131-140); Spark has no
+    * ±infinity date/timestamp — mapped to min/max values, documented. */
+  val PgDateInf: Int = Int.MaxValue
+  val PgDateNegInf: Int = Int.MinValue
+  val PgTsInf: Long = Long.MaxValue
+  val PgTsNegInf: Long = Long.MinValue
+
+  val NumericPos = 0x0000
+  val NumericNeg = 0x4000
+  val NumericNaN = 0xC000
+}
+
+/** Reads PGCOPY binary streams into `InternalRow`s shaped by `types`.
+  *
+  * (port of semantics, not code, of PostgresBinaryReader —
+  * ref: src/include/postgres_binary_reader.hpp:17-567)
+  */
+final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
+  require(types.length == targets.length)
+
+  def this(types: Seq[PgType]) = this(types, types.map(PgType.toSpark))
+
+  def readHeader(in: DataInputStream): Unit = {
+    val sig = new Array[Byte](11)
+    in.readFully(sig)
+    require(java.util.Arrays.equals(sig, PgWire.Signature),
+      "not a PGCOPY binary stream")
+    in.readInt() // flags
+    val ext = in.readInt()
+    if (ext > 0) in.skipBytes(ext)
+  }
+
+  /** Read one tuple; None at the -1 trailer (or clean EOF). */
+  def readRow(in: DataInputStream): Option[InternalRow] = {
+    val nfields =
+      try in.readShort()
+      catch { case _: EOFException => return None }
+    if (nfields < 0) return None
+    require(nfields == types.length,
+      s"field count $nfields != expected ${types.length}")
+    val row = new GenericInternalRow(types.length)
+    var i = 0
+    while (i < nfields) {
+      val len = in.readInt()
+      if (len < 0) row.setNullAt(i)
+      else {
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        row.update(i, readValue(bytes, types(i), targets(i)))
+      }
+      i += 1
+    }
+    Some(row)
+  }
+
+  def readValue(bytes: Array[Byte], t: PgType, target: DataType): Any = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    t match {
+      case PgBool => bytes(0) != 0
+      case PgInt2 => buf.getShort
+      case PgInt4 => buf.getInt
+      case PgInt8 => buf.getLong
+      case PgOid => buf.getInt.toLong & 0xffffffffL
+      case PgFloat4 => buf.getFloat
+      case PgFloat8 => buf.getDouble
+      case n: PgNumeric => readNumeric(buf, target)
+      case PgText | PgVarchar | PgJson | _: PgUnknown | _: PgEnum =>
+        UTF8String.fromBytes(bytes)
+      case _: PgBpchar =>
+        // trailing-space trim (ref: binary_reader.hpp:389-394)
+        var end = bytes.length
+        while (end > 0 && bytes(end - 1) == ' ') end -= 1
+        UTF8String.fromBytes(bytes, 0, end)
+      case PgJsonb =>
+        // strip the 1-byte version header (ref: binary_reader.hpp:381-387)
+        UTF8String.fromBytes(bytes, 1, bytes.length - 1)
+      case PgDate =>
+        val d = buf.getInt
+        if (d == PgWire.PgDateInf) Int.MaxValue
+        else if (d == PgWire.PgDateNegInf) Int.MinValue
+        else d + PgWire.DateEpochShiftDays
+      case PgTime => buf.getLong // µs since midnight
+      case PgTimeTz =>
+        val micros = buf.getLong
+        val offSec = buf.getInt // seconds WEST of UTC
+        UTF8String.fromString(formatTimeTz(micros, offSec))
+      case PgTimestamp | PgTimestampTz =>
+        val us = buf.getLong
+        if (us == PgWire.PgTsInf) Long.MaxValue
+        else if (us == PgWire.PgTsNegInf) Long.MinValue
+        else us + PgWire.TsEpochShiftMicros
+      case PgInterval =>
+        val micros = buf.getLong; val days = buf.getInt; val months = buf.getInt
+        new CalendarInterval(months, days, micros)
+      case PgUuid =>
+        val hi = buf.getLong; val lo = buf.getLong
+        UTF8String.fromString(new java.util.UUID(hi, lo).toString)
+      case PgBytea => bytes
+      case PgBit =>
+        val nbits = buf.getInt
+        val sb = new java.lang.StringBuilder(nbits)
+        var i = 0
+        while (i < nbits) {
+          val b = bytes(4 + i / 8)
+          sb.append(if (((b >> (7 - i % 8)) & 1) == 1) '1' else '0')
+          i += 1
+        }
+        UTF8String.fromString(sb.toString)
+      case PgCtid =>
+        // (page << 16) | row (ref: binary_reader.hpp:354-360)
+        val page = buf.getInt.toLong & 0xffffffffL
+        val off = buf.getShort.toLong & 0xffffL
+        (page << 16) | off
+      case PgPoint =>
+        val r = new GenericInternalRow(2)
+        r.update(0, buf.getDouble); r.update(1, buf.getDouble)
+        r
+      case PgLine | PgLseg | PgBox | PgCircle =>
+        val n = bytes.length / 8
+        new GenericArrayData(Array.fill(n)(buf.getDouble))
+      case PgPath =>
+        // closed flag (as 0.0/1.0) + flattened points
+        val closed = buf.get().toDouble
+        val npts = buf.getInt
+        val out = new Array[Double](1 + npts * 2)
+        out(0) = closed
+        var i = 0
+        while (i < npts * 2) { out(i + 1) = buf.getDouble; i += 1 }
+        new GenericArrayData(out)
+      case PgPolygon =>
+        val npts = buf.getInt
+        new GenericArrayData(Array.fill(npts * 2)(buf.getDouble))
+      case a: PgArray => readArray(buf, a, target)
+      case c: PgComposite => readComposite(buf, c, target)
+    }
+  }
+
+  /** base-10000 numeric reconstruction
+    * (ref: binary_reader.hpp:204-264). */
+  private def readNumeric(buf: java.nio.ByteBuffer, target: DataType): Any = {
+    val ndigits = buf.getShort.toInt
+    val weight = buf.getShort.toInt
+    val sign = buf.getShort.toInt & 0xffff
+    val dscale = buf.getShort.toInt
+    if (sign == PgWire.NumericNaN) {
+      return target match {
+        case DoubleType => Double.NaN
+        case _ => null // DECIMAL has no NaN; documented gap
+      }
+    }
+    var unscaled = BigInteger.ZERO
+    val tenK = BigInteger.valueOf(10000)
+    var i = 0
+    while (i < ndigits) {
+      unscaled = unscaled.multiply(tenK).add(BigInteger.valueOf(buf.getShort.toLong))
+      i += 1
+    }
+    // value = unscaled * 10000^(weight - ndigits + 1)
+    val exp = (weight - ndigits + 1) * 4
+    var bd = new JBigDecimal(unscaled, -exp)
+    if (sign == PgWire.NumericNeg) bd = bd.negate()
+    bd = bd.setScale(dscale)
+    target match {
+      case DoubleType => bd.doubleValue()
+      case dt: DecimalType => Decimal(bd.setScale(dt.scale), dt.precision, dt.scale)
+      case _ => Decimal(bd)
+    }
+  }
+
+  /** N-dimensional array (ref: binary_reader.hpp:304-332, 504-534). */
+  private def readArray(buf: java.nio.ByteBuffer, a: PgArray, target: DataType): Any = {
+    val ndim = buf.getInt
+    buf.getInt // has-null flag (recomputed on our side)
+    buf.getInt // element oid
+    if (ndim == 0) return new GenericArrayData(Array.empty[Any])
+    val dims = new Array[Int](ndim)
+    var i = 0
+    while (i < ndim) {
+      dims(i) = buf.getInt
+      buf.getInt // lower bound — ignored (Spark arrays are 0-based)
+      i += 1
+    }
+    val elemTarget = {
+      var dt = target
+      var d = 0
+      while (d < ndim) { dt = dt.asInstanceOf[ArrayType].elementType; d += 1 }
+      dt
+    }
+    val total = dims.product
+    val flat = new Array[Any](total)
+    i = 0
+    while (i < total) {
+      val len = buf.getInt
+      flat(i) =
+        if (len < 0) null
+        else {
+          val eb = new Array[Byte](len)
+          buf.get(eb)
+          readValue(eb, a.elem, elemTarget)
+        }
+      i += 1
+    }
+    // nest row-major flat values into ndim levels
+    def nest(values: Array[Any], level: Int): Any =
+      if (level == ndim - 1) new GenericArrayData(values)
+      else {
+        val stride = dims.drop(level + 1).product
+        new GenericArrayData(
+          values.grouped(stride).map(g => nest(g, level + 1)).toArray[Any])
+      }
+    nest(flat, 0)
+  }
+
+  private def readComposite(buf: java.nio.ByteBuffer, c: PgComposite, target: DataType): Any = {
+    val st = target.asInstanceOf[StructType]
+    val nf = buf.getInt
+    require(nf == c.fields.length, s"composite arity $nf != ${c.fields.length}")
+    val row = new GenericInternalRow(nf)
+    var i = 0
+    while (i < nf) {
+      buf.getInt // member oid
+      val len = buf.getInt
+      if (len < 0) row.setNullAt(i)
+      else {
+        val fb = new Array[Byte](len)
+        buf.get(fb)
+        row.update(i, readValue(fb, c.fields(i)._2, st.fields(i).dataType))
+      }
+      i += 1
+    }
+    row
+  }
+
+  private def formatTimeTz(micros: Long, offSec: Int): String = {
+    val s = micros / 1000000; val us = micros % 1000000
+    val hh = s / 3600; val mm = (s % 3600) / 60; val ss = s % 60
+    val frac = if (us == 0) "" else f".$us%06d".replaceAll("0+$", "")
+    // PG reports offsets east-positive in text; wire is west-positive
+    val east = -offSec
+    val sign = if (east >= 0) "+" else "-"
+    val oh = math.abs(east) / 3600; val om = (math.abs(east) % 3600) / 60
+    f"$hh%02d:$mm%02d:$ss%02d$frac$sign$oh%02d" +
+      (if (om != 0) f":$om%02d" else "")
+  }
+}
+
+/** Writes `InternalRow`s as PGCOPY binary (mirror of the reader;
+  * semantics of PostgresBinaryWriter — ref:
+  * src/include/postgres_binary_writer.hpp:18-443). */
+final class PgBinaryWriter(types: Seq[PgType], sources: Seq[DataType]) {
+
+  def this(types: Seq[PgType]) = this(types, types.map(PgType.toSpark))
+
+  def writeHeader(out: DataOutputStream): Unit = {
+    out.write(PgWire.Signature)
+    out.writeInt(0) // flags
+    out.writeInt(0) // header extension length
+  }
+
+  def writeTrailer(out: DataOutputStream): Unit = out.writeShort(-1)
+
+  def writeRow(out: DataOutputStream, row: InternalRow): Unit = {
+    out.writeShort(types.length)
+    var i = 0
+    while (i < types.length) {
+      if (row.isNullAt(i)) out.writeInt(-1)
+      else {
+        val bytes = valueBytes(row.get(i, sources(i)), types(i), sources(i))
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      i += 1
+    }
+  }
+
+  def valueBytes(v: Any, t: PgType, source: DataType): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    t match {
+      case PgBool => o.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case PgInt2 => o.writeShort(v.asInstanceOf[Short])
+      case PgInt4 => o.writeInt(v.asInstanceOf[Int])
+      case PgInt8 => o.writeLong(v.asInstanceOf[Long])
+      case PgOid => o.writeInt(v.asInstanceOf[Long].toInt)
+      case PgFloat4 => o.writeFloat(v.asInstanceOf[Float])
+      case PgFloat8 => o.writeDouble(v.asInstanceOf[Double])
+      case n: PgNumeric => writeNumeric(o, v, source)
+      case PgText | PgVarchar | _: PgBpchar | PgJson | _: PgEnum | _: PgUnknown =>
+        o.write(v.asInstanceOf[UTF8String].getBytes)
+      case PgJsonb =>
+        o.writeByte(1) // jsonb wire version
+        o.write(v.asInstanceOf[UTF8String].getBytes)
+      case PgDate => o.writeInt(v.asInstanceOf[Int] - PgWire.DateEpochShiftDays)
+      case PgTime => o.writeLong(v.asInstanceOf[Long])
+      case PgTimestamp | PgTimestampTz =>
+        o.writeLong(v.asInstanceOf[Long] - PgWire.TsEpochShiftMicros)
+      case PgInterval =>
+        val ci = v.asInstanceOf[CalendarInterval]
+        o.writeLong(ci.microseconds); o.writeInt(ci.days); o.writeInt(ci.months)
+      case PgUuid =>
+        val u = java.util.UUID.fromString(v.asInstanceOf[UTF8String].toString)
+        o.writeLong(u.getMostSignificantBits); o.writeLong(u.getLeastSignificantBits)
+      case PgBytea => o.write(v.asInstanceOf[Array[Byte]])
+      case PgBit =>
+        val s = v.asInstanceOf[UTF8String].toString
+        o.writeInt(s.length)
+        var acc = 0; var nb = 0
+        s.foreach { ch =>
+          acc = (acc << 1) | (if (ch == '1') 1 else 0); nb += 1
+          if (nb == 8) { o.writeByte(acc); acc = 0; nb = 0 }
+        }
+        if (nb > 0) o.writeByte(acc << (8 - nb))
+      case PgCtid =>
+        val packed = v.asInstanceOf[Long]
+        o.writeInt((packed >> 16).toInt)
+        o.writeShort((packed & 0xffff).toInt)
+      case PgPoint =>
+        val r = v.asInstanceOf[InternalRow]
+        o.writeDouble(r.getDouble(0)); o.writeDouble(r.getDouble(1))
+      case PgLine | PgLseg | PgBox | PgCircle =>
+        val arr = v.asInstanceOf[ArrayData]
+        (0 until arr.numElements()).foreach(i => o.writeDouble(arr.getDouble(i)))
+      case PgPath =>
+        val arr = v.asInstanceOf[ArrayData]
+        o.writeByte(arr.getDouble(0).toInt)
+        val npts = (arr.numElements() - 1) / 2
+        o.writeInt(npts)
+        (1 until arr.numElements()).foreach(i => o.writeDouble(arr.getDouble(i)))
+      case PgPolygon =>
+        val arr = v.asInstanceOf[ArrayData]
+        o.writeInt(arr.numElements() / 2)
+        (0 until arr.numElements()).foreach(i => o.writeDouble(arr.getDouble(i)))
+      case a: PgArray => writeArray(o, v, a, source)
+      case c: PgComposite => writeComposite(o, v, c, source)
+    }
+    o.flush()
+    bos.toByteArray
+  }
+
+  /** base-10000 numeric encoding (ref: binary_writer.hpp:141-201). */
+  private def writeNumeric(o: DataOutputStream, v: Any, source: DataType): Unit = {
+    val bd0: JBigDecimal = source match {
+      case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (d.isNaN) {
+          o.writeShort(0); o.writeShort(0)
+          o.writeShort(PgWire.NumericNaN); o.writeShort(0)
+          return
+        }
+        new JBigDecimal(d, MathContext.DECIMAL64)
+      case _ => new JBigDecimal(v.toString)
+    }
+    val dscale = math.max(bd0.scale(), 0)
+    val bd = bd0.setScale(dscale)
+    val neg = bd.signum() < 0
+    val abs = bd.abs()
+    // left-pad integral digits and right-pad fractional digits to
+    // multiples of 4, then slice base-10000 groups
+    val plain = abs.toPlainString
+    val (intPart0, fracPart0) = plain.indexOf('.') match {
+      case -1 => (plain, "")
+      case i => (plain.substring(0, i), plain.substring(i + 1))
+    }
+    val intPart = "0" * ((4 - intPart0.length % 4) % 4) + intPart0
+    val fracPart = fracPart0 + "0" * ((4 - fracPart0.length % 4) % 4)
+    val groups = (intPart + fracPart).grouped(4).map(_.toInt).toArray
+    val intGroups = intPart.length / 4
+    var lo = 0
+    var hi = groups.length
+    while (lo < hi && groups(lo) == 0) lo += 1
+    while (hi > lo && groups(hi - 1) == 0) hi -= 1
+    val ndigits = hi - lo
+    val weight = intGroups - 1 - lo
+    o.writeShort(ndigits)
+    o.writeShort(if (ndigits == 0) 0 else weight)
+    o.writeShort(if (neg) PgWire.NumericNeg else PgWire.NumericPos)
+    o.writeShort(dscale)
+    (lo until hi).foreach(i => o.writeShort(groups(i)))
+  }
+
+  private def writeArray(o: DataOutputStream, v: Any, a: PgArray, source: DataType): Unit = {
+    // flatten the (possibly nested) ArrayData, collecting dims
+    val dims = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var level = 0
+    def collect(x: Any, dt: DataType, lvl: Int): Seq[(Any, DataType)] = dt match {
+      case ArrayType(et, _) if lvl < a.ndims =>
+        val arr = x.asInstanceOf[ArrayData]
+        if (dims.length <= lvl) dims += arr.numElements()
+        else require(dims(lvl) == arr.numElements(),
+          "ragged multi-dimensional array cannot round-trip to PG")
+        (0 until arr.numElements()).flatMap { i =>
+          val child = if (arr.isNullAt(i)) null else arr.get(i, et)
+          if (lvl == a.ndims - 1) Seq((child, et)) else collect(child, et, lvl + 1)
+        }
+      case _ => Seq((x, dt))
+    }
+    val flat = collect(v, source, 0)
+    o.writeInt(a.ndims)
+    o.writeInt(if (flat.exists(_._1 == null)) 1 else 0)
+    o.writeInt(a.elemOid)
+    dims.foreach { d => o.writeInt(d); o.writeInt(1) } // lower bound 1
+    flat.foreach { case (e, dt) =>
+      if (e == null) o.writeInt(-1)
+      else {
+        val b = valueBytes(e, a.elem, dt)
+        o.writeInt(b.length); o.write(b)
+      }
+    }
+  }
+
+  private def writeComposite(o: DataOutputStream, v: Any, c: PgComposite, source: DataType): Unit = {
+    val st = source.asInstanceOf[StructType]
+    val row = v.asInstanceOf[InternalRow]
+    o.writeInt(c.fields.length)
+    c.fields.zipWithIndex.foreach { case ((_, ft), i) =>
+      o.writeInt(ft.oid)
+      if (row.isNullAt(i)) o.writeInt(-1)
+      else {
+        val b = valueBytes(row.get(i, st.fields(i).dataType), ft, st.fields(i).dataType)
+        o.writeInt(b.length); o.write(b)
+      }
+    }
+  }
+}
