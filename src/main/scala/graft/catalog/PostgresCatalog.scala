@@ -1,0 +1,199 @@
+package graft.catalog
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.meta.{PgCatalogQueries, PgTransportFactory}
+import graft.sources.postgres.{PostgresOptions, PostgresTable}
+import graft.sqlgen.PgSqlGen
+import graft.types.PgType
+
+/** `spark.sql.catalog.<name> = graft.catalog.PostgresCatalog` — the
+  * Spark shape of the reference's ATTACH storage extension
+  * (ref: src/postgres_storage.cpp:55-111, SURVEY.md §3.1):
+  *
+  *   spark.conf: spark.sql.catalog.pg = graft.catalog.PostgresCatalog
+  *               spark.sql.catalog.pg.dsn = <dsn>
+  *   SELECT * FROM pg.public.lineitem
+  *
+  * Namespaces map to pg schemas (lazy discovery from pg_namespace,
+  * ref: src/storage/postgres_schema_set.cpp:37-82), tables are
+  * discovered per-load with a cache + explicit invalidation (the
+  * `pg_clear_cache` analogue,
+  * ref: src/storage/postgres_clear_cache.cpp:24-51), and DDL is
+  * forwarded as SQL (ref: src/storage/postgres_table_set.cpp:292-413).
+  */
+class PostgresCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var dsn: String = _
+  private var extraOptions: Map[String, String] = Map.empty
+  private val tableCache = new ConcurrentHashMap[(String, String), PostgresTable]()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    dsn = Option(options.get("dsn")).getOrElse(
+      throw new IllegalArgumentException(s"catalog $name requires option 'dsn'"))
+    extraOptions = options.asScala.toMap
+    // version probe at attach (ref: src/storage/postgres_catalog.cpp:12-27)
+    val t = PgTransportFactory.open(dsn)
+    try t.query(PgCatalogQueries.versionProbe) finally t.close()
+  }
+
+  override def name(): String = catalogName
+
+  /** `pg_clear_cache` analogue. */
+  def invalidateAll(): Unit = tableCache.clear()
+
+  override def invalidateTable(ident: Identifier): Unit =
+    tableCache.remove((nsOf(ident), ident.name()))
+
+  private def nsOf(ident: Identifier): String =
+    if (ident.namespace().isEmpty) "public" else ident.namespace().mkString(".")
+
+  private def withTransport[A](f: graft.meta.PgTransport => A): A = {
+    val t = PgTransportFactory.open(dsn)
+    try f(t) finally t.close()
+  }
+
+  // ---------------- namespaces ---------------- //
+
+  override def listNamespaces(): Array[Array[String]] =
+    withTransport(_.query(PgCatalogQueries.listSchemas)).map(r => Array(r.head)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && listNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    withTransport(_.execute(s"CREATE SCHEMA ${PgSqlGen.quoteIdent(namespace.head)}"))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER SCHEMA is not forwarded")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val suffix = if (cascade) " CASCADE" else ""
+    withTransport(_.execute(s"DROP SCHEMA ${PgSqlGen.quoteIdent(namespace.head)}$suffix"))
+    true
+  }
+
+  // ---------------- tables ---------------- //
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    withTransport(_.query(PgCatalogQueries.listTables(namespace.head)))
+      .map(r => Identifier.of(namespace, r.head)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val key = (nsOf(ident), ident.name())
+    val cached = tableCache.get(key)
+    if (cached != null) cached
+    else {
+      val opts = PostgresOptions(extraOptions ++ Map(
+        "dsn" -> dsn, "schema" -> key._1, "table" -> key._2))
+      val t =
+        try PostgresTable.discover(opts)
+        catch {
+          case e: IllegalArgumentException if e.getMessage != null &&
+            e.getMessage.contains("not found") =>
+            throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+          case e: Exception if e.getMessage != null &&
+            e.getMessage.contains("does not exist") =>
+            throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+        }
+      tableCache.put(key, t)
+      t
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTable(ident); true }
+    catch { case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => false }
+
+  /** CREATE TABLE forwarded as DDL
+    * (ref: src/storage/postgres_table_set.cpp:292-319). */
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "postgres tables have no Spark partitioning")
+    val cols = schema.fields.map { f =>
+      val pg = PgType.typeString(PgType.fromSpark(f.dataType))
+      val notNull = if (f.nullable) "" else " NOT NULL"
+      s"${PgSqlGen.quoteIdent(f.name)} $pg$notNull"
+    }.mkString(", ")
+    val ns = nsOf(ident)
+    withTransport(_.execute(
+      s"CREATE TABLE ${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())} ($cols)"))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ns = nsOf(ident)
+    val qname = s"${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())}"
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val pg = PgType.typeString(PgType.fromSpark(a.dataType()))
+        withTransport(_.execute(
+          s"ALTER TABLE $qname ADD COLUMN ${PgSqlGen.quoteIdent(a.fieldNames().head)} $pg"))
+      case d: TableChange.DeleteColumn =>
+        withTransport(_.execute(
+          s"ALTER TABLE $qname DROP COLUMN ${PgSqlGen.quoteIdent(d.fieldNames().head)}"))
+      case r: TableChange.RenameColumn =>
+        withTransport(_.execute(
+          s"ALTER TABLE $qname RENAME COLUMN ${PgSqlGen.quoteIdent(r.fieldNames().head)} " +
+            s"TO ${PgSqlGen.quoteIdent(r.newName())}"))
+      case other =>
+        throw new UnsupportedOperationException(s"table change $other is not forwarded")
+    }
+    invalidateTable(ident)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val ns = nsOf(ident)
+    val existed = tableExists(ident)
+    if (existed) {
+      withTransport(_.execute(
+        s"DROP TABLE ${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())}"))
+      invalidateTable(ident)
+    }
+    existed
+  }
+
+  /** forwarded as ALTER TABLE ... RENAME
+    * (ref: src/storage/postgres_table_set.cpp:321-413). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(nsOf(oldIdent) == nsOf(newIdent),
+      "postgres cannot move tables across schemas in RENAME")
+    val ns = nsOf(oldIdent)
+    withTransport(_.execute(
+      s"ALTER TABLE ${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(oldIdent.name())} " +
+        s"RENAME TO ${PgSqlGen.quoteIdent(newIdent.name())}"))
+    invalidateTable(oldIdent)
+  }
+
+  /** arbitrary SQL passthrough — the `postgres_execute` analogue
+    * (ref: src/postgres_execute.cpp:12-57). */
+  def execute(sql: String): Unit = withTransport(_.execute(sql))
+
+  /** ref: src/storage/postgres_catalog.cpp:91-102 */
+  def databaseSize: Long =
+    withTransport(_.query(PgCatalogQueries.databaseSize)).head.head.toLong
+}

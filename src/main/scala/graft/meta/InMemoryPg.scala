@@ -1,0 +1,393 @@
+package graft.meta
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, InputStream, OutputStream}
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+import graft.codec.{PgBinaryReader, PgBinaryWriter}
+import graft.types.PgType
+import graft.types.PgType._
+
+/** Offline stand-in for a Postgres server, used by tests and the
+  * `mem:` DSN scheme. It speaks the same *byte-level* contract the
+  * connector uses with a live server: catalog queries return text rows,
+  * `copyOut` serves PGCOPY binary, `copyIn` accepts it, `execute`
+  * handles the DDL/DML the connector forwards.
+  *
+  * Rows live in fixed-size pages so ctid-range parallel scans behave
+  * like the real thing: a scan task for pages [lo,hi) sees exactly the
+  * rows whose page falls in range, DELETE ... WHERE ctid IN removes by
+  * (page,row) id leaving holes, and relpages drives task planning.
+  */
+final class InMemoryPg(val name: String) extends PgTransport {
+
+  val RowsPerPage = 64
+
+  final class MemTable(
+      val schema: String,
+      val table: String,
+      val columns: Seq[(String, PgType)]) {
+    /** slot i ↔ ctid (page = i/RowsPerPage, row = i%RowsPerPage + 1);
+      * None = deleted (hole, like a dead tuple). */
+    val slots: mutable.ArrayBuffer[Option[InternalRow]] = mutable.ArrayBuffer.empty
+    def pages: Long = (slots.length + RowsPerPage - 1) / RowsPerPage
+    def liveRows: Int = slots.count(_.isDefined)
+    def colTypes: Seq[PgType] = columns.map(_._2)
+    def colIndex(c: String): Int = columns.indexWhere(_._1 == c)
+  }
+
+  private val tables = new ConcurrentHashMap[(String, String), MemTable]()
+  private val schemas = ConcurrentHashMap.newKeySet[String]()
+  schemas.add("public")
+
+  val executedStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+  def createTable(schema: String, table: String, columns: Seq[(String, PgType)]): MemTable = {
+    schemas.add(schema)
+    val t = new MemTable(schema, table, columns)
+    tables.put((schema, table), t)
+    t
+  }
+
+  def getTable(schema: String, table: String): MemTable = {
+    val t = tables.get((schema, table))
+    require(t != null, s"relation $schema.$table does not exist")
+    t
+  }
+
+  def hasTable(schema: String, table: String): Boolean =
+    tables.containsKey((schema, table))
+
+  override def close(): Unit = ()
+
+  // ---------------------------------------------------------------- //
+  // metadata queries
+  // ---------------------------------------------------------------- //
+  private val TableInfoRe: Regex =
+    """(?s).*pg_attribute.*nspname = '([^']*)' AND c\.relname = '([^']*)'.*""".r
+  private val ListTablesRe: Regex =
+    """(?s).*pg_class.*nspname = '([^']*)' AND c\.relkind.*""".r
+  private val RelPagesRe: Regex =
+    """(?s).*relpages.*nspname = '([^']*)' AND c\.relname = '([^']*)'.*""".r
+
+  override def query(sql: String): Seq[Seq[String]] = sql match {
+    case s if s.startsWith("SELECT version()") =>
+      Seq(Seq("PostgreSQL 16.3 (InMemoryPg graft)"))
+    case s if s.contains("pg_namespace") && !s.contains("JOIN") =>
+      import scala.jdk.CollectionConverters._
+      schemas.asScala.toSeq.sorted.map(Seq(_))
+    case RelPagesRe(sch, tbl) =>
+      Seq(Seq(getTable(sch, tbl).pages.toString))
+    case TableInfoRe(sch, tbl) =>
+      getTable(sch, tbl).columns.map { case (n, t) =>
+        val (typname, typmod, ndims) = wireTypeName(t)
+        Seq(n, typname, typmod.toString, ndims.toString, "f")
+      }
+    case ListTablesRe(sch) =>
+      import scala.jdk.CollectionConverters._
+      tables.keySet.asScala.toSeq.filter(_._1 == sch).map(_._2).sorted.map(Seq(_))
+    case s if s.contains("pg_database_size") =>
+      Seq(Seq("0"))
+    case s if s.contains("pg_export_snapshot") =>
+      Seq(Seq("00000003-00000001-1"))
+    case other =>
+      throw new IllegalArgumentException(s"InMemoryPg: unsupported query: $other")
+  }
+
+  /** (typname as pg_type reports it, atttypmod, attndims) */
+  private def wireTypeName(t: PgType): (String, Int, Int) = t match {
+    case PgNumeric(p, s) if p > 0 => ("numeric", ((p << 16) | s) + 4, 0)
+    case _: PgNumeric => ("numeric", -1, 0)
+    case PgBpchar(n) => ("bpchar", n + 4, 0)
+    case PgArray(e, nd, _) =>
+      val (en, tm, _) = wireTypeName(e)
+      ("_" + en, tm, nd)
+    case other => (other.typeName, -1, 0)
+  }
+
+  // ---------------------------------------------------------------- //
+  // COPY OUT: serve PGCOPY binary for the connector-generated scan SQL
+  // ---------------------------------------------------------------- //
+  private val CopyOutRe: Regex =
+    """COPY \(SELECT (.+) FROM "([^"]+)"\."([^"]+)"(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
+  private val CopyOutSubqueryRe: Regex =
+    """COPY \(SELECT (.+) FROM \(SELECT \* FROM "?([\w]+)"?\."?([\w]+)"?\) AS __unnamed_subquery(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
+  private val CtidRangeRe: Regex =
+    """ctid BETWEEN '\((\d+),0\)'::tid AND '\((\d+),0\)'::tid""".r.unanchored
+
+  override def copyOut(sql: String): InputStream = sql match {
+    case CopyOutSubqueryRe(proj, sch, tbl, _) =>
+      val t = getTable(sch, tbl)
+      val projCols: Seq[String] =
+        if (proj.trim == "NULL") Nil
+        else proj.split(",").map(_.trim).toSeq
+          .map(_.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\""))
+      serveRows(t, projCols, None)
+    case CopyOutRe(proj, sch, tbl, whereOrNull) =>
+      val t = getTable(sch, tbl)
+      val pageRange = Option(whereOrNull).flatMap {
+        case CtidRangeRe(lo, hi) => Some((lo.toLong, hi.toLong))
+        case _ => None
+      }
+      // filters beyond the ctid range are an optimization on a live
+      // server; the connector re-applies them post-scan (the reference
+      // does the same — host always re-filters, SURVEY §2.2), so the
+      // fake may ignore them without affecting correctness.
+      val projCols: Seq[String] =
+        if (proj.trim == "NULL") Nil
+        else proj.split(",").map(_.trim).toSeq.map {
+          case "ctid" => "ctid"
+          case c => c.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+            .takeWhile(_ != ':') // drop ::VARCHAR cast suffix if present
+        }
+      serveRows(t, projCols, pageRange)
+    case other =>
+      throw new IllegalArgumentException(s"InMemoryPg: unsupported COPY OUT: $other")
+  }
+
+  private def serveRows(
+      t: MemTable,
+      projCols: Seq[String],
+      pageRange: Option[(Long, Long)]): InputStream = {
+    val outTypes: Seq[PgType] =
+      if (projCols.isEmpty) Seq(PgText) // SELECT NULL projection
+      else projCols.map {
+        case "ctid" => PgCtid
+        case c => t.columns(t.colIndex(c))._2
+      }
+    val idx: Seq[Int] = projCols.map {
+      case "ctid" => -1
+      case c =>
+        val i = t.colIndex(c)
+        require(i >= 0, s"column $c not found in ${t.schema}.${t.table}")
+        i
+    }
+    val writer = new PgBinaryWriter(outTypes)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    writer.writeHeader(out)
+    val (loPage, hiPage) = pageRange.getOrElse((0L, Long.MaxValue))
+    var slot = 0
+    while (slot < t.slots.length) {
+      val page = slot / RowsPerPage
+      // '(hi,0)' has row id 0 < any live row id, so page hi itself is
+      // excluded — matching PG BETWEEN semantics on tids
+      if (page >= loPage && page < hiPage) {
+        t.slots(slot) match {
+          case Some(row) =>
+            val vals: Array[Any] =
+              if (projCols.isEmpty) Array[Any](null)
+              else idx.zipWithIndex.map { case (ci, oi) =>
+                if (ci == -1) (page.toLong << 16) | (slot % RowsPerPage + 1).toLong
+                else if (row.isNullAt(ci)) null
+                else row.get(ci, PgType.toSpark(t.columns(ci)._2))
+              }.toArray
+            writer.writeRow(out, new GenericInternalRow(vals))
+          case None =>
+        }
+      }
+      slot += 1
+    }
+    writer.writeTrailer(out)
+    out.flush()
+    new ByteArrayInputStream(bos.toByteArray)
+  }
+
+  // ---------------------------------------------------------------- //
+  // COPY IN: accept PGCOPY binary rows
+  // ---------------------------------------------------------------- //
+  private val CopyInRe: Regex =
+    """COPY "([^"]+)"\."([^"]+)"(?: \(([^)]*)\))? FROM STDIN \(FORMAT binary\)""".r
+
+  override def copyIn(sql: String): OutputStream = sql match {
+    case CopyInRe(sch, tbl, colsOrNull) =>
+      val t = getTable(sch, tbl)
+      val cols: Seq[Int] = Option(colsOrNull) match {
+        case None | Some("") => t.columns.indices
+        case Some(cs) => cs.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .toSeq.map { c =>
+            val i = t.colIndex(c)
+            require(i >= 0, s"COPY IN: column '$c' not in ${t.columns.map(_._1)}")
+            i
+          }
+      }
+      new ByteArrayOutputStream() {
+        override def close(): Unit = {
+          super.close()
+          val types = cols.map(i => t.colTypes(i))
+          val reader = new PgBinaryReader(types)
+          val in = new DataInputStream(new ByteArrayInputStream(toByteArray))
+          reader.readHeader(in)
+          var next = reader.readRow(in)
+          t.synchronized {
+            while (next.isDefined) {
+              val src = next.get
+              val full = new GenericInternalRow(t.columns.length)
+              cols.zipWithIndex.foreach { case (ci, si) =>
+                if (src.isNullAt(si)) full.setNullAt(ci)
+                else full.update(ci, src.get(si, PgType.toSpark(t.colTypes(ci))))
+              }
+              t.slots += Some(full)
+              next = reader.readRow(in)
+            }
+          }
+        }
+      }
+    case other =>
+      throw new IllegalArgumentException(s"InMemoryPg: unsupported COPY IN: $other")
+  }
+
+  // ---------------------------------------------------------------- //
+  // execute: DDL / DML forwarding targets
+  // ---------------------------------------------------------------- //
+  private val CreateTableRe: Regex =
+    """(?s)CREATE TABLE (?:IF NOT EXISTS )?"([^"]+)"\."([^"]+)" \((.*)\)""".r
+  private val DropTableRe: Regex =
+    """DROP TABLE (?:IF EXISTS )?"([^"]+)"\."([^"]+)"""".r
+  private val TruncateRe: Regex = """TRUNCATE (?:TABLE )?"([^"]+)"\."([^"]+)"""".r
+  private val CreateSchemaRe: Regex = """CREATE SCHEMA (?:IF NOT EXISTS )?"([^"]+)"""".r
+  private val DropSchemaRe: Regex = """DROP SCHEMA (?:IF EXISTS )?"([^"]+)"(?: CASCADE)?""".r
+  private val DeleteCtidRe: Regex =
+    """DELETE FROM "([^"]+)"\."([^"]+)" WHERE ctid IN \((.*)\)""".r
+  private val RenameTableRe: Regex =
+    """ALTER TABLE "([^"]+)"\."([^"]+)" RENAME TO "([^"]+)"""".r
+  private val AddColumnRe: Regex =
+    """ALTER TABLE "([^"]+)"\."([^"]+)" ADD COLUMN "([^"]+)" (.+)""".r
+  private val DropColumnRe: Regex =
+    """ALTER TABLE "([^"]+)"\."([^"]+)" DROP COLUMN "([^"]+)"""".r
+  private val RenameColumnRe: Regex =
+    """ALTER TABLE "([^"]+)"\."([^"]+)" RENAME COLUMN "([^"]+)" TO "([^"]+)"""".r
+
+  override def execute(sql: String): Unit = {
+    executedStatements += sql
+    sql match {
+      case s if s.startsWith("BEGIN") || s.startsWith("COMMIT") ||
+        s.startsWith("ROLLBACK") || s.startsWith("SET ") => ()
+      case CreateSchemaRe(s) => schemas.add(s)
+      case DropSchemaRe(s) =>
+        schemas.remove(s)
+        import scala.jdk.CollectionConverters._
+        tables.keySet.asScala.filter(_._1 == s).toSeq.foreach(tables.remove)
+      case CreateTableRe(sch, tbl, colDefs) =>
+        createTable(sch, tbl, parseColumns(colDefs))
+      case DropTableRe(sch, tbl) => tables.remove((sch, tbl))
+      case TruncateRe(sch, tbl) => getTable(sch, tbl).slots.clear()
+      case AddColumnRe(sch, tbl, colName, tpe) =>
+        val t = getTable(sch, tbl)
+        val nt = new MemTable(sch, tbl, t.columns :+ (colName -> parseTypeString(tpe.trim)))
+        t.slots.foreach {
+          case Some(r) =>
+            val vals = (0 until t.columns.length).map(i =>
+              if (r.isNullAt(i)) null else r.get(i, PgType.toSpark(t.colTypes(i)))).toArray :+ null
+            nt.slots += Some(new GenericInternalRow(vals.asInstanceOf[Array[Any]]))
+          case None => nt.slots += None
+        }
+        tables.put((sch, tbl), nt)
+      case DropColumnRe(sch, tbl, colName) =>
+        val t = getTable(sch, tbl)
+        val keep = t.columns.zipWithIndex.filter(_._1._1 != colName)
+        val nt = new MemTable(sch, tbl, keep.map(_._1))
+        t.slots.foreach {
+          case Some(r) =>
+            val vals = keep.map { case ((_, ct), i) =>
+              if (r.isNullAt(i)) null else r.get(i, PgType.toSpark(ct)) }.toArray
+            nt.slots += Some(new GenericInternalRow(vals.asInstanceOf[Array[Any]]))
+          case None => nt.slots += None
+        }
+        tables.put((sch, tbl), nt)
+      case RenameColumnRe(sch, tbl, from, to) =>
+        val t = getTable(sch, tbl)
+        val nt = new MemTable(sch, tbl,
+          t.columns.map { case (n, ct) => (if (n == from) to else n) -> ct })
+        nt.slots ++= t.slots
+        tables.put((sch, tbl), nt)
+      case RenameTableRe(sch, tbl, newName) =>
+        val t = tables.remove((sch, tbl))
+        require(t != null, s"relation $sch.$tbl does not exist")
+        val nt = createTable(sch, newName, t.columns)
+        nt.slots ++= t.slots
+      case DeleteCtidRe(sch, tbl, tids) =>
+        val t = getTable(sch, tbl)
+        val TidLit = """'\((\d+),(\d+)\)'(?:::tid)?""".r
+        t.synchronized {
+          TidLit.findAllMatchIn(tids).foreach { m =>
+            val slot = m.group(1).toInt * RowsPerPage + (m.group(2).toInt - 1)
+            if (slot >= 0 && slot < t.slots.length) t.slots(slot) = None
+          }
+        }
+      case other =>
+        throw new IllegalArgumentException(s"InMemoryPg: unsupported statement: $other")
+    }
+  }
+
+  /** parse "\"c1\" TYPE, \"c2\" TYPE(args)..." column definitions as
+    * produced by the connector's CREATE TABLE generator. */
+  private def parseColumns(defs: String): Seq[(String, PgType)] = {
+    // split on commas not inside parens/quotes
+    val parts = mutable.ArrayBuffer.empty[String]
+    var depth = 0; var cur = new StringBuilder
+    defs.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur = new StringBuilder
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { d =>
+      val ColDef = """"([^"]+)" (.+?)( NOT NULL)?""".r
+      d match {
+        case ColDef(name, tpe, _) => name -> parseTypeString(tpe.trim)
+        case _ => throw new IllegalArgumentException(s"cannot parse column def: $d")
+      }
+    }
+  }
+
+  private def parseTypeString(s: String): PgType = {
+    val upper = s.toUpperCase
+    val NumRe = """NUMERIC\((\d+),(\d+)\)""".r
+    val CharRe = """CHAR\((\d+)\)""".r
+    if (upper.endsWith("[]")) {
+      var base = s; var nd = 0
+      while (base.endsWith("[]")) { base = base.dropRight(2); nd += 1 }
+      PgArray(parseTypeString(base), nd)
+    } else upper match {
+      case "BOOLEAN" => PgBool
+      case "SMALLINT" => PgInt2
+      case "INTEGER" => PgInt4
+      case "BIGINT" => PgInt8
+      case "REAL" => PgFloat4
+      case "DOUBLE PRECISION" => PgFloat8
+      case NumRe(p, sc) => PgNumeric(p.toInt, sc.toInt)
+      case "NUMERIC" => PgNumeric(0, 0)
+      case "TEXT" => PgText
+      case "VARCHAR" => PgVarchar
+      case CharRe(n) => PgBpchar(n.toInt)
+      case "JSON" => PgJson
+      case "JSONB" => PgJsonb
+      case "DATE" => PgDate
+      case "TIME" => PgTime
+      case "TIMESTAMP" => PgTimestamp
+      case "TIMESTAMP WITH TIME ZONE" => PgTimestampTz
+      case "INTERVAL" => PgInterval
+      case "UUID" => PgUuid
+      case "BYTEA" => PgBytea
+      case "BIT" => PgBit
+      case "POINT" => PgPoint
+      case other => PgUnknown(other.toLowerCase)
+    }
+  }
+}
+
+object InMemoryPg {
+  private val instances = new ConcurrentHashMap[String, InMemoryPg]()
+
+  def forName(name: String): InMemoryPg =
+    instances.computeIfAbsent(name, n => new InMemoryPg(n))
+
+  def reset(name: String): Unit = instances.remove(name)
+}

@@ -1,0 +1,68 @@
+package graft.meta
+
+/** The catalog discovery SQL the connector sends to the server.
+  *
+  * Functional ports of the reference's initialize queries
+  * (ref: src/storage/postgres_schema_set.cpp:37-49,
+  * postgres_table_set.cpp:22-52, postgres_table_set.cpp:177-191,
+  * src/postgres_connection.cpp:122-134 version probe). Formatting is
+  * simplified to one query per purpose; the information content —
+  * schemas from pg_namespace, relations from pg_class filtered to
+  * relkind r/v/m/f/p, attributes with typmod and dimension count from
+  * pg_attribute — is the same.
+  */
+object PgCatalogQueries {
+
+  val versionProbe: String = "SELECT version()"
+
+  /** User schemas; pg_* and information_schema flagged out
+    * (ref: src/storage/postgres_schema_entry.cpp:28-33). */
+  val listSchemas: String =
+    """SELECT nspname FROM pg_namespace
+      |WHERE nspname NOT LIKE 'pg\_%' AND nspname <> 'information_schema'
+      |ORDER BY nspname""".stripMargin
+
+  /** Scannable relations: ordinary/view/matview/foreign/partitioned
+    * (ref: relkind IN ('r','v','m','f','p'),
+    * src/storage/postgres_table_set.cpp:22-52). */
+  def listTables(schema: String): String =
+    s"""SELECT c.relname FROM pg_class c
+       |JOIN pg_namespace n ON n.oid = c.relnamespace
+       |WHERE n.nspname = ${q(schema)} AND c.relkind IN ('r','v','m','f','p')
+       |ORDER BY c.relname""".stripMargin
+
+  /** Column name, type name, typmod, dims, nullability for one table
+    * (ref: src/storage/postgres_table_set.cpp:54-108, 177-191). */
+  def tableInfo(schema: String, table: String): String =
+    s"""SELECT a.attname, t.typname, a.atttypmod, a.attndims, a.attnotnull
+       |FROM pg_attribute a
+       |JOIN pg_class c ON c.oid = a.attrelid
+       |JOIN pg_namespace n ON n.oid = c.relnamespace
+       |JOIN pg_type t ON t.oid = a.atttypid
+       |WHERE n.nspname = ${q(schema)} AND c.relname = ${q(table)}
+       |  AND a.attnum > 0 AND NOT a.attisdropped
+       |ORDER BY a.attnum""".stripMargin
+
+  /** Page count driving parallel task planning
+    * (ref: relpages, src/postgres_scanner.cpp:128-135). */
+  def relPages(schema: String, table: String): String =
+    s"""SELECT c.relpages FROM pg_class c
+       |JOIN pg_namespace n ON n.oid = c.relnamespace
+       |WHERE n.nspname = ${q(schema)} AND c.relname = ${q(table)}""".stripMargin
+
+  /** Database size utility
+    * (ref: src/storage/postgres_catalog.cpp:91-102). */
+  val databaseSize: String = "SELECT pg_database_size(current_database())"
+
+  /** Snapshot export for consistent parallel reads
+    * (ref: src/postgres_scanner.cpp:65-100). */
+  val exportSnapshot: String = "SELECT pg_export_snapshot()"
+
+  def setSnapshot(id: String): String =
+    s"SET TRANSACTION SNAPSHOT ${q(id)}"
+
+  val beginReadOnly: String =
+    "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ READ ONLY"
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+}

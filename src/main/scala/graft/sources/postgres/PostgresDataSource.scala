@@ -1,0 +1,384 @@
+package graft.sources.postgres
+
+import java.io.DataInputStream
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.meta.{PgCatalogQueries, PgTransport, PgTransportFactory}
+import graft.sqlgen.PgSqlGen
+import graft.sqlgen.PgSqlGen.ScanColumn
+import graft.types.PgType
+
+/** The `postgres` DataSource V2: parallel ctid-range COPY scans with
+  * projection + filter pushdown, and COPY-FROM-STDIN writes.
+  *
+  * Spark mapping of the reference's `postgres_scan` table function
+  * (ref: src/postgres_scanner.cpp:535-560; SURVEY.md §3.1-3.4):
+  *
+  *   spark.read.format("postgres")
+  *     .option("dsn", ...).option("schema", "public").option("table", "t")
+  *     [.option("query", "SELECT ...")]    // postgres_query form
+  *     [.option("pagesPerTask", "1000")]   // pg_pages_per_task
+  *     .load()
+  *
+  * Scan planning mirrors the reference: relpages / pagesPerTask tasks,
+  * each claiming a `ctid BETWEEN '(lo,0)' AND '(hi,0)'` range, last
+  * range extended to TID_MAX; partition count is capped by the
+  * connection limit (the reference throttles through its 64-connection
+  * pool instead — ref: src/postgres_scanner.cpp:332-352,
+  * src/storage/postgres_connection_pool.cpp:43-134).
+  *
+  * Filters are compiled into the remote WHERE clause but also left to
+  * Spark to re-evaluate — exactly the reference's conservative contract
+  * (host always re-filters; pushdown is a bandwidth optimization,
+  * ref: src/postgres_extension.cpp:176-178, SURVEY.md §2.2).
+  */
+class PostgresDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "postgres"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PostgresTable.discover(PostgresOptions(options.asScala.toMap)).schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = PostgresOptions(properties.asScala.toMap)
+    PostgresTable.discover(opts) // re-resolve pg types; schema arg must match
+  }
+}
+
+final case class PostgresOptions(all: Map[String, String]) {
+  private def get(k: String): Option[String] =
+    all.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+  val dsn: String = get("dsn").getOrElse(
+    throw new IllegalArgumentException("postgres source requires option 'dsn'"))
+  val schema: String = get("schema").getOrElse("public")
+  val table: Option[String] = get("table")
+  val query: Option[String] = get("query")
+  // names + defaults follow the reference's settings
+  // (ref: src/postgres_extension.cpp:162-183)
+  val pagesPerTask: Long = get("pagesPerTask").map(_.toLong).getOrElse(1000L)
+  val useCtidScan: Boolean = get("useCtidScan").forall(_.toBoolean)
+  val connectionLimit: Int = get("connectionLimit").map(_.toInt).getOrElse(64)
+  require(table.isDefined || query.isDefined,
+    "postgres source requires option 'table' or 'query'")
+}
+
+object PostgresTable {
+  /** Bind the table/query shape from the remote catalog
+    * (ref: PostgresBind, src/postgres_scanner.cpp:153-178). */
+  def discover(opts: PostgresOptions): PostgresTable = {
+    val t = PgTransportFactory.open(opts.dsn)
+    try {
+      val cols: Seq[(String, PgType)] = opts.query match {
+        case Some(q) =>
+          // postgres_query form: bind the result shape remotely
+          // (ref: src/postgres_query.cpp:41-86). The offline transport
+          // describes SELECT-* shapes; a live one uses Describe.
+          describeQuery(t, q)
+        case None =>
+          val info = t.query(PgCatalogQueries.tableInfo(opts.schema, opts.table.get))
+          require(info.nonEmpty, s"relation ${opts.schema}.${opts.table.get} not found")
+          info.map { r =>
+            r.head -> PgType.fromName(r(1), r(2).toInt, r(3).toInt)
+          }
+      }
+      val pages: Long = opts.table match {
+        case Some(tbl) if opts.useCtidScan =>
+          t.query(PgCatalogQueries.relPages(opts.schema, tbl)).head.head.toLong
+        case _ => 0L // query scans stream single-threaded (ref: SetTablePages(0))
+      }
+      new PostgresTable(opts, cols, pages)
+    } finally t.close()
+  }
+
+  private def describeQuery(t: PgTransport, q: String): Seq[(String, PgType)] = {
+    val FromRe = """(?is)\s*SELECT\s+\*\s+FROM\s+"?([\w]+)"?\."?([\w]+)"?\s*;?\s*""".r
+    q match {
+      case FromRe(sch, tbl) =>
+        t.query(PgCatalogQueries.tableInfo(sch, tbl)).map { r =>
+          r.head -> PgType.fromName(r(1), r(2).toInt, r(3).toInt)
+        }
+      case _ => throw new IllegalArgumentException(
+        "offline transport can only describe 'SELECT * FROM schema.table' " +
+          "queries; a live server binds arbitrary SQL via Describe")
+    }
+  }
+}
+
+final class PostgresTable(
+    val opts: PostgresOptions,
+    val pgColumns: Seq[(String, PgType)],
+    val pages: Long)
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+
+  override def name(): String =
+    opts.table.map(t => s"${opts.dsn}/${opts.schema}.$t").getOrElse(s"${opts.dsn}/query")
+
+  override lazy val schema: StructType =
+    StructType(pgColumns.map { case (n, t) => StructField(n, PgType.toSpark(t)) })
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  /** hidden `_ctid` row id (ref: SURVEY §1.1 row id) */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name: String = "_ctid"
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "postgres physical row id (page << 16 | row)"
+    })
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PostgresScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PostgresWriteBuilder(this, info.schema())
+}
+
+final class PostgresScanBuilder(table: PostgresTable)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = table.schema
+  private var pushedSql: Seq[String] = Nil
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sql, _) = PgSqlGen.splitFilters(filters.toSeq)
+    pushedSql = sql
+    pushed = filters.filter(f => PgSqlGen.compileFilter(f).isDefined)
+    // return ALL filters as residuals: Spark re-evaluates them, the
+    // remote WHERE is purely a bandwidth optimization (reference
+    // behavior — host always re-filters)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new PostgresScan(table, required, pushedSql)
+}
+
+final class PostgresScan(
+    table: PostgresTable,
+    required: StructType,
+    pushedSql: Seq[String])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  private def scanColumns: Seq[ScanColumn] = required.fields.toSeq.map { f =>
+    if (f.name == "_ctid") ScanColumn("_ctid", graft.types.PgType.PgCtid)
+    else ScanColumn(f.name, table.pgColumns.find(_._1 == f.name).get._2)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val opts = table.opts
+    opts.query match {
+      case Some(q) =>
+        // single-threaded streaming scan over the subquery form
+        Array(PostgresInputPartition(opts.dsn,
+          PgSqlGen.copyQuerySql(q, scanColumns, pushedSql)))
+      case None =>
+        val ranges =
+          if (!opts.useCtidScan || table.pages <= 0)
+            Seq(PgSqlGen.PageRange(0L, PgSqlGen.TidMax))
+          else PgSqlGen.planPageRanges(table.pages, opts.pagesPerTask)
+        // cap parallelism at the connection budget: merge adjacent
+        // ranges instead of queueing tasks on a saturated pool
+        val capped =
+          if (ranges.length <= opts.connectionLimit) ranges
+          else {
+            val per = math.ceil(ranges.length.toDouble / opts.connectionLimit).toInt
+            ranges.grouped(per).map(g => PgSqlGen.PageRange(g.head.minPage, g.last.maxPage)).toSeq
+          }
+        capped.map { r =>
+          val useRange = opts.useCtidScan && table.pages > 0
+          PostgresInputPartition(opts.dsn,
+            PgSqlGen.copyTableSql(opts.schema, opts.table.get, scanColumns,
+              if (useRange) Some((r.minPage, r.maxPage)) else None, pushedSql))
+            : InputPartition
+        }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PostgresReaderFactory(scanColumns, required)
+
+  /** ref: cardinality model, src/postgres_scanner.cpp:500-514 */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      if (table.pages > 0) OptionalLong.of(table.pages * 8192L) else OptionalLong.empty()
+    override def numRows(): OptionalLong =
+      if (table.pages > 0)
+        OptionalLong.of(PgSqlGen.estimateRows(table.pages, table.pgColumns.size))
+      else OptionalLong.empty()
+  }
+}
+
+final case class PostgresInputPartition(dsn: String, sql: String) extends InputPartition
+
+final class PostgresReaderFactory(cols: Seq[ScanColumn], required: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PostgresInputPartition]
+    new PostgresPartitionReader(p.dsn, p.sql, cols, required)
+  }
+}
+
+final class PostgresPartitionReader(
+    dsn: String,
+    sql: String,
+    cols: Seq[ScanColumn],
+    required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val transport = PgTransportFactory.open(dsn)
+  private val reader = new graft.codec.PgBinaryReader(
+    cols.map(_.pgType), required.fields.map(_.dataType).toSeq)
+  private val in = new DataInputStream(transport.copyOut(sql))
+  reader.readHeader(in)
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (cols.isEmpty) {
+      // count(*)-only scan: SQL projected NULL; consume the 1-field
+      // tuples and emit empty rows (ref: postgres_scanner.cpp:204-210)
+      val nfields = try in.readShort() catch { case _: java.io.EOFException => return false }
+      if (nfields < 0) return false
+      var i = 0
+      while (i < nfields) { val len = in.readInt(); if (len > 0) in.skipBytes(len); i += 1 }
+      current = new GenericInternalRow(0)
+      true
+    } else reader.readRow(in) match {
+      case Some(r) => current = r; true
+      case None => false
+    }
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = { in.close(); transport.close() }
+}
+
+// ------------------------------------------------------------------ //
+// Write path: COPY ... FROM STDIN per task
+// (ref: src/storage/postgres_insert.cpp:17-239)
+// ------------------------------------------------------------------ //
+
+final class PostgresWriteBuilder(table: PostgresTable, writeSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new PostgresBatchWrite(table, writeSchema, doTruncate)
+  }
+}
+
+final class PostgresBatchWrite(
+    table: PostgresTable,
+    writeSchema: StructType,
+    doTruncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val opts = table.opts
+    val tbl = opts.table.getOrElse(
+      throw new IllegalArgumentException("cannot write to a query-backed relation"))
+    if (doTruncate) {
+      val t = PgTransportFactory.open(opts.dsn)
+      try t.execute(s"""TRUNCATE ${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(tbl)}""")
+      finally t.close()
+    }
+    // by-name when the incoming schema matches table columns;
+    // positional otherwise (e.g. INSERT ... VALUES arrives as col1..N)
+    val byName = writeSchema.fields.forall(f => table.pgColumns.exists(_._1 == f.name))
+    val (colNames, pgTypes) =
+      if (byName)
+        (writeSchema.fields.toSeq.map(_.name),
+          writeSchema.fields.toSeq.map(f => table.pgColumns.find(_._1 == f.name).get._2))
+      else {
+        require(writeSchema.fields.length == table.pgColumns.length,
+          s"positional write arity ${writeSchema.fields.length} != table ${table.pgColumns.length}")
+        (table.pgColumns.map(_._1), table.pgColumns.map(_._2))
+      }
+    new PostgresWriterFactory(opts.dsn, opts.schema, tbl,
+      writeSchema, colNames, pgTypes)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class PostgresWriterFactory(
+    dsn: String,
+    schema: String,
+    table: String,
+    writeSchema: StructType,
+    colNames: Seq[String],
+    pgTypes: Seq[PgType])
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PostgresDataWriter(dsn, schema, table, writeSchema, colNames, pgTypes)
+}
+
+final class PostgresDataWriter(
+    dsn: String,
+    schema: String,
+    table: String,
+    writeSchema: StructType,
+    colNames: Seq[String],
+    pgTypes: Seq[PgType])
+    extends DataWriter[InternalRow] {
+
+  private val transport = PgTransportFactory.open(dsn)
+  private val writer = new graft.codec.PgBinaryWriter(
+    pgTypes, writeSchema.fields.map(_.dataType).toSeq)
+  private val colList = colNames.map(PgSqlGen.quoteIdent).mkString(", ")
+  private val out = new java.io.DataOutputStream(transport.copyIn(
+    s"COPY ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(table)} ($colList) " +
+      "FROM STDIN (FORMAT binary)"))
+  writer.writeHeader(out)
+
+  override def write(record: InternalRow): Unit = writer.writeRow(out, record)
+
+  override def commit(): WriterCommitMessage = {
+    writer.writeTrailer(out)
+    out.close()
+    transport.close()
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = { out.close(); transport.close() }
+
+  override def close(): Unit = ()
+}

@@ -10,7 +10,8 @@ import org.apache.spark.sql.types._
   * (STANDARD, CAST_TO_VARCHAR, NUMERIC_AS_DOUBLE, CTID, JSONB,
   * FIXED_LENGTH_CHAR, GEOM_*) maps onto distinct ADT cases here.
   */
-sealed abstract class PgType(val typeName: String, val oid: Int) {
+sealed abstract class PgType(val typeName: String, val oid: Int)
+    extends Serializable {
   /** nested children for arrays/composites */
   def children: Seq[PgType] = Nil
 }

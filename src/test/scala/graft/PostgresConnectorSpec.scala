@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.InMemoryPg
+import graft.functions.PgFunctions
+import graft.types.PgType._
+
+/** End-to-end connector tests against the offline InMemoryPg endpoint:
+  * catalog SQL, parallel ctid-range scans, pushdown, count(*) pruning,
+  * writes, DDL, ctid metadata column and batched DELETE. */
+class PostgresConnectorSpec extends AnyFunSuite {
+
+  private val dsn = "mem:spec"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.pg", "graft.catalog.PostgresCatalog")
+      .config("spark.sql.catalog.pg.dsn", dsn)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private lazy val pg: InMemoryPg = {
+    val p = InMemoryPg.forName("spec")
+    if (!p.hasTable("public", "people")) {
+      val t = p.createTable("public", "people", Seq(
+        "id" -> PgInt8, "name" -> PgVarchar, "score" -> PgNumeric(10, 2)))
+      // 300 rows → 5 pages of 64 → multiple ctid-range scan tasks
+      val w = new graft.codec.PgBinaryWriter(t.colTypes)
+      (0 until 300).foreach { i =>
+        t.slots += Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"name_$i"),
+            org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(i).movePointLeft(1).setScale(2), 10, 2))))
+      }
+    }
+    p
+  }
+
+  test("format(postgres): schema inference + full scan") {
+    pg
+    val df = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people").load()
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    assert(df.schema("score").dataType.simpleString == "decimal(10,2)")
+    assert(df.count() == 300)
+  }
+
+  test("parallel ctid ranges cover all pages exactly once") {
+    pg
+    val df = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load() // 5 pages → 3 tasks
+    assert(df.select(countDistinct(col("id"))).head.getLong(0) == 300)
+    assert(df.count() == 300)
+    val parts = df.rdd.getNumPartitions
+    assert(parts == 3, s"expected 3 ctid-range partitions, got $parts")
+  }
+
+  test("filter + projection pushdown shape") {
+    pg
+    val df = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people").load()
+      .filter(col("id") < 10 && col("name").startsWith("name_"))
+      .select("id", "name")
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || df.count() == 10)
+  }
+
+  test("count(*) prunes to NULL projection") {
+    pg
+    val n = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people").load().count()
+    assert(n == 300)
+  }
+
+  test("query option: single-partition subquery scan") {
+    pg
+    val df = PgFunctions.postgresQuery(spark, dsn, "SELECT * FROM public.people")
+    assert(df.count() == 300)
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("catalog: list/load/insert/select through pg.* identifiers") {
+    pg
+    assert(spark.sql("SHOW NAMESPACES IN pg").collect().map(_.getString(0)).contains("public"))
+    assert(spark.sql("SHOW TABLES IN pg.public").collect().map(_.getString(1)).contains("people"))
+    val top = spark.sql(
+      "SELECT name FROM pg.public.people WHERE id >= 295 ORDER BY id")
+    assert(top.collect().map(_.getString(0)).toSeq ==
+      (295 until 300).map(i => s"name_$i"))
+  }
+
+  test("catalog DDL: create table, insert, drop") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.scratch")
+    spark.sql("CREATE TABLE pg.public.scratch (k BIGINT, v STRING, d DECIMAL(8,3))")
+    assert(pg.hasTable("public", "scratch"))
+    spark.sql("INSERT INTO pg.public.scratch VALUES (1, 'a', 1.25), (2, NULL, NULL)")
+    val back = spark.sql("SELECT * FROM pg.public.scratch ORDER BY k").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(1) == "a")
+    assert(back(0).getDecimal(2).toString == "1.250")
+    assert(back(1).isNullAt(1))
+    spark.sql("DROP TABLE pg.public.scratch")
+    assert(!pg.hasTable("public", "scratch"))
+  }
+
+  test("writes append via COPY FROM STDIN; overwrite truncates") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.wtest")
+    spark.sql("CREATE TABLE pg.public.wtest (k BIGINT, v STRING)")
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .writeTo("pg.public.wtest").append()
+    assert(spark.table("pg.public.wtest").count() == 2)
+    Seq((9L, "z")).toDF("k", "v")
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "wtest")
+      .mode("overwrite").save()
+    val rows = spark.table("pg.public.wtest").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 9L)
+  }
+
+  test("_ctid metadata column + batched deleteByCtid") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.dtest")
+    spark.sql("CREATE TABLE pg.public.dtest (k BIGINT, v STRING)")
+    import spark.implicits._
+    (0 until 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .writeTo("pg.public.dtest").append()
+    val withCtid = spark.sql("SELECT k, _ctid FROM pg.public.dtest WHERE k % 2 = 0")
+    assert(withCtid.count() == 100)
+    PgFunctions.deleteByCtid(dsn, "public", "dtest", withCtid)
+    val remaining = spark.sql("SELECT k FROM pg.public.dtest").collect().map(_.getLong(0))
+    assert(remaining.length == 100 && remaining.forall(_ % 2 == 1))
+  }
+
+  test("attachViews registers a temp view per table") {
+    pg
+    val tables = PgFunctions.attachViews(spark, dsn, overwrite = true)
+    assert(tables.contains("people"))
+    assert(spark.table("people").count() == 300)
+  }
+
+  test("alter table add/rename/drop column is forwarded") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.atest")
+    spark.sql("CREATE TABLE pg.public.atest (a INT)")
+    spark.sql("ALTER TABLE pg.public.atest ADD COLUMN b STRING")
+    assert(spark.table("pg.public.atest").columns.toSeq == Seq("a", "b"))
+    spark.sql("ALTER TABLE pg.public.atest RENAME COLUMN b TO c")
+    assert(spark.table("pg.public.atest").columns.toSeq == Seq("a", "c"))
+  }
+}
