@@ -13,7 +13,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // plan-fragment cache: avoids re-reading parquet footers for every
+  // query that touches the same table in one session
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name), _ => load0(spark, sfDir, name))
+
+  private def load0(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read it as raw nanos and convert to a micros
@@ -28,8 +36,13 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   /** Register every table as a temp view so spark.sql(...) queries can
-    * share the exact SQL text with the DuckDB oracle. */
+    * share the exact SQL text with the DuckDB oracle. Idempotent per
+    * (session, dir). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registered.add((spark, sfDir)))
+      all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for training-data pipelines.
+  *
+  * Media (image/audio/video) ride through the engine as opaque
+  * `BinaryType` columns next to a typed metadata struct. The transform
+  * stages (decode → feature-extract → resize/frame-sample) run as
+  * partition-wise batch operators over `Dataset[T]` — the Scala
+  * analogue of `mapInPandas`: one iterator per partition, batch-amortized
+  * setup (a real decoder would be initialized once per partition, not
+  * per row), constant memory.
+  *
+  * The actual byte decoders (JPEG/PNG/audio) are STUBBED behind
+  * [[MediaDecoder]] — this container has no media libraries — with a
+  * deterministic fake that preserves everything the Spark side cares
+  * about: schema, nullability, partitioning, batch shape, failure
+  * rows. Swap `FakeDecoder` for a JNI/javax.imageio implementation and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** typed metadata carried beside the blob */
+  final case class MediaMeta(
+      mediaType: String, // "image" | "audio" | "video"
+      sizeBytes: Long,
+      sourceUri: String)
+
+  final case class MediaRow(doc_id: Long, bytes: Array[Byte], meta: MediaMeta)
+
+  /** decoded features; `ok=false` rows carry the failure reason and
+    * survive the pipeline (bad media must never kill a 100 TB job) */
+  final case class MediaFeatures(
+      doc_id: Long,
+      ok: Boolean,
+      error: String,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      head_checksum: Long,
+      feature: Array[Float])
+
+  /** The decode seam. Implementations must be `Serializable` (shipped
+    * to executors) and cheap to construct per partition. */
+  trait MediaDecoder extends Serializable {
+    def features(docId: Long, bytes: Array[Byte], meta: MediaMeta): MediaFeatures
+  }
+
+  /** STUB: a real image decoder (javax.imageio / JNI codecs) slots in
+    * here; this container ships no media libraries. The Spark-side
+    * plumbing above it — schema, partitioning, batch shape, error
+    * rows — is real and tested via [[FakeDecoder]]. */
+  final class RealImageDecoder extends MediaDecoder {
+    override def features(docId: Long, bytes: Array[Byte], meta: MediaMeta): MediaFeatures =
+      ??? // decode JPEG/PNG → pixels → resize → embed
+  }
+
+  /** Deterministic stand-in: "dimensions" derived from leading bytes,
+    * an 8-dim "embedding" from a rolling byte hash. Deterministic =
+    * testable and oracle-friendly. */
+  final class FakeDecoder extends MediaDecoder {
+    override def features(docId: Long, bytes: Array[Byte], meta: MediaMeta): MediaFeatures = {
+      if (bytes == null || bytes.isEmpty)
+        return MediaFeatures(docId, ok = false, "empty media payload", 0, 0, 0L, 0L, Array.empty)
+      val head = bytes.take(8)
+      val checksum = head.foldLeft(0L)((a, b) => a + (b & 0xff))
+      val w = 1 + (bytes(0) & 0x3f)
+      val h = 1 + (if (bytes.length > 1) bytes(1) & 0x3f else 0)
+      val feat = new Array[Float](8)
+      var acc = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) {
+        acc = acc * 31 + (bytes(i) & 0xff)
+        if (i % 8 == 7 || i == bytes.length - 1)
+          feat((i / 8) % 8) += ((acc & 0xffff).toFloat / 65535f)
+        i += 1
+      }
+      MediaFeatures(docId, ok = true, "", w, h, bytes.length.toLong, checksum, feat)
+    }
+  }
+
+  /** Stage 1: attach blob + metadata columns to a table (here the
+    * documents text bytes stand in for media payloads). */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        lit("image").as("mediaType"),
+        length(col("text")).cast("long").as("sizeBytes"),
+        concat(lit("mem://docs/"), col("doc_id")).as("sourceUri")).as("meta"))
+
+  /** Stage 2: partition-wise decode. One decoder instance per
+    * partition; rows stream through an iterator (constant memory —
+    * the mapInPandas batch shape). */
+  def decodeFeatures(media: DataFrame, decoder: MediaDecoder = new FakeDecoder): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition setup happens HERE (decoder init, native libs)
+      val d = decoder
+      rows.map(r => d.features(r.doc_id, r.bytes, r.meta))
+    }
+  }
+
+  /** Stage 3: deterministic frame/sample selection — keep every k-th
+    * byte-window "frame" of the payload, as a stand-in for video frame
+    * sampling; pure Spark built-ins. */
+  def sampleFrames(media: DataFrame, every: Int): DataFrame =
+    media.select(col("doc_id"),
+      posexplode(split(decode(col("bytes"), "UTF-8"), "(?<=\\G.{32})")).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % every === 0 && length(col("frame")) > 0)
+}

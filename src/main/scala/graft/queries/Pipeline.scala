@@ -227,9 +227,14 @@ object PipelineOps {
     val bandCols = (0 until K / 2).map { b =>
       struct(lit(b).as("band_idx"), md5(concat(hs(2 * b), hs(2 * b + 1))).as("band_hash"))
     }
-    val banded = toks.select(col("doc_id"), col("source"), col("tok"),
+    // band rows carry only (ids, band key): the candidate self-join and
+    // pair-dedup shuffle narrow rows; token arrays are re-attached
+    // afterwards via two broadcast joins against the (small per-block)
+    // toks relation. At scale this keeps the wide payload out of the
+    // hot shuffle — the dominant cost of LSH joins.
+    val banded = toks.select(col("doc_id"), col("source"),
       explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("source"), col("tok"),
+      .select(col("doc_id"), col("source"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b,
@@ -237,10 +242,13 @@ object PipelineOps {
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val ta = toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
     cands
+      .join(broadcast(ta), "doc_a")
+      .join(broadcast(tb), "doc_b")
       .withColumn("jac",
         size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
           size(array_union(col("tok_a"), col("tok_b"))))
@@ -430,10 +438,15 @@ object PipelineOps {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     val name = s"st01_out_${System.nanoTime()}"
+    // checkpoint to tmpfs: the state-store commit log fsyncs dominate
+    // wall clock for a one-shot AvailableNow run on local disk
+    val ckpt = s"/dev/shm/graft_ckpt_$name"
     val q = stream.writeStream.outputMode("complete")
       .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     s.table(name)
       .select(unix_millis(col("window.start")).as("win_start_ms"),
         col("event_type"), col("n"), col("total_value"))
