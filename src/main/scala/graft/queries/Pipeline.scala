@@ -455,8 +455,51 @@ object PipelineOps {
 
   val st01_sql: String = q24_sql
 
+  // ---------------------------------------------------------------- //
+  // s02: LSH-accelerated ANN (the scale path; see operators.Ann).
+  // No SQL oracle — the hyperplane family is engine-side; its recall
+  // vs s01 is asserted in OperatorsSpec instead.
+  // ---------------------------------------------------------------- //
+  def s02_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    graft.operators.Ann.lshTopK(queries, corpus, 10, dim = 64, tables = 10, bits = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // m01: multimodal feature extraction — binary payload + typed
+  // metadata through the partition-wise decode pipeline (stubbed
+  // decoder, real plumbing; see operators.Multimodal). The
+  // deterministic fake features are SQL-expressible, so this path
+  // gets a full oracle despite the stub.
+  // ---------------------------------------------------------------- //
+  def m01_multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.asMedia(t(s, dir, "documents"))
+    graft.operators.Multimodal.decodeFeatures(media)
+      .select(col("doc_id"), col("ok"), col("width"), col("height"),
+        col("n_bytes"), col("head_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m01_sql: String = {
+    val checksum = (1 to 8).map(i => s"ascii(substring(text, $i, 1))").mkString(" + ")
+    s"""SELECT doc_id, TRUE AS ok,
+       |  CAST(1 + ascii(substring(text, 1, 1)) % 64 AS INT) AS width,
+       |  CAST(1 + ascii(substring(text, 2, 1)) % 64 AS INT) AS height,
+       |  CAST(length(text) AS BIGINT) AS n_bytes,
+       |  CAST($checksum AS BIGINT) AS head_checksum
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** name → (query fn, Some(oracle sql) | None = rows-only check) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s02_ann_lsh" -> ((s02_ann_lsh _, None)),
+    "m01_multimodal" -> ((m01_multimodal _, Some(m01_sql))),
     "p01_token_count" -> ((p01_token_count _, Some(p01_sql))),
     "p02_quality" -> ((p02_quality _, Some(p02_sql))),
     "p03_langid" -> ((p03_langid _, Some(p03_sql))),

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Multimodal}
+
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("LSH ANN recalls most of the brute-force top-10") {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val exact = Ann.bruteTopK(queries, corpus, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(queries, corpus, 10, dim = 64, tables = 10, bits = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall@10 too low: $recall")
+  }
+
+  test("LSH candidate volume stays far below brute force") {
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val ps = Ann.planes(64, 10, 8)
+    val hashed = Ann.bucketize(corpus, "cv", ps)
+    // per (table, bucket) occupancy must spread: no bucket with >20% of corpus
+    val biggest = hashed.groupBy("table", "bucket").count()
+      .agg(max("count")).head.getLong(0)
+    assert(biggest < n / 2, s"degenerate LSH bucket of size $biggest")
+  }
+
+  test("multimodal pipeline: decode features partition-wise with error rows") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.asMedia(docs)
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(media).cache()
+    val total = feats.count()
+    assert(total == docs.count())
+    assert(feats.filter(col("ok")).count() == total) // all docs non-empty
+    val f = feats.filter(col("doc_id") === 0).head()
+    assert(f.n_bytes > 0 && f.feature.length == 8)
+    // deterministic: run twice, same checksums
+    val again = Multimodal.decodeFeatures(media)
+      .select("doc_id", "head_checksum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    feats.select("doc_id", "head_checksum").collect()
+      .foreach { r => assert(again(r.getLong(0)) == r.getLong(1)) }
+  }
+
+  test("multimodal pipeline: empty payload becomes an error row, not a crash") {
+    import spark.implicits._
+    val bad = Seq((1L, Array.empty[Byte], Multimodal.MediaMeta("image", 0L, "mem://x")))
+      .toDF("doc_id", "bytes", "meta")
+    val feats = Multimodal.decodeFeatures(bad).collect()
+    assert(feats.length == 1 && !feats(0).ok && feats(0).error.nonEmpty)
+  }
+
+  test("frame sampling keeps every k-th frame") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(5)
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), every = 2)
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+  }
+}
