@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{PgCtidPack, PgCtidText, PgCtidUnpack}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` — registers the
+  * engine's SQL surface: the ctid pack/unpack expressions (SURVEY.md
+  * §7.3). Everything else in the engine is standard DSv2/catalog
+  * plumbing that needs no Catalyst extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("pg_ctid_pack"),
+      new ExpressionInfo(classOf[PgCtidPack].getName, "pg_ctid_pack"),
+      (args: Seq[Expression]) => PgCtidPack(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("pg_ctid_unpack"),
+      new ExpressionInfo(classOf[PgCtidUnpack].getName, "pg_ctid_unpack"),
+      (args: Seq[Expression]) => PgCtidUnpack(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("pg_ctid_text"),
+      new ExpressionInfo(classOf[PgCtidText].getName, "pg_ctid_text"),
+      (args: Seq[Expression]) => PgCtidText(args.head)))
+  }
+}

@@ -41,6 +41,79 @@ object PgFunctions {
     tables
   }
 
+  /** UPDATE by row id, using the reference's update-sink protocol
+    * (ref: src/storage/postgres_update.cpp:31-153): per partition,
+    *   1. CREATE TEMPORARY TABLE update_data_<uuid>(cols…,
+    *      __page_id_string VARCHAR)
+    *   2. COPY the new column values + the row's ctid text into it
+    *   3. UPDATE target SET col = tmp.col… FROM tmp
+    *      WHERE target.ctid = tmp.__page_id_string::tid
+    *   4. DROP the temp table.
+    *
+    * `updates` must carry `_ctid` (the metadata column from a connector
+    * read) plus every column to set. Distributed: each partition runs
+    * the protocol on its own connection — the server-side UPDATE joins
+    * on ctid, so partitions never conflict on disjoint row sets.
+    */
+  def updateByCtid(
+      dsn: String,
+      schema: String,
+      table: String,
+      updates: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val setCols = updates.schema.fields.filter(_.name != "_ctid")
+    require(setCols.nonEmpty, "updateByCtid needs at least one non-_ctid column")
+    val qname = s"${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(table)}"
+    val sparkTypes = setCols.map(_.dataType).toSeq :+
+      org.apache.spark.sql.types.StringType
+    val pgTypes = setCols.map(f => graft.types.PgType.fromSpark(f.dataType)).toSeq :+
+      graft.types.PgType.PgVarchar
+    val colNames = setCols.map(_.name).toSeq
+    val reordered = updates.selectExpr(colNames.map(c => s"`$c`") :+ "_ctid": _*)
+    val rowSchema = reordered.schema
+    reordered.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val t = PgTransportFactory.open(dsn)
+        try {
+          val tmp = "update_data_" + java.util.UUID.randomUUID().toString.replace("-", "")
+          val colDefs = colNames.zip(pgTypes.init).map { case (n, pt) =>
+            s"${PgSqlGen.quoteIdent(n)} ${graft.types.PgType.typeString(pt)}"
+          }.mkString(", ") + ", \"__page_id_string\" VARCHAR"
+          t.execute(s"""CREATE TEMPORARY TABLE "$tmp" ($colDefs)""")
+          val writer = new graft.codec.PgBinaryWriter(pgTypes, sparkTypes)
+          val out = new java.io.DataOutputStream(t.copyIn(
+            s"""COPY "$tmp" (${(colNames :+ "__page_id_string")
+              .map(PgSqlGen.quoteIdent).mkString(", ")}) FROM STDIN (FORMAT binary)"""))
+          writer.writeHeader(out)
+          val converters = rowSchema.fields.indices.map { i =>
+            CatalystTypeConverters.createToCatalystConverter(rowSchema.fields(i).dataType)
+          }
+          rows.foreach { r =>
+            val vals = new Array[Any](rowSchema.length)
+            var i = 0
+            while (i < rowSchema.length - 1) {
+              vals(i) = if (r.isNullAt(i)) null else converters(i)(r.get(i))
+              i += 1
+            }
+            val packed = r.getLong(rowSchema.length - 1)
+            vals(rowSchema.length - 1) = org.apache.spark.unsafe.types.UTF8String
+              .fromString(s"(${packed >>> 16},${packed & 0xffffL})")
+            writer.writeRow(out,
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+          }
+          writer.writeTrailer(out)
+          out.close()
+          val setList = colNames.map(c =>
+            s"${PgSqlGen.quoteIdent(c)} = \"$tmp\".${PgSqlGen.quoteIdent(c)}").mkString(", ")
+          t.execute(
+            s"""UPDATE $qname SET $setList FROM "$tmp" """ +
+              s"""WHERE $qname.ctid = "$tmp"."__page_id_string"::tid""")
+          t.execute(s"""DROP TABLE "$tmp"""")
+        } finally t.close()
+      }
+    }
+  }
+
   /** DELETE by row id, batched like the reference's delete sink: the
     * generated `DELETE ... WHERE ctid IN (...)` statement is flushed
     * whenever the tid list exceeds ~3000 characters

@@ -204,7 +204,14 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val CopyInRe: Regex =
     """COPY "([^"]+)"\."([^"]+)"(?: \(([^)]*)\))? FROM STDIN \(FORMAT binary\)""".r
 
+  private val CopyInTempRe: Regex =
+    """COPY "([^".]+)"(?: \(([^)]*)\))? FROM STDIN \(FORMAT binary\)""".r
+
   override def copyIn(sql: String): OutputStream = sql match {
+    case CopyInTempRe(tbl, colsOrNull) =>
+      copyIn(s"""COPY "pg_temp"."$tbl"""" +
+        Option(colsOrNull).map(c => s" ($c)").getOrElse("") +
+        " FROM STDIN (FORMAT binary)")
     case CopyInRe(sch, tbl, colsOrNull) =>
       val t = getTable(sch, tbl)
       val cols: Seq[Int] = Option(colsOrNull) match {
@@ -263,11 +270,55 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val RenameColumnRe: Regex =
     """ALTER TABLE "([^"]+)"\."([^"]+)" RENAME COLUMN "([^"]+)" TO "([^"]+)"""".r
 
+  private val CreateTempTableRe: Regex =
+    """(?s)CREATE (?:LOCAL )?TEMP(?:ORARY)? TABLE "([^".]+)" \((.*)\)(?: ON COMMIT DROP)?""".r
+  private val DropTempTableRe: Regex = """DROP TABLE "([^".]+)"""".r
+  private val UpdateFromTempRe: Regex =
+    """(?s)UPDATE "([^"]+)"\."([^"]+)" SET (.*) FROM "([^"]+)" WHERE "[^"]+"\."[^"]+"\.ctid = "[^"]+"\."__page_id_string"::tid""".r
+
   override def execute(sql: String): Unit = {
     executedStatements += sql
     sql match {
       case s if s.startsWith("BEGIN") || s.startsWith("COMMIT") ||
         s.startsWith("ROLLBACK") || s.startsWith("SET ") => ()
+      case CreateTempTableRe(tbl, colDefs) =>
+        createTable("pg_temp", tbl, parseColumns(colDefs))
+      case UpdateFromTempRe(sch, tbl, setList, tmpName) =>
+        val target = getTable(sch, tbl)
+        val tmp = getTable("pg_temp", tmpName)
+        val SetPair = ("\"([^\"]+)\" = \"" + java.util.regex.Pattern.quote(tmpName) +
+          "\"\\.\"([^\"]+)\"").r
+        val pairs = SetPair.findAllMatchIn(setList)
+          .map(m => (target.colIndex(m.group(1)), tmp.colIndex(m.group(2)))).toSeq
+        require(pairs.forall(p => p._1 >= 0 && p._2 >= 0), s"bad SET list: $setList")
+        val pageIdIdx = tmp.colIndex("__page_id_string")
+        val TidText = """\((\d+),(\d+)\)""".r
+        target.synchronized {
+          tmp.slots.foreach {
+            case Some(tr) =>
+              val tid = tr.get(pageIdIdx, org.apache.spark.sql.types.StringType).toString
+              tid match {
+                case TidText(p, r) =>
+                  val slot = p.toInt * RowsPerPage + (r.toInt - 1)
+                  if (slot >= 0 && slot < target.slots.length)
+                    target.slots(slot).foreach { row =>
+                      val updated = new GenericInternalRow(
+                        (0 until target.columns.length).map(i =>
+                          if (row.isNullAt(i)) null
+                          else row.get(i, PgType.toSpark(target.colTypes(i)))).toArray[Any])
+                      pairs.foreach { case (ti, si) =>
+                        if (tr.isNullAt(si)) updated.setNullAt(ti)
+                        else updated.update(ti, tr.get(si, PgType.toSpark(tmp.colTypes(si))))
+                      }
+                      target.slots(slot) = Some(updated)
+                    }
+                case _ =>
+              }
+            case None =>
+          }
+        }
+      case DropTempTableRe(tbl) if hasTable("pg_temp", tbl) =>
+        tables.remove(("pg_temp", tbl))
       case CreateSchemaRe(s) => schemas.add(s)
       case DropSchemaRe(s) =>
         schemas.remove(s)

@@ -450,8 +450,63 @@ object Relational {
       |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // q25: exact interpolated percentiles (median / p90)
+  // ---------------------------------------------------------------- //
+  def q25_percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q25_sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q26: cube (full grouping-sets lattice)
+  // ---------------------------------------------------------------- //
+  def q26_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q26_sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q27: JSON extraction over the events props column
+  // ---------------------------------------------------------------- //
+  def q27_json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q27_sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** name → (query fn, oracle sql) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q25_percentile" -> ((q25_percentile _, q25_sql)),
+    "q26_cube" -> ((q26_cube _, q26_sql)),
+    "q27_json" -> ((q27_json _, q27_sql)),
     "q01_agg_pricing" -> ((q01_agg_pricing _, q01_sql)),
     "q02_filter_pushdown" -> ((q02_filter_pushdown _, q02_sql)),
     "q03_count_star" -> ((q03_count_star _, q03_sql)),

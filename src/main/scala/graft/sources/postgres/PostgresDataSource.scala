@@ -201,7 +201,7 @@ final class PostgresScan(
       case Some(q) =>
         // single-threaded streaming scan over the subquery form
         Array(PostgresInputPartition(opts.dsn,
-          PgSqlGen.copyQuerySql(q, scanColumns, pushedSql)))
+          PgSqlGen.copyQuerySql(q, scanColumns, pushedSql), None))
       case None =>
         val ranges =
           if (!opts.useCtidScan || table.pages <= 0)
@@ -215,11 +215,22 @@ final class PostgresScan(
             val per = math.ceil(ranges.length.toDouble / opts.connectionLimit).toInt
             ranges.grouped(per).map(g => PgSqlGen.PageRange(g.head.minPage, g.last.maxPage)).toSeq
           }
+        // snapshot-consistent parallel read: export one snapshot and
+        // have every partition's connection adopt it
+        // (ref: src/postgres_scanner.cpp:65-100, 280-285)
+        val snapshot: Option[String] =
+          if (capped.length > 1) {
+            val t = PgTransportFactory.open(opts.dsn)
+            try Some(t.query(
+              graft.meta.PgCatalogQueries.exportSnapshot).head.head)
+            finally t.close()
+          } else None
         capped.map { r =>
           val useRange = opts.useCtidScan && table.pages > 0
           PostgresInputPartition(opts.dsn,
             PgSqlGen.copyTableSql(opts.schema, opts.table.get, scanColumns,
-              if (useRange) Some((r.minPage, r.maxPage)) else None, pushedSql))
+              if (useRange) Some((r.minPage, r.maxPage)) else None, pushedSql),
+            snapshot)
             : InputPartition
         }.toArray
     }
@@ -239,25 +250,33 @@ final class PostgresScan(
   }
 }
 
-final case class PostgresInputPartition(dsn: String, sql: String) extends InputPartition
+final case class PostgresInputPartition(
+    dsn: String, sql: String, snapshot: Option[String]) extends InputPartition
 
 final class PostgresReaderFactory(cols: Seq[ScanColumn], required: StructType)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PostgresInputPartition]
-    new PostgresPartitionReader(p.dsn, p.sql, cols, required)
+    new PostgresPartitionReader(p.dsn, p.sql, p.snapshot, cols, required)
   }
 }
 
 final class PostgresPartitionReader(
     dsn: String,
     sql: String,
+    snapshot: Option[String],
     cols: Seq[ScanColumn],
     required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val transport = PgTransportFactory.open(dsn)
+  // adopt the exported snapshot before streaming
+  // (ref: src/postgres_scanner.cpp:354-383)
+  snapshot.foreach { id =>
+    transport.execute(graft.meta.PgCatalogQueries.beginReadOnly)
+    transport.execute(graft.meta.PgCatalogQueries.setSnapshot(id))
+  }
   private val reader = new graft.codec.PgBinaryReader(
     cols.map(_.pgType), required.fields.map(_.dataType).toSeq)
   private val in = new DataInputStream(transport.copyOut(sql))

@@ -162,4 +162,55 @@ class PostgresConnectorSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE pg.public.atest RENAME COLUMN b TO c")
     assert(spark.table("pg.public.atest").columns.toSeq == Seq("a", "c"))
   }
+
+  test("updateByCtid runs the temp-table UPDATE FROM protocol") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.utest")
+    spark.sql("CREATE TABLE pg.public.utest (k BIGINT, v STRING, amt DECIMAL(10,2))")
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, s"v$i", BigDecimal(i).setScale(2)))
+      .toDF("k", "v", "amt").writeTo("pg.public.utest").append()
+    // raise amt by 1000 for even keys
+    val updates = spark.sql(
+      "SELECT _ctid, CAST(amt + 1000 AS DECIMAL(10,2)) AS amt FROM pg.public.utest WHERE k % 2 = 0")
+    PgFunctions.updateByCtid(dsn, "public", "utest", updates)
+    val rows = spark.sql("SELECT k, amt FROM pg.public.utest ORDER BY k").collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val k = r.getLong(0); val amt = r.getDecimal(1)
+      val expect = if (k % 2 == 0) k + 1000 else k
+      assert(amt == new java.math.BigDecimal(expect).setScale(2), s"k=$k amt=$amt")
+    }
+    // temp table dropped after the protocol
+    assert(!pg.hasTable("pg_temp", "update_data"))
+  }
+
+  test("ctid pack/unpack expressions round-trip inside codegen") {
+    val s2 = spark
+    import s2.implicits._
+    graft.functions.CtidFunctions.register(s2)
+    import graft.functions.CtidFunctions._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((123456789L, 77)).toDF("page", "row")
+      .withColumn("packed", pg_ctid_pack(col("page"), col("row")))
+      .withColumn("unpacked", pg_ctid_unpack(col("packed")))
+      .withColumn("text", pg_ctid_text(col("packed")))
+    val r = df.head()
+    assert(r.getAs[Long]("packed") == ((123456789L << 16) | 77L))
+    assert(r.getAs[org.apache.spark.sql.Row]("unpacked").getLong(0) == 123456789L)
+    assert(r.getAs[org.apache.spark.sql.Row]("unpacked").getInt(1) == 77)
+    assert(r.getAs[String]("text") == "(123456789,77)")
+  }
+
+  test("snapshot export happens for multi-partition scans") {
+    pg
+    pg.executedStatements.clear()
+    val df = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load()
+    assert(df.count() == 300)
+    val stmts = pg.executedStatements.toSeq
+    assert(stmts.exists(_.contains("SET TRANSACTION SNAPSHOT")),
+      s"no snapshot adoption in: $stmts")
+  }
 }
