@@ -142,8 +142,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
         if (proj.trim == "NULL") Nil
         else proj.split(",").map(_.trim).toSeq.map {
           case "ctid" => "ctid"
-          case c => c.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
-            .takeWhile(_ != ':') // drop ::VARCHAR cast suffix if present
+          // drop a ::VARCHAR cast suffix BEFORE stripping quotes
+          case c => c.takeWhile(_ != ':')
+            .stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
         }
       serveRows(t, projCols, pageRange)
     case other =>

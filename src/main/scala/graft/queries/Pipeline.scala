@@ -456,6 +456,70 @@ object PipelineOps {
   val st01_sql: String = q24_sql
 
   // ---------------------------------------------------------------- //
+  // st02: stateful streaming sessionization via flatMapGroupsWithState
+  // — the custom-state API over KeyValueGroupedDataset. Must produce
+  // exactly the batch q23 result (same oracle): with an AvailableNow
+  // run each user's full history arrives as one group, and the state
+  // hook is where a live deployment would keep open sessions across
+  // micro-batches.
+  // ---------------------------------------------------------------- //
+  final case class StEv(user_id: Long, event_id: Long, ms: Long)
+  final case class StSession(
+      user_id: Long, session_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
+
+  def st02_stream_sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val evs2 = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"))
+      .as[StEv]
+
+    def sessionize(uid: Long, events: Iterator[StEv],
+        state: GroupState[Long]): Iterator[StSession] = {
+      val sorted = events.toVector.sortBy(e => (e.ms, e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val out = Vector.newBuilder[StSession]
+        var sessionId = 0L
+        var nEvents = 0L
+        var startMs = 0L
+        var prevMs = Long.MinValue
+        sorted.foreach { e =>
+          if (prevMs == Long.MinValue || e.ms - prevMs > 1800000L) {
+            if (nEvents > 0) out += StSession(uid, sessionId, nEvents, startMs, prevMs)
+            sessionId += 1; nEvents = 0L; startMs = e.ms
+          }
+          nEvents += 1; prevMs = e.ms
+        }
+        if (nEvents > 0) out += StSession(uid, sessionId, nEvents, startMs, prevMs)
+        state.update(sessionId) // a live pipeline would carry open sessions here
+        out.result().iterator
+      }
+    }
+
+    val sessions = evs2.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
+
+    val name = s"st02_out_${System.nanoTime()}"
+    val ckpt = s"/dev/shm/graft_ckpt_$name"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    s.table(name)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_ms"), col("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val st02_sql: String = q23_sql
+
+  // ---------------------------------------------------------------- //
   // s02: LSH-accelerated ANN (the scale path; see operators.Ann).
   // No SQL oracle — the hyperplane family is engine-side; its recall
   // vs s01 is asserted in OperatorsSpec instead.
@@ -513,5 +577,6 @@ object PipelineOps {
     "q23_sessionize" -> ((q23_sessionize _, Some(q23_sql))),
     "q24_tumbling_window" -> ((q24_tumbling_window _, Some(q24_sql))),
     "st01_stream_window" -> ((st01_stream_window _, Some(st01_sql))),
+    "st02_stream_sessionize" -> ((st02_stream_sessionize _, Some(st02_sql))),
   )
 }

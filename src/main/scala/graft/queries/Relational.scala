@@ -502,8 +502,46 @@ object Relational {
       |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // q28: LIKE-family string predicates
+  // ---------------------------------------------------------------- //
+  def q28_like_filters(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_type").like("%BRASS%") ||
+        (col("p_brand").startsWith("Brand#1") && col("p_name").contains("re")))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  val q28_sql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type FROM part
+      |WHERE p_type LIKE '%BRASS%'
+      |   OR (p_brand LIKE 'Brand#1%' AND p_name LIKE '%re%')
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // q29: UNION ALL + deterministic pagination (LIMIT/OFFSET)
+  // ---------------------------------------------------------------- //
+  def q29_union_all_offset(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("key"),
+      lit("customer").as("kind"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey").as("key"),
+      lit("supplier").as("kind"))
+    c.unionAll(su)
+      .orderBy(col("key"), col("kind"))
+      .offset(10).limit(50)
+  }
+
+  val q29_sql: String =
+    """SELECT key, kind FROM (
+      |  SELECT c_custkey AS key, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT s_suppkey AS key, 'supplier' AS kind FROM supplier)
+      |ORDER BY key, kind LIMIT 50 OFFSET 10""".stripMargin
+
   /** name → (query fn, oracle sql) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q28_like_filters" -> ((q28_like_filters _, q28_sql)),
+    "q29_union_all_offset" -> ((q29_union_all_offset _, q29_sql)),
     "q25_percentile" -> ((q25_percentile _, q25_sql)),
     "q26_cube" -> ((q26_cube _, q26_sql)),
     "q27_json" -> ((q27_json _, q27_sql)),

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.InMemoryPg
+import graft.types.PgType
+import graft.types.PgType._
+
+/** Connector-level type sweep — the Spark analogue of the reference's
+  * attach_types_* test layer (ref: test/sql/storage/attach_types_*.test
+  * and test/all_pg_types.sql): every type family goes server → wire →
+  * Spark and, where Spark can express the type, back.
+  */
+class AllTypesSpec extends AnyFunSuite {
+
+  private val dsn = "mem:types"
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.pgt", "graft.catalog.PostgresCatalog")
+      .config("spark.sql.catalog.pgt.dsn", dsn)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("every readable type family arrives with the documented Spark type") {
+    val pg = InMemoryPg.forName("types")
+    val cols: Seq[(String, PgType)] = Seq(
+      "c_bool" -> PgBool, "c_int2" -> PgInt2, "c_int4" -> PgInt4,
+      "c_int8" -> PgInt8, "c_float4" -> PgFloat4, "c_float8" -> PgFloat8,
+      "c_num" -> PgNumeric(12, 3), "c_text" -> PgText, "c_bp" -> PgBpchar(6),
+      "c_json" -> PgJson, "c_jsonb" -> PgJsonb, "c_date" -> PgDate,
+      "c_time" -> PgTime, "c_ts" -> PgTimestamp, "c_tstz" -> PgTimestampTz,
+      "c_iv" -> PgInterval, "c_uuid" -> PgUuid, "c_bytes" -> PgBytea,
+      "c_bit" -> PgBit, "c_arr" -> PgArray(PgInt4), "c_unknown" -> PgUnknown("macaddr"))
+    if (!pg.hasTable("public", "alltypes")) {
+      val t = pg.createTable("public", "alltypes", cols)
+      t.slots += Some(new GenericInternalRow(Array[Any](
+        true, 7.toShort, 42, 9999999999L, 1.25f, math.E,
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal("123456.789"), 12, 3),
+        UTF8String.fromString("hello"), UTF8String.fromString("pad"),
+        UTF8String.fromString("""{"j":1}"""), UTF8String.fromString("""{"b":2}"""),
+        10957 + 9000, 3600000000L,
+        codec.PgWire.TsEpochShiftMicros + 86400000000L,
+        codec.PgWire.TsEpochShiftMicros,
+        new CalendarInterval(13, 2, 999000L),
+        UTF8String.fromString("123e4567-e89b-12d3-a456-426614174000"),
+        Array[Byte](0, 1, 2), UTF8String.fromString("1010"),
+        new GenericArrayData(Array[Any](1, null, 3)),
+        UTF8String.fromString("08:00:2b:01:02:03"))))
+      t.slots += Some({
+        val r = new GenericInternalRow(cols.length) // all NULL row
+        r
+      })
+    }
+
+    val df = spark.table("pgt.public.alltypes")
+    val expectTypes = Map(
+      "c_bool" -> "boolean", "c_int2" -> "smallint", "c_int4" -> "int",
+      "c_int8" -> "bigint", "c_float4" -> "float", "c_float8" -> "double",
+      "c_num" -> "decimal(12,3)", "c_text" -> "string", "c_bp" -> "string",
+      "c_json" -> "string", "c_jsonb" -> "string", "c_date" -> "date",
+      "c_time" -> "bigint", "c_ts" -> "timestamp_ntz", "c_tstz" -> "timestamp",
+      "c_iv" -> "interval", "c_uuid" -> "string", "c_bytes" -> "binary",
+      "c_bit" -> "string", "c_arr" -> "array<int>", "c_unknown" -> "string")
+    expectTypes.foreach { case (c, t) =>
+      assert(df.schema(c).dataType.simpleString == t, s"column $c")
+    }
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("c_bool").desc_nulls_last).collect()
+    assert(rows.length == 2)
+    val r = rows(0)
+    assert(r.getAs[Boolean]("c_bool"))
+    assert(r.getAs[java.math.BigDecimal]("c_num").toString == "123456.789")
+    assert(r.getAs[String]("c_uuid") == "123e4567-e89b-12d3-a456-426614174000")
+    assert(r.getAs[String]("c_jsonb") == """{"b":2}""")
+    assert(r.getAs[java.sql.Date]("c_date").toString == "2024-08-22") // epoch day 19957
+    assert(r.getAs[Long]("c_time") == 3600000000L)
+    assert(r.getAs[scala.collection.Seq[Any]]("c_arr") == scala.collection.Seq(1, null, 3))
+    assert(r.getAs[String]("c_bit") == "1010")
+    assert(r.getAs[String]("c_unknown") == "08:00:2b:01:02:03")
+    val nullRow = rows(1)
+    (0 until nullRow.length).foreach(i => assert(nullRow.isNullAt(i), s"col $i"))
+  }
+
+  test("writable types round-trip through the connector") {
+    val pg = InMemoryPg.forName("types")
+    spark.sql("DROP TABLE IF EXISTS pgt.public.wt")
+    spark.sql(
+      """CREATE TABLE pgt.public.wt (
+        |  b BOOLEAN, s SMALLINT, i INT, l BIGINT, f FLOAT, d DOUBLE,
+        |  de DECIMAL(10,2), st STRING, bin BINARY, dt DATE,
+        |  ts TIMESTAMP_NTZ, a ARRAY<BIGINT>)""".stripMargin)
+    spark.sql(
+      """INSERT INTO pgt.public.wt VALUES
+        |  (true, 1S, 2, 3L, 1.5F, 2.5D, 12.34, 'x', X'0102', DATE'2020-02-29',
+        |   TIMESTAMP_NTZ'2020-02-29 12:00:00', array(1L, NULL, 3L)),
+        |  (NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)""".stripMargin)
+    val back = spark.sql("SELECT * FROM pgt.public.wt ORDER BY b DESC NULLS LAST").collect()
+    assert(back.length == 2)
+    val r = back(0)
+    assert(r.getAs[Boolean]("b") && r.getAs[Short]("s") == 1 &&
+      r.getAs[Long]("l") == 3L)
+    assert(r.getAs[java.math.BigDecimal]("de").toString == "12.34")
+    assert(r.getAs[Array[Byte]]("bin").toSeq == Seq[Byte](1, 2))
+    assert(r.getAs[java.sql.Date]("dt").toString == "2020-02-29")
+    assert(r.getAs[scala.collection.Seq[Any]]("a") == scala.collection.Seq(1L, null, 3L))
+    assert((0 until back(1).length).forall(back(1).isNullAt))
+  }
+}
