@@ -283,9 +283,28 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
 /** Writes `InternalRow`s as PGCOPY binary (mirror of the reader;
   * semantics of PostgresBinaryWriter — ref:
   * src/include/postgres_binary_writer.hpp:18-443). */
-final class PgBinaryWriter(types: Seq[PgType], sources: Seq[DataType]) {
+final class PgBinaryWriter(
+    types: Seq[PgType],
+    sources: Seq[DataType],
+    nullByteReplacement: Option[String] = None) {
 
-  def this(types: Seq[PgType]) = this(types, types.map(PgType.toSpark))
+  def this(types: Seq[PgType], sources: Seq[DataType]) =
+    this(types, sources, None)
+
+  def this(types: Seq[PgType]) = this(types, types.map(PgType.toSpark), None)
+
+  /** PG text types reject NUL bytes; the reference substitutes them
+    * when `pg_null_byte_replacement` is set and errors otherwise
+    * (ref: src/include/postgres_binary_writer.hpp:210-233). */
+  private def cleanText(u: UTF8String): Array[Byte] = {
+    val bytes = u.getBytes
+    if (!bytes.contains(0: Byte)) bytes
+    else nullByteReplacement match {
+      case Some(rep) => u.toString.replace("\u0000", rep).getBytes("UTF-8")
+      case None => throw new IllegalArgumentException(
+        "string contains a NUL byte; set nullByteReplacement to substitute it")
+    }
+  }
 
   def writeHeader(out: DataOutputStream): Unit = {
     out.write(PgWire.Signature)
@@ -322,10 +341,10 @@ final class PgBinaryWriter(types: Seq[PgType], sources: Seq[DataType]) {
       case PgFloat8 => o.writeDouble(v.asInstanceOf[Double])
       case n: PgNumeric => writeNumeric(o, v, source)
       case PgText | PgVarchar | _: PgBpchar | PgJson | _: PgEnum | _: PgUnknown =>
-        o.write(v.asInstanceOf[UTF8String].getBytes)
+        o.write(cleanText(v.asInstanceOf[UTF8String]))
       case PgJsonb =>
         o.writeByte(1) // jsonb wire version
-        o.write(v.asInstanceOf[UTF8String].getBytes)
+        o.write(cleanText(v.asInstanceOf[UTF8String]))
       case PgDate => o.writeInt(v.asInstanceOf[Int] - PgWire.DateEpochShiftDays)
       case PgTime => o.writeLong(v.asInstanceOf[Long])
       case PgTimestamp | PgTimestampTz =>

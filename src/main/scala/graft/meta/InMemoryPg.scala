@@ -42,6 +42,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
   }
 
   private val tables = new ConcurrentHashMap[(String, String), MemTable]()
+  /** index name → (schema, table, unique, columns) */
+  val indexes = new ConcurrentHashMap[String, (String, String, Boolean, Seq[String])]()
   private val schemas = ConcurrentHashMap.newKeySet[String]()
   schemas.add("public")
 
@@ -81,6 +83,17 @@ final class InMemoryPg(val name: String) extends PgTransport {
     case s if s.contains("pg_namespace") && !s.contains("JOIN") =>
       import scala.jdk.CollectionConverters._
       schemas.asScala.toSeq.sorted.map(Seq(_))
+    case s if s.contains("pg_index") =>
+      val re = """(?s).*nspname = '([^']*)' AND c\.relname = '([^']*)'.*""".r
+      s match {
+        case re(sch, tbl) =>
+          import scala.jdk.CollectionConverters._
+          indexes.asScala.toSeq.sortBy(_._1).collect {
+            case (name, (s2, t2, _, cols)) if s2 == sch && t2 == tbl =>
+              Seq(name, "btree", cols.mkString(","))
+          }
+        case _ => Seq.empty
+      }
     case RelPagesRe(sch, tbl) =>
       Seq(Seq(getTable(sch, tbl).pages.toString))
     case TableInfoRe(sch, tbl) =>
@@ -363,6 +376,21 @@ final class InMemoryPg(val name: String) extends PgTransport {
         require(t != null, s"relation $sch.$tbl does not exist")
         val nt = createTable(sch, newName, t.columns)
         nt.slots ++= t.slots
+      case s if s.startsWith("CREATE UNIQUE INDEX") || s.startsWith("CREATE INDEX") =>
+        val IdxRe = """CREATE (UNIQUE )?INDEX "([^"]+)" ON "([^"]+)"\."([^"]+)" \(([^)]*)\)""".r
+        s match {
+          case IdxRe(uniq, name, sch, tbl, cols) =>
+            require(hasTable(sch, tbl), s"relation $sch.$tbl does not exist")
+            indexes.put(name, (sch, tbl, uniq != null,
+              cols.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq))
+          case _ => throw new IllegalArgumentException(s"bad CREATE INDEX: $s")
+        }
+      case s if s.startsWith("DROP INDEX") =>
+        val DropRe = """DROP INDEX "([^"]+)"""".r
+        s match {
+          case DropRe(name) => indexes.remove(name)
+          case _ => throw new IllegalArgumentException(s"bad DROP INDEX: $s")
+        }
       case DeleteCtidRe(sch, tbl, tids) =>
         val t = getTable(sch, tbl)
         val TidLit = """'\((\d+),(\d+)\)'(?:::tid)?""".r

@@ -50,6 +50,21 @@ object PgCatalogQueries {
        |JOIN pg_namespace n ON n.oid = c.relnamespace
        |WHERE n.nspname = ${q(schema)} AND c.relname = ${q(table)}""".stripMargin
 
+  /** Index discovery: name, access method, comma-joined key columns
+    * (ref: src/storage/postgres_index_set.cpp:14-27). */
+  def listIndexes(schema: String, table: String): String =
+    s"""SELECT i.relname, am.amname,
+       |  array_to_string(array_agg(a.attname ORDER BY k.ord), ',')
+       |FROM pg_index x
+       |JOIN pg_class i ON i.oid = x.indexrelid
+       |JOIN pg_class c ON c.oid = x.indrelid
+       |JOIN pg_namespace n ON n.oid = c.relnamespace
+       |JOIN pg_am am ON am.oid = i.relam
+       |CROSS JOIN LATERAL unnest(x.indkey) WITH ORDINALITY k(attnum, ord)
+       |JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = k.attnum
+       |WHERE n.nspname = ${q(schema)} AND c.relname = ${q(table)}
+       |GROUP BY i.relname, am.amname""".stripMargin
+
   /** Database size utility
     * (ref: src/storage/postgres_catalog.cpp:91-102). */
   val databaseSize: String = "SELECT pg_database_size(current_database())"

@@ -520,6 +520,39 @@ object PipelineOps {
   val st02_sql: String = q23_sql
 
   // ---------------------------------------------------------------- //
+  // p10: embedding-cosine near-duplicate pairs, blocked by label (the
+  // cheap blocking key; at scale the block key is an LSH bucket — see
+  // s02). Exact cosine within blocks, threshold 0.35 (these synthetic
+  // embeddings are weakly correlated; real near-dups sit at 0.95+).
+  // ---------------------------------------------------------------- //
+  def p10_embedding_dedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val dotAB = fold(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")))
+    val na = sqrt(fold(zip_with(col("va"), col("va"), (x, y) => x.cast("double") * y.cast("double"))))
+    val nb = sqrt(fold(zip_with(col("vb"), col("vb"), (x, y) => x.cast("double") * y.cast("double"))))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dotAB / (na * nb))
+      .filter(col("cos") >= 0.35)
+      .select(col("label"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val p10_sql: String = {
+    val dotE = "list_sum(list_transform(range(1, len(a.va)+1), i -> CAST(a.va[i] AS DOUBLE) * CAST(b.vb[i] AS DOUBLE)))"
+    val na = "sqrt(list_sum(list_transform(range(1, len(a.va)+1), i -> CAST(a.va[i] AS DOUBLE) * CAST(a.va[i] AS DOUBLE))))"
+    val nb = "sqrt(list_sum(list_transform(range(1, len(b.vb)+1), i -> CAST(b.vb[i] AS DOUBLE) * CAST(b.vb[i] AS DOUBLE))))"
+    s"""WITH a AS (SELECT label, vec_id AS vec_a, embedding AS va FROM embeddings),
+       |b AS (SELECT label, vec_id AS vec_b, embedding AS vb FROM embeddings)
+       |SELECT a.label, vec_a, vec_b, round($dotE / ($na * $nb), 6) AS cos_sim
+       |FROM a JOIN b ON a.label = b.label AND vec_a < vec_b
+       |WHERE $dotE / ($na * $nb) >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
   // s02: LSH-accelerated ANN (the scale path; see operators.Ann).
   // No SQL oracle — the hyperplane family is engine-side; its recall
   // vs s01 is asserted in OperatorsSpec instead.
@@ -562,6 +595,7 @@ object PipelineOps {
 
   /** name → (query fn, Some(oracle sql) | None = rows-only check) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "p10_embedding_dedup" -> ((p10_embedding_dedup _, Some(p10_sql))),
     "s02_ann_lsh" -> ((s02_ann_lsh _, None)),
     "m01_multimodal" -> ((m01_multimodal _, Some(m01_sql))),
     "p01_token_count" -> ((p01_token_count _, Some(p01_sql))),

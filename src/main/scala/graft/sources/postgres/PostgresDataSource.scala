@@ -74,6 +74,7 @@ final case class PostgresOptions(all: Map[String, String]) {
   val pagesPerTask: Long = get("pagesPerTask").map(_.toLong).getOrElse(1000L)
   val useCtidScan: Boolean = get("useCtidScan").forall(_.toBoolean)
   val connectionLimit: Int = get("connectionLimit").map(_.toInt).getOrElse(64)
+  val nullByteReplacement: Option[String] = get("nullByteReplacement")
   require(table.isDefined || query.isDefined,
     "postgres source requires option 'table' or 'query'")
 }
@@ -124,7 +125,56 @@ final class PostgresTable(
     val opts: PostgresOptions,
     val pgColumns: Seq[(String, PgType)],
     val pages: Long)
-    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns {
+    extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
+
+  import org.apache.spark.sql.connector.catalog.index.TableIndex
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  private def qname: String =
+    s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(opts.table.get)}"
+
+  /** CREATE [UNIQUE] INDEX forwarded as SQL
+    * (ref: src/storage/postgres_index.cpp:10-77,
+    * postgres_index_set.cpp:57-86). */
+  override def createIndex(
+      indexName: String,
+      columns: Array[NamedReference],
+      columnsProperties: java.util.Map[NamedReference, java.util.Map[String, String]],
+      properties: java.util.Map[String, String]): Unit = {
+    if (indexExists(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis.IndexAlreadyExistsException(
+        indexName, s"${opts.schema}.${opts.table.get}", None)
+    val unique = if ("true".equalsIgnoreCase(properties.getOrDefault("unique", "false")))
+      "UNIQUE " else ""
+    val cols = columns.map(c => PgSqlGen.quoteIdent(c.fieldNames.mkString("."))).mkString(", ")
+    val t = PgTransportFactory.open(opts.dsn)
+    try t.execute(
+      s"CREATE ${unique}INDEX ${PgSqlGen.quoteIdent(indexName)} ON $qname ($cols)")
+    finally t.close()
+  }
+
+  override def dropIndex(indexName: String): Unit = {
+    if (!indexExists(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchIndexException(
+        indexName, s"${opts.schema}.${opts.table.get}", None)
+    val t = PgTransportFactory.open(opts.dsn)
+    try t.execute(s"DROP INDEX ${PgSqlGen.quoteIdent(indexName)}")
+    finally t.close()
+  }
+
+  override def indexExists(indexName: String): Boolean =
+    listIndexes().exists(_.indexName == indexName)
+
+  override def listIndexes(): Array[TableIndex] = {
+    val t = PgTransportFactory.open(opts.dsn)
+    try t.query(PgCatalogQueries.listIndexes(opts.schema, opts.table.get)).map { r =>
+      new TableIndex(r.head, r(1),
+        r(2).split(",").map(c => Expressions.column(c.trim): NamedReference),
+        java.util.Collections.emptyMap(), new java.util.Properties())
+    }.toArray
+    finally t.close()
+  }
 
   override def name(): String =
     opts.table.map(t => s"${opts.dsn}/${opts.schema}.$t").getOrElse(s"${opts.dsn}/query")
@@ -350,7 +400,7 @@ final class PostgresBatchWrite(
         (table.pgColumns.map(_._1), table.pgColumns.map(_._2))
       }
     new PostgresWriterFactory(opts.dsn, opts.schema, tbl,
-      writeSchema, colNames, pgTypes)
+      writeSchema, colNames, pgTypes, opts.nullByteReplacement)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -363,11 +413,13 @@ final class PostgresWriterFactory(
     table: String,
     writeSchema: StructType,
     colNames: Seq[String],
-    pgTypes: Seq[PgType])
+    pgTypes: Seq[PgType],
+    nullByteReplacement: Option[String])
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PostgresDataWriter(dsn, schema, table, writeSchema, colNames, pgTypes)
+    new PostgresDataWriter(dsn, schema, table, writeSchema, colNames, pgTypes,
+      nullByteReplacement)
 }
 
 final class PostgresDataWriter(
@@ -376,12 +428,13 @@ final class PostgresDataWriter(
     table: String,
     writeSchema: StructType,
     colNames: Seq[String],
-    pgTypes: Seq[PgType])
+    pgTypes: Seq[PgType],
+    nullByteReplacement: Option[String])
     extends DataWriter[InternalRow] {
 
   private val transport = PgTransportFactory.open(dsn)
   private val writer = new graft.codec.PgBinaryWriter(
-    pgTypes, writeSchema.fields.map(_.dataType).toSeq)
+    pgTypes, writeSchema.fields.map(_.dataType).toSeq, nullByteReplacement)
   private val colList = colNames.map(PgSqlGen.quoteIdent).mkString(", ")
   private val out = new java.io.DataOutputStream(transport.copyIn(
     s"COPY ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(table)} ($colList) " +

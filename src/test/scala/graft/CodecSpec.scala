@@ -203,4 +203,15 @@ class CodecSpec extends AnyFunSuite {
     assert(PgType.fromName("numeric", ((12 << 16) | 2) + 4) == PgNumeric(12, 2))
     assert(PgType.fromName("bpchar", 9) == PgBpchar(5))
   }
+
+  test("NUL bytes in strings: replaced when configured, rejected otherwise") {
+    val t = Seq(PgVarchar)
+    val strict = new PgBinaryWriter(t, Seq(StringType))
+    intercept[IllegalArgumentException] {
+      strict.valueBytes(UTF8String.fromString("a\u0000b"), PgVarchar, StringType)
+    }
+    val lenient = new PgBinaryWriter(t, Seq(StringType), Some("?"))
+    val bytes = lenient.valueBytes(UTF8String.fromString("a\u0000b"), PgVarchar, StringType)
+    assert(new String(bytes, "UTF-8") == "a?b")
+  }
 }

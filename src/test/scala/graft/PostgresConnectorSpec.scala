@@ -213,4 +213,24 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(stmts.exists(_.contains("SET TRANSACTION SNAPSHOT")),
       s"no snapshot adoption in: $stmts")
   }
+
+  test("CREATE INDEX forwarding through SupportsIndex") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.itest")
+    spark.sql("CREATE TABLE pg.public.itest (k BIGINT, v STRING)")
+    val tbl = spark.sessionState.catalogManager.catalog("pg")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("public"), "itest"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.index.SupportsIndex]
+    tbl.createIndex("itest_k_idx",
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("k")),
+      java.util.Collections.emptyMap(),
+      java.util.Collections.singletonMap("unique", "true"))
+    assert(tbl.indexExists("itest_k_idx"))
+    val idx = tbl.listIndexes()
+    assert(idx.length == 1 && idx(0).indexName == "itest_k_idx")
+    assert(idx(0).columns()(0).fieldNames()(0) == "k")
+    tbl.dropIndex("itest_k_idx")
+    assert(!tbl.indexExists("itest_k_idx"))
+  }
 }
