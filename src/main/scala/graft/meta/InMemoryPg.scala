@@ -133,7 +133,36 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val CtidRangeRe: Regex =
     """ctid BETWEEN '\((\d+),0\)'::tid AND '\((\d+),0\)'::tid""".r.unanchored
 
-  override def copyOut(sql: String): InputStream = sql match {
+  /** every COPY OUT statement served, for test assertions */
+  val copyOutStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+  override def copyOut(sql: String): InputStream = {
+    copyOutStatements += sql
+    copyOut0(sql)
+  }
+
+  private def copyOut0(sql: String): InputStream = sql match {
+    case CopyOutRe("count(*)", sch, tbl, whereOrNull) =>
+      // pushed COUNT(*): one int8 row per task range
+      val t = getTable(sch, tbl)
+      val (lo, hi) = Option(whereOrNull).flatMap {
+        case CtidRangeRe(l, h) => Some((l.toLong, h.toLong))
+        case _ => None
+      }.getOrElse((0L, Long.MaxValue))
+      val n = t.slots.indices.count { slot =>
+        val page = slot / RowsPerPage
+        page >= lo && page < hi && t.slots(slot).isDefined
+      }
+      val writer = new PgBinaryWriter(Seq(PgInt8))
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      writer.writeHeader(out)
+      writer.writeRow(out, new GenericInternalRow(Array[Any](n.toLong)))
+      writer.writeTrailer(out)
+      out.flush()
+      new ByteArrayInputStream(bos.toByteArray)
+    case CopyOutSubqueryRe("count(*)", sch, tbl, _) =>
+      copyOut0(s"""COPY (SELECT count(*) FROM "$sch"."$tbl") TO STDOUT (FORMAT binary)""")
     case CopyOutSubqueryRe(proj, sch, tbl, _) =>
       val t = getTable(sch, tbl)
       val projCols: Seq[String] =

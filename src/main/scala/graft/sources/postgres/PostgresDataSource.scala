@@ -205,11 +205,32 @@ final class PostgresTable(
 final class PostgresScanBuilder(table: PostgresTable)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = table.schema
   private var pushedSql: Seq[String] = Nil
   private var pushed: Array[Filter] = Array.empty
+  private var countStar = false
+
+  /** The reference's count(*)-only optimization, upgraded to the DSv2
+    * aggregate-pushdown hook (SURVEY.md §4.1 "optional upgrade"):
+    * an ungrouped COUNT(*) is computed remotely per ctid range and the
+    * partial counts are summed by Spark — the scan ships one int8 per
+    * partition instead of every row. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions.isEmpty &&
+      pushedSql.isEmpty && // COUNT over a filtered scan keeps the row path
+      aggregation.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (ok) countStar = true
+    ok
+  }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false // partial: per-partition counts, summed by Spark
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -226,24 +247,33 @@ final class PostgresScanBuilder(table: PostgresTable)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new PostgresScan(table, required, pushedSql)
+  override def build(): Scan = {
+    // with a pushed (partial) aggregate the scan's output schema IS the
+    // aggregate schema: one bigint partial count per partition
+    val schema =
+      if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+      else required
+    new PostgresScan(table, schema, pushedSql, countStar)
+  }
 }
 
 final class PostgresScan(
     table: PostgresTable,
     required: StructType,
-    pushedSql: Seq[String])
+    pushedSql: Seq[String],
+    countStar: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
 
-  private def scanColumns: Seq[ScanColumn] = required.fields.toSeq.map { f =>
-    if (f.name == "_ctid") ScanColumn("_ctid", graft.types.PgType.PgCtid)
-    else ScanColumn(f.name, table.pgColumns.find(_._1 == f.name).get._2)
-  }
+  private def scanColumns: Seq[ScanColumn] =
+    if (countStar) Seq(ScanColumn("count(*)", graft.types.PgType.PgInt8))
+    else required.fields.toSeq.map { f =>
+      if (f.name == "_ctid") ScanColumn("_ctid", graft.types.PgType.PgCtid)
+      else ScanColumn(f.name, table.pgColumns.find(_._1 == f.name).get._2)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val opts = table.opts

@@ -26,6 +26,7 @@ object PgSqlGen {
   def projection(cols: Seq[ScanColumn]): String =
     if (cols.isEmpty) "NULL" // count(*)-only (ref: postgres_scanner.cpp:204-210)
     else cols.map {
+      case ScanColumn("count(*)", _) => "count(*)" // pushed aggregate
       case ScanColumn("_ctid", _) | ScanColumn("ctid", _) => "ctid"
       case ScanColumn(n, _: PgUnknown) => s"${quoteIdent(n)}::VARCHAR"
       case ScanColumn(n, PgBit) => s"${quoteIdent(n)}::VARCHAR"

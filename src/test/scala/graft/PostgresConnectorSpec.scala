@@ -233,4 +233,16 @@ class PostgresConnectorSpec extends AnyFunSuite {
     tbl.dropIndex("itest_k_idx")
     assert(!tbl.indexExists("itest_k_idx"))
   }
+
+  test("COUNT(*) aggregate pushdown ships one int8 per partition") {
+    pg
+    pg.copyOutStatements.clear()
+    val n = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load().count()
+    assert(n == 300)
+    val countSqls = pg.copyOutStatements.filter(_.contains("count(*)"))
+    assert(countSqls.nonEmpty, s"no pushed count(*): ${pg.copyOutStatements}")
+    assert(countSqls.forall(_.contains("ctid BETWEEN")))
+  }
 }
