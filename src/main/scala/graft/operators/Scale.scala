@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out join strategies: bucketed co-located joins (no shuffle at
+  * read time) and salted joins for skewed keys.
+  *
+  * These are the two levers the engine reaches for when a fact-fact
+  * join at 100 TB would otherwise shuffle both sides or stall on a hot
+  * key — AQE's skew-join split handles moderate skew automatically;
+  * salting is the explicit fallback for pathological keys.
+  */
+object Scale {
+
+  /** Write both sides bucketed by the join key so subsequent joins are
+    * co-located: Spark reads each bucket pair without an Exchange.
+    * Bucket count is the scale knob — at cluster scale it matches the
+    * target parallelism (e.g. 4× executors), here it stays small. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. With identical
+    * bucket counts Spark plans a SortMergeJoin with NO Exchange on
+    * either side (verify with .explain — the test asserts it). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Salted join for a skewed build side: replicate each `right` row
+    * `saltBuckets` times, spread `left` rows across salts by a
+    * deterministic hash of the whole row, and join on (key, salt).
+    * The hot key's rows land in `saltBuckets` different partitions
+    * instead of one. Correctness: every left row matches exactly one
+    * replica of each right row with its key. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltBuckets: Int): DataFrame = {
+    val salted = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
+    val replicated = right.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

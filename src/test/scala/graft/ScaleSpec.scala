@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit =
+    // don't leak the disabled broadcast threshold into later suites
+    // sharing this JVM-wide session
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+  private lazy val spark = {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      // disable auto-broadcast: at test scale everything would
+      // broadcast, hiding the co-located SMJ path under test
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // suites share the JVM-wide session; builder configs are ignored if
+    // another suite created it first, so set the critical one at runtime
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s
+  }
+
+  test("bucketed join plans with no Exchange on either side") {
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Scale.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    Scale.writeBucketed(li, "b_lineitem", "o_orderkey", 4)
+    val joined = Scale.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    // same result as the plain join
+    val expected = o.join(li, "o_orderkey").count()
+    assert(joined.count() == expected)
+  }
+
+  test("salted join matches the plain join exactly") {
+    val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val plain = o.join(li, "o_orderkey")
+    val salted = Scale.saltedJoin(li, o, "o_orderkey", saltBuckets = 8)
+    assert(salted.count() == plain.count())
+    val a = salted.select("o_orderkey", "o_custkey", "l_quantity")
+    val b = plain.select("o_orderkey", "o_custkey", "l_quantity")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("salted join spreads a hot key across salt buckets") {
+    import spark.implicits._
+    // pathological skew: one key owns 99% of the left side
+    val left = (0 until 10000).map(i => (if (i < 9900) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val right = Seq((1L, "hot"), (42L, "cold")).toDF("k", "v")
+    val salted = Scale.saltedJoin(left, right, "k", saltBuckets = 8)
+    assert(salted.count() == left.join(right, "k").count())
+    // the hot key's rows must occupy several salt buckets pre-join
+    val spread = left.withColumn("_salt",
+      pmod(hash(left.columns.map(col): _*), lit(8)))
+      .filter(col("k") === 1L)
+      .select(countDistinct(col("_salt"))).head.getLong(0)
+    assert(spread >= 6, s"hot key only spread over $spread salts")
+  }
+}
