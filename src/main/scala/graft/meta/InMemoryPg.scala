@@ -246,11 +246,47 @@ final class InMemoryPg(val name: String) extends PgTransport {
   // ---------------------------------------------------------------- //
   private val CopyInRe: Regex =
     """COPY "([^"]+)"\."([^"]+)"(?: \(([^)]*)\))? FROM STDIN \(FORMAT binary\)""".r
+  private val CopyInTextRe: Regex =
+    """COPY "([^"]+)"\."([^"]+)"(?: \(([^)]*)\))? FROM STDIN \(FORMAT text\)""".r
 
   private val CopyInTempRe: Regex =
     """COPY "([^".]+)"(?: \(([^)]*)\))? FROM STDIN \(FORMAT binary\)""".r
 
-  override def copyIn(sql: String): OutputStream = sql match {
+  /** every COPY IN statement accepted, for test assertions */
+  val copyInStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+  override def copyIn(sql: String): OutputStream = {
+    copyInStatements += sql
+    copyIn0(sql)
+  }
+
+  private def copyIn0(sql: String): OutputStream = sql match {
+    case CopyInTextRe(sch, tbl, colsOrNull) =>
+      val t = getTable(sch, tbl)
+      val cols: Seq[Int] = Option(colsOrNull) match {
+        case None | Some("") => t.columns.indices
+        case Some(cs) => cs.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .toSeq.map(t.colIndex)
+      }
+      new ByteArrayOutputStream() {
+        override def close(): Unit = {
+          super.close()
+          val text = new String(toByteArray, "UTF-8")
+          t.synchronized {
+            text.split("\n").filter(_.nonEmpty).foreach { line =>
+              val fields = splitTextLine(line)
+              require(fields.length == cols.length,
+                s"text COPY arity ${fields.length} != ${cols.length}")
+              val full = new GenericInternalRow(t.columns.length)
+              cols.zip(fields).foreach { case (ci, f) =>
+                if (f == null) full.setNullAt(ci)
+                else full.update(ci, parseTextValue(f, t.colTypes(ci)))
+              }
+              t.slots += Some(full)
+            }
+          }
+        }
+      }
     case CopyInTempRe(tbl, colsOrNull) =>
       copyIn(s"""COPY "pg_temp"."$tbl"""" +
         Option(colsOrNull).map(c => s" ($c)").getOrElse("") +
@@ -290,6 +326,57 @@ final class InMemoryPg(val name: String) extends PgTransport {
       }
     case other =>
       throw new IllegalArgumentException(s"InMemoryPg: unsupported COPY IN: $other")
+  }
+
+  /** split one COPY TEXT line into unescaped fields (null = \N). */
+  private def splitTextLine(line: String): Array[String] = {
+    val fields = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var isNull = false
+    def flush(): Unit = {
+      fields += (if (isNull && cur.isEmpty) null else cur.toString)
+      cur.clear(); isNull = false
+    }
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '\t' => flush()
+        case '\\' if i + 1 < line.length =>
+          line.charAt(i + 1) match {
+            case 'N' => isNull = true
+            case 't' => cur += '\t'
+            case 'n' => cur += '\n'
+            case 'r' => cur += '\r'
+            case c => cur += c
+          }
+          i += 1
+        case c => cur += c
+      }
+      i += 1
+    }
+    flush()
+    fields.toArray
+  }
+
+  /** parse a PG text literal into the internal value for `t`. */
+  private def parseTextValue(f: String, t: PgType): Any = t match {
+    case PgBool => f == "t" || f == "true"
+    case PgInt2 => f.toShort
+    case PgInt4 => f.toInt
+    case PgInt8 => f.toLong
+    case PgFloat4 => f.toFloat
+    case PgFloat8 => f.toDouble
+    case PgNumeric(p, sc) if p > 0 =>
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(f), p, sc)
+    case _: PgNumeric => f.toDouble
+    case PgBytea =>
+      f.stripPrefix("\\x").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    case PgDate => java.time.LocalDate.parse(f).toEpochDay.toInt
+    case PgTimestamp | PgTimestampTz =>
+      val ldt = java.time.LocalDateTime.parse(f.replace(' ', 'T'))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+    case _ => // text family incl. enum/unknown/bit/uuid/json
+      org.apache.spark.unsafe.types.UTF8String.fromString(f)
   }
 
   // ---------------------------------------------------------------- //

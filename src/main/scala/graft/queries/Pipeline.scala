@@ -593,8 +593,42 @@ object PipelineOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- //
+  // q30: as-of join — each purchase event picks up the most recent
+  // click at-or-before it for the same user. Spark lacks a native
+  // as-of join; the compose-first form (SURVEY preference ladder (a))
+  // is a conditional running-max window — one shuffle on user_id,
+  // no range-join blowup. (A custom SparkPlan would only pay off once
+  // the composition can't express the semantics, e.g. nearest-in-
+  // either-direction with tolerance.)
+  // ---------------------------------------------------------------- //
+  def q30_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("last_click_ms",
+        max(when(col("event_type") === "click", col("ms"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ms").as("purchase_ms"),
+        col("last_click_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q30_sql: String =
+    """SELECT user_id, event_id, ms AS purchase_ms, last_click_ms FROM (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+      |    MAX(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ms
+      |  FROM events) x
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** name → (query fn, Some(oracle sql) | None = rows-only check) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q30_asof_join" -> ((q30_asof_join _, Some(q30_sql))),
     "p10_embedding_dedup" -> ((p10_embedding_dedup _, Some(p10_sql))),
     "s02_ann_lsh" -> ((s02_ann_lsh _, None)),
     "m01_multimodal" -> ((m01_multimodal _, Some(m01_sql))),

@@ -463,18 +463,38 @@ final class PostgresDataWriter(
     extends DataWriter[InternalRow] {
 
   private val transport = PgTransportFactory.open(dsn)
-  private val writer = new graft.codec.PgBinaryWriter(
-    pgTypes, writeSchema.fields.map(_.dataType).toSeq, nullByteReplacement)
   private val colList = colNames.map(PgSqlGen.quoteIdent).mkString(", ")
+  private val sparkTypes = writeSchema.fields.map(_.dataType).toSeq
+
+  // binary COPY unless some column type can't round-trip it — then the
+  // text path, like the reference's GetCopyFormat fallback
+  // (ref: src/storage/postgres_table_entry.cpp:74-127)
+  private val format = graft.codec.PgCopyFormat.forTypes(pgTypes)
+
   private val out = new java.io.DataOutputStream(transport.copyIn(
     s"COPY ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(table)} ($colList) " +
-      "FROM STDIN (FORMAT binary)"))
-  writer.writeHeader(out)
+      s"FROM STDIN (FORMAT ${if (format == graft.codec.PgCopyFormat.Binary) "binary" else "text"})"))
 
-  override def write(record: InternalRow): Unit = writer.writeRow(out, record)
+  private val binWriter =
+    if (format == graft.codec.PgCopyFormat.Binary)
+      Some(new graft.codec.PgBinaryWriter(pgTypes, sparkTypes, nullByteReplacement))
+    else None
+  private val textWriter =
+    if (format == graft.codec.PgCopyFormat.Text)
+      Some(new graft.codec.PgTextWriter(pgTypes, sparkTypes))
+    else None
+
+  binWriter.foreach(_.writeHeader(out))
+
+  override def write(record: InternalRow): Unit = binWriter match {
+    case Some(w) => w.writeRow(out, record)
+    case None =>
+      out.write(textWriter.get.rowText(record).getBytes("UTF-8"))
+      out.write('\n')
+  }
 
   override def commit(): WriterCommitMessage = {
-    writer.writeTrailer(out)
+    binWriter.foreach(_.writeTrailer(out))
     out.close()
     transport.close()
     new WriterCommitMessage {}

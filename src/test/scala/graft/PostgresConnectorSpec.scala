@@ -245,4 +245,27 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(countSqls.nonEmpty, s"no pushed count(*): ${pg.copyOutStatements}")
     assert(countSqls.forall(_.contains("ctid BETWEEN")))
   }
+
+  test("text COPY fallback for types that cannot round-trip binary") {
+    pg
+    // a macaddr column forces the text wire format, like the
+    // reference's GetCopyFormat rule
+    pg.createTable("public", "machines", Seq(
+      "id" -> PgInt8, "mac" -> PgUnknown("macaddr"), "score" -> PgNumeric(8, 2)))
+    pg.copyInStatements.clear()
+    import spark.implicits._
+    Seq((1L, "08:00:2b:01:02:03", BigDecimal("12.50").bigDecimal),
+        (2L, null, null))
+      .toDF("id", "mac", "score")
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "machines")
+      .mode("append").save()
+    assert(pg.copyInStatements.exists(_.contains("FORMAT text")),
+      s"expected text COPY: ${pg.copyInStatements}")
+    val back = spark.sql("SELECT * FROM pg.public.machines ORDER BY id").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(1) == "08:00:2b:01:02:03")
+    assert(back(0).getDecimal(2).toString == "12.50")
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2))
+  }
 }

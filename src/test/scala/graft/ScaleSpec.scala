@@ -38,9 +38,12 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val o = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .withColumnRenamed("l_orderkey", "o_orderkey")
-    Scale.writeBucketed(o, "b_orders", "o_orderkey", 4)
-    Scale.writeBucketed(li, "b_lineitem", "o_orderkey", 4)
-    val joined = Scale.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    // unique names: a previous JVM's orphaned warehouse dir would
+    // otherwise collide (fresh derby metastore, stale location)
+    val tag = System.nanoTime()
+    Scale.writeBucketed(o, s"b_orders_$tag", "o_orderkey", 4)
+    Scale.writeBucketed(li, s"b_lineitem_$tag", "o_orderkey", 4)
+    val joined = Scale.bucketedJoin(spark, s"b_orders_$tag", s"b_lineitem_$tag", "o_orderkey")
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
     // same result as the plain join
