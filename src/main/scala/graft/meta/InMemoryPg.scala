@@ -126,6 +126,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
   // ---------------------------------------------------------------- //
   // COPY OUT: serve PGCOPY binary for the connector-generated scan SQL
   // ---------------------------------------------------------------- //
+  private val CopyOutAggRe: Regex =
+    """COPY \(SELECT (.+) FROM "([^"]+)"\."([^"]+)"(?: WHERE (.*?))?(?: GROUP BY (.+))?\) TO STDOUT \(FORMAT binary\)""".r
   private val CopyOutRe: Regex =
     """COPY \(SELECT (.+) FROM "([^"]+)"\."([^"]+)"(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
   private val CopyOutSubqueryRe: Regex =
@@ -141,7 +143,27 @@ final class InMemoryPg(val name: String) extends PgTransport {
     copyOut0(sql)
   }
 
+  /** split a projection on top-level commas (not inside parens) */
+  private def splitTop(proj: String): Seq[String] = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    var depth = 0; val cur = new StringBuilder
+    proj.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString.trim
+    parts.toSeq
+  }
+
+  private val AggItemRe: Regex =
+    """(count|min|max|sum)\((\*|"[^"]+")\)(?:::([A-Z() ,0-9]+))?""".r
+
   private def copyOut0(sql: String): InputStream = sql match {
+    case CopyOutAggRe(proj, sch, tbl, whereOrNull, groupByOrNull) if
+        splitTop(proj).exists(AggItemRe.pattern.matcher(_).matches()) =>
+      serveAggregate(sch, tbl, proj, Option(whereOrNull), Option(groupByOrNull))
     case CopyOutRe("count(*)", sch, tbl, whereOrNull) =>
       // pushed COUNT(*): one int8 row per task range
       val t = getTable(sch, tbl)
@@ -235,6 +257,122 @@ final class InMemoryPg(val name: String) extends PgTransport {
         }
       }
       slot += 1
+    }
+    writer.writeTrailer(out)
+    out.flush()
+    new ByteArrayInputStream(bos.toByteArray)
+  }
+
+  /** Evaluate a pushed aggregate projection over the page range:
+    * group cols + count/min/max/sum with optional ::casts. */
+  private def serveAggregate(
+      sch: String, tbl: String, proj: String,
+      whereOpt: Option[String], groupByOpt: Option[String]): InputStream = {
+    val t = getTable(sch, tbl)
+    val (lo, hi) = whereOpt.flatMap {
+      case CtidRangeRe(l, h) => Some((l.toLong, h.toLong))
+      case _ => None
+    }.getOrElse((0L, Long.MaxValue))
+
+    final case class AggItem(fn: String, colIdx: Int, outType: PgType)
+    def castType(suffix: String, default: PgType): PgType = suffix match {
+      case null => default
+      case "BIGINT" => PgInt8
+      case "DOUBLE PRECISION" => PgFloat8
+      case s if s.startsWith("NUMERIC(") =>
+        val Array(p, sc) = s.stripPrefix("NUMERIC(").stripSuffix(")").split(",")
+        PgNumeric(p.trim.toInt, sc.trim.toInt)
+      case other => throw new IllegalArgumentException(s"agg cast $other")
+    }
+    val items: Seq[Either[Int, AggItem]] = splitTop(proj).map {
+      case AggItemRe(fn, arg, cast) =>
+        val ci = if (arg == "*") -1 else t.colIndex(arg.stripPrefix("\"").stripSuffix("\""))
+        val defaultOut = fn match {
+          case "count" => PgInt8
+          case "min" | "max" => t.colTypes(ci)
+          case "sum" => t.colTypes(ci)
+        }
+        Right(AggItem(fn, ci, castType(cast, defaultOut)))
+      case g => Left(t.colIndex(g.stripPrefix("\"").stripSuffix("\"")))
+    }
+    val groupIdxs = items.collect { case Left(i) => i }
+
+    val inRange = t.slots.indices.flatMap { slot =>
+      val page = slot / RowsPerPage
+      if (page >= lo && page < hi) t.slots(slot) else None
+    }
+    val groups: Map[Seq[Any], Seq[InternalRow]] =
+      inRange.groupBy(r => groupIdxs.map(i =>
+        if (r.isNullAt(i)) null else r.get(i, PgType.toSpark(t.colTypes(i)))))
+
+    def num(v: Any): Double = v match {
+      case s: Short => s.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case f: Float => f.toDouble
+      case d: Double => d
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => other.toString.toDouble
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+      case _ => java.lang.Double.compare(num(a), num(b))
+    }
+    def coerce(v: Any, outType: PgType, srcType: PgType): Any = (outType, v) match {
+      case (PgInt8, x) if srcType != PgInt8 => num(x).toLong
+      case (PgFloat8, x) if srcType != PgFloat8 => num(x)
+      case (PgNumeric(p, sc), d: org.apache.spark.sql.types.Decimal) =>
+        org.apache.spark.sql.types.Decimal(d.toJavaBigDecimal.setScale(sc), p, sc)
+      case (_, x) => x
+    }
+
+    val outTypes = items.map {
+      case Left(i) => t.colTypes(i)
+      case Right(a) => a.outType
+    }
+    val writer = new PgBinaryWriter(outTypes)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    writer.writeHeader(out)
+    groups.toSeq.foreach { case (key, rows) =>
+      val vals: Seq[Any] = items.map {
+        case Left(i) => key(groupIdxs.indexOf(i))
+        case Right(AggItem("count", -1, _)) => rows.length.toLong
+        case Right(AggItem("count", ci, _)) =>
+          rows.count(!_.isNullAt(ci)).toLong
+        case Right(AggItem(fn @ ("min" | "max"), ci, _)) =>
+          val vs = rows.filter(!_.isNullAt(ci))
+            .map(_.get(ci, PgType.toSpark(t.colTypes(ci))))
+          if (vs.isEmpty) null
+          else if (fn == "min") vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+          else vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+        case Right(AggItem("sum", ci, outType)) =>
+          val vs = rows.filter(!_.isNullAt(ci))
+            .map(_.get(ci, PgType.toSpark(t.colTypes(ci))))
+          if (vs.isEmpty) null
+          else t.colTypes(ci) match {
+            case PgInt2 | PgInt4 | PgInt8 => vs.map(num(_).toLong).sum
+            case PgFloat4 | PgFloat8 => vs.map(num).sum
+            case _: PgNumeric =>
+              val total = vs.map {
+                case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+              }.reduce(_.add(_))
+              outType match {
+                case PgNumeric(p, sc) =>
+                  org.apache.spark.sql.types.Decimal(total.setScale(sc), p, sc)
+                case _ => org.apache.spark.sql.types.Decimal(total)
+              }
+            case other => throw new IllegalArgumentException(s"sum over $other")
+          }
+        case Right(other) => throw new IllegalArgumentException(other.toString)
+      }
+      val coerced = vals.zip(items).map {
+        case (v, Right(AggItem(_, ci, ot))) if v != null && ci >= 0 =>
+          coerce(v, ot, t.colTypes(ci))
+        case (v, _) => v
+      }
+      writer.writeRow(out, new GenericInternalRow(coerced.toArray))
     }
     writer.writeTrailer(out)
     out.flush()

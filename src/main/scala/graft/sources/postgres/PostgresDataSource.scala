@@ -211,21 +211,22 @@ final class PostgresScanBuilder(table: PostgresTable)
   private var required: StructType = table.schema
   private var pushedSql: Seq[String] = Nil
   private var pushed: Array[Filter] = Array.empty
-  private var countStar = false
+  private var pushedAgg: Option[PushedAggregation] = None
 
-  /** The reference's count(*)-only optimization, upgraded to the DSv2
-    * aggregate-pushdown hook (SURVEY.md §4.1 "optional upgrade"):
-    * an ungrouped COUNT(*) is computed remotely per ctid range and the
-    * partial counts are summed by Spark — the scan ships one int8 per
-    * partition instead of every row. */
+  /** Aggregate pushdown (SURVEY.md §4.1 "optional upgrade" of the
+    * reference's count(*)-only optimization): COUNT(*)/COUNT/MIN/MAX/
+    * SUM with optional GROUP BY columns are computed remotely per ctid
+    * range; Spark merges the partial results. Sums are cast remotely
+    * to the type Spark's final merge expects. Only unfiltered scans
+    * push aggregates — pushed filters are conservatively re-checked
+    * host-side, which requires the raw rows. */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = aggregation.groupByExpressions.isEmpty &&
-      pushedSql.isEmpty && // COUNT over a filtered scan keeps the row path
-      aggregation.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-    if (ok) countStar = true
-    ok
+    if (pushedSql.nonEmpty) return false
+    PushedAggregation.translate(aggregation, table.pgColumns) match {
+      case Some(agg) => pushedAgg = Some(agg); true
+      case None => false
+    }
   }
 
   override def supportCompletePushDown(
@@ -249,11 +250,91 @@ final class PostgresScanBuilder(table: PostgresTable)
 
   override def build(): Scan = {
     // with a pushed (partial) aggregate the scan's output schema IS the
-    // aggregate schema: one bigint partial count per partition
-    val schema =
-      if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-      else required
-    new PostgresScan(table, schema, pushedSql, countStar)
+    // aggregate schema: group columns followed by partial agg values
+    val schema = pushedAgg.map(_.schema).getOrElse(required)
+    new PostgresScan(table, schema, pushedSql, pushedAgg)
+  }
+}
+
+/** A fully-translated pushed aggregation: remote SQL projection items
+  * with their wire types, plus the scan output schema. */
+final case class PushedAggregation(
+    items: Seq[PushedAggregation.Item],
+    groupByCount: Int) {
+  def schema: StructType =
+    StructType(items.map(i => StructField(i.name, i.sparkType, nullable = true)))
+  def scanColumns: Seq[ScanColumn] =
+    items.map(i => ScanColumn(i.sql, i.pgType, raw = true))
+  def groupBySql: Seq[String] = items.take(groupByCount).map(_.sql)
+}
+
+object PushedAggregation {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import graft.types.PgType._
+
+  final case class Item(sql: String, name: String, pgType: PgType, sparkType: DataType)
+
+  private def colOf(e: V2Expr): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  def translate(
+      agg: Aggregation,
+      pgColumns: Seq[(String, PgType)]): Option[PushedAggregation] = {
+    def pgTypeOf(c: String): Option[PgType] = pgColumns.find(_._1 == c).map(_._2)
+    val groups: Seq[Option[Item]] = agg.groupByExpressions.toSeq.map { g =>
+      for (c <- colOf(g); pt <- pgTypeOf(c))
+        yield Item(PgSqlGen.quoteIdent(c), c, pt, PgType.toSpark(pt))
+    }
+    val aggs: Seq[Option[Item]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(Item("count(*)", "count(*)", PgInt8, LongType))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).map(n =>
+          Item(s"count(${PgSqlGen.quoteIdent(n)})", s"count($n)", PgInt8, LongType))
+      case m: Min =>
+        for (n <- colOf(m.column); pt <- pgTypeOf(n)
+             if minMaxSupported(pt))
+          yield Item(s"min(${PgSqlGen.quoteIdent(n)})", s"min($n)", pt, PgType.toSpark(pt))
+      case m: Max =>
+        for (n <- colOf(m.column); pt <- pgTypeOf(n)
+             if minMaxSupported(pt))
+          yield Item(s"max(${PgSqlGen.quoteIdent(n)})", s"max($n)", pt, PgType.toSpark(pt))
+      case sm: Sum if !sm.isDistinct =>
+        for (n <- colOf(sm.column); pt <- pgTypeOf(n); item <- sumItem(n, pt))
+          yield item
+      case _ => None
+    }
+    val all = groups ++ aggs
+    if (all.nonEmpty && all.forall(_.isDefined))
+      Some(PushedAggregation(all.map(_.get), groups.length))
+    else None
+  }
+
+  private def minMaxSupported(t: PgType): Boolean = t match {
+    case PgInt2 | PgInt4 | PgInt8 | PgFloat4 | PgFloat8 | PgText | PgVarchar |
+      PgDate | PgTimestamp | PgTimestampTz | PgTime => true
+    case _: PgNumeric => true
+    case _ => false
+  }
+
+  /** sum with a remote cast to the type Spark's merge expects
+    * (Spark: sum(int)→long, sum(float)→double, sum(dec(p,s))→dec(p+10,s)) */
+  private def sumItem(n: String, pt: PgType): Option[Item] = {
+    val q = PgSqlGen.quoteIdent(n)
+    pt match {
+      case PgInt2 | PgInt4 | PgInt8 =>
+        Some(Item(s"sum($q)::BIGINT", s"sum($n)", PgInt8, LongType))
+      case PgFloat4 | PgFloat8 =>
+        Some(Item(s"sum($q)::DOUBLE PRECISION", s"sum($n)", PgFloat8, DoubleType))
+      case num: PgNumeric if !num.isUnconstrained =>
+        val p2 = math.min(38, num.precision + 10)
+        Some(Item(s"sum($q)::NUMERIC($p2,${num.scale})", s"sum($n)",
+          PgNumeric(p2, num.scale), DecimalType(p2, num.scale)))
+      case _ => None
+    }
   }
 }
 
@@ -261,19 +342,26 @@ final class PostgresScan(
     table: PostgresTable,
     required: StructType,
     pushedSql: Seq[String],
-    countStar: Boolean = false)
+    pushedAgg: Option[PushedAggregation] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
 
-  private def scanColumns: Seq[ScanColumn] =
-    if (countStar) Seq(ScanColumn("count(*)", graft.types.PgType.PgInt8))
-    else required.fields.toSeq.map { f =>
+  private def scanColumns: Seq[ScanColumn] = pushedAgg match {
+    case Some(agg) => agg.scanColumns
+    case None => required.fields.toSeq.map { f =>
       if (f.name == "_ctid") ScanColumn("_ctid", graft.types.PgType.PgCtid)
       else ScanColumn(f.name, table.pgColumns.find(_._1 == f.name).get._2)
     }
+  }
+
+  private def groupBySuffix: String = pushedAgg match {
+    case Some(agg) if agg.groupBySql.nonEmpty =>
+      agg.groupBySql.mkString(" GROUP BY ", ", ", "")
+    case _ => ""
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val opts = table.opts
@@ -309,7 +397,8 @@ final class PostgresScan(
           val useRange = opts.useCtidScan && table.pages > 0
           PostgresInputPartition(opts.dsn,
             PgSqlGen.copyTableSql(opts.schema, opts.table.get, scanColumns,
-              if (useRange) Some((r.minPage, r.maxPage)) else None, pushedSql),
+              if (useRange) Some((r.minPage, r.maxPage)) else None, pushedSql,
+              pushedAgg.map(_.groupBySql).getOrElse(Nil)),
             snapshot)
             : InputPartition
         }.toArray

@@ -18,7 +18,7 @@ object PgSqlGen {
 
   val TidMax: Long = 4294967295L // ref: src/postgres_scanner.cpp:19
 
-  final case class ScanColumn(name: String, pgType: PgType)
+  final case class ScanColumn(name: String, pgType: PgType, raw: Boolean = false)
 
   /** Projection list: quoted column names, with ::VARCHAR casts for
     * CAST_TO_VARCHAR types (ref: src/postgres_scanner.cpp:212-221) and
@@ -26,11 +26,11 @@ object PgSqlGen {
   def projection(cols: Seq[ScanColumn]): String =
     if (cols.isEmpty) "NULL" // count(*)-only (ref: postgres_scanner.cpp:204-210)
     else cols.map {
-      case ScanColumn("count(*)", _) => "count(*)" // pushed aggregate
-      case ScanColumn("_ctid", _) | ScanColumn("ctid", _) => "ctid"
-      case ScanColumn(n, _: PgUnknown) => s"${quoteIdent(n)}::VARCHAR"
-      case ScanColumn(n, PgBit) => s"${quoteIdent(n)}::VARCHAR"
-      case ScanColumn(n, _) => quoteIdent(n)
+      case ScanColumn(sql, _, true) => sql // pushed aggregate / raw expr
+      case ScanColumn("_ctid", _, _) | ScanColumn("ctid", _, _) => "ctid"
+      case ScanColumn(n, _: PgUnknown, _) => s"${quoteIdent(n)}::VARCHAR"
+      case ScanColumn(n, PgBit, _) => s"${quoteIdent(n)}::VARCHAR"
+      case ScanColumn(n, _, _) => quoteIdent(n)
     }.mkString(", ")
 
   /** ctid page-range predicate for one parallel task
@@ -44,11 +44,13 @@ object PgSqlGen {
       table: String,
       cols: Seq[ScanColumn],
       pageRange: Option[(Long, Long)],
-      filters: Seq[String]): String = {
+      filters: Seq[String],
+      groupBy: Seq[String] = Nil): String = {
     val preds = pageRange.map { case (lo, hi) => ctidRange(lo, hi) }.toSeq ++ filters
     val where = if (preds.isEmpty) "" else preds.mkString(" WHERE (", ") AND (", ")")
+    val grp = if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ", ", "")
     s"COPY (SELECT ${projection(cols)} FROM " +
-      s"${quoteIdent(schema)}.${quoteIdent(table)}$where) TO STDOUT (FORMAT binary)"
+      s"${quoteIdent(schema)}.${quoteIdent(table)}$where$grp) TO STDOUT (FORMAT binary)"
   }
 
   /** Subquery form for postgres_query-style ad-hoc SQL

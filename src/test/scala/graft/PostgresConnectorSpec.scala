@@ -268,4 +268,32 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(back(0).getDecimal(2).toString == "12.50")
     assert(back(1).isNullAt(1) && back(1).isNullAt(2))
   }
+
+  test("grouped MIN/MAX/SUM/COUNT push down with GROUP BY") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.gagg")
+    spark.sql("CREATE TABLE pg.public.gagg (grp STRING, x BIGINT, d DOUBLE, de DECIMAL(8,2))")
+    import spark.implicits._
+    (0 until 200).map(i => (s"g${i % 3}", i.toLong, i * 0.5,
+        BigDecimal(i).setScale(2).bigDecimal))
+      .toDF("grp", "x", "d", "de").writeTo("pg.public.gagg").append()
+    pg.copyOutStatements.clear()
+    val got = spark.sql(
+      """SELECT grp, count(*) AS n, min(x) AS mn, max(x) AS mx,
+        |  sum(x) AS sx, sum(d) AS sd, sum(de) AS sde
+        |FROM pg.public.gagg GROUP BY grp ORDER BY grp""".stripMargin).collect()
+    val pushed = pg.copyOutStatements.filter(_.contains("GROUP BY"))
+    assert(pushed.nonEmpty, s"no pushed group-by: ${pg.copyOutStatements}")
+    assert(got.length == 3)
+    // expected per group: g0 has 0,3,...,198 (67 values), g1 1..199 (67), g2 2..197 (66)
+    val byGrp = got.map(r => r.getString(0) -> r).toMap
+    assert(byGrp("g0").getLong(1) == 67 && byGrp("g1").getLong(1) == 67 &&
+      byGrp("g2").getLong(1) == 66)
+    assert(byGrp("g0").getLong(2) == 0 && byGrp("g0").getLong(3) == 198)
+    val s0 = (0 until 200 by 3).map(_.toLong).sum
+    assert(byGrp("g0").getLong(4) == s0)
+    assert(byGrp("g0").getDouble(5) == s0 * 0.5)
+    assert(byGrp("g0").getDecimal(6) ==
+      new java.math.BigDecimal(s0).setScale(2))
+  }
 }
