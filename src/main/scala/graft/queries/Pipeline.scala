@@ -439,12 +439,17 @@ object PipelineOps {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
     val name = s"st01_out_${System.nanoTime()}"
     // checkpoint to tmpfs: the state-store commit log fsyncs dominate
-    // wall clock for a one-shot AvailableNow run on local disk
+    // wall clock for a one-shot AvailableNow run on local disk; state
+    // partitions stay low — per-partition store setup is the fixed cost
     val ckpt = s"/dev/shm/graft_ckpt_$name"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     s.table(name)
@@ -505,10 +510,14 @@ object PipelineOps {
 
     val name = s"st02_out_${System.nanoTime()}"
     val ckpt = s"/dev/shm/graft_ckpt_$name"
-    val q = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      sessions.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     s.table(name)
@@ -527,14 +536,18 @@ object PipelineOps {
   // ---------------------------------------------------------------- //
   def p10_embedding_dedup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    // norms computed ONCE per vector before the pair join — recomputing
+    // them per pair would triple the dominant cost (O(pairs · dim))
+    val norm = sqrt(fold(zip_with(col("embedding"), col("embedding"),
+      (x, y) => x.cast("double") * y.cast("double"))))
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), norm.as("norm_a"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), norm.as("norm_b"))
     val dotAB = fold(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")))
-    val na = sqrt(fold(zip_with(col("va"), col("va"), (x, y) => x.cast("double") * y.cast("double"))))
-    val nb = sqrt(fold(zip_with(col("vb"), col("vb"), (x, y) => x.cast("double") * y.cast("double"))))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dotAB / (na * nb))
+      .withColumn("cos", dotAB / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= 0.35)
       .select(col("label"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -542,13 +555,12 @@ object PipelineOps {
 
   val p10_sql: String = {
     val dotE = "list_sum(list_transform(range(1, len(a.va)+1), i -> CAST(a.va[i] AS DOUBLE) * CAST(b.vb[i] AS DOUBLE)))"
-    val na = "sqrt(list_sum(list_transform(range(1, len(a.va)+1), i -> CAST(a.va[i] AS DOUBLE) * CAST(a.va[i] AS DOUBLE))))"
-    val nb = "sqrt(list_sum(list_transform(range(1, len(b.vb)+1), i -> CAST(b.vb[i] AS DOUBLE) * CAST(b.vb[i] AS DOUBLE))))"
-    s"""WITH a AS (SELECT label, vec_id AS vec_a, embedding AS va FROM embeddings),
-       |b AS (SELECT label, vec_id AS vec_b, embedding AS vb FROM embeddings)
-       |SELECT a.label, vec_a, vec_b, round($dotE / ($na * $nb), 6) AS cos_sim
+    val norm = "sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+    s"""WITH a AS (SELECT label, vec_id AS vec_a, embedding AS va, $norm AS norm_a FROM embeddings),
+       |b AS (SELECT label, vec_id AS vec_b, embedding AS vb, $norm AS norm_b FROM embeddings)
+       |SELECT a.label, vec_a, vec_b, round($dotE / (norm_a * norm_b), 6) AS cos_sim
        |FROM a JOIN b ON a.label = b.label AND vec_a < vec_b
-       |WHERE $dotE / ($na * $nb) >= 0.35
+       |WHERE $dotE / (norm_a * norm_b) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
