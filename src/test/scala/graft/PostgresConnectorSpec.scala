@@ -296,4 +296,17 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(byGrp("g0").getDecimal(6) ==
       new java.math.BigDecimal(s0).setScale(2))
   }
+
+  test("connection pool caps concurrency and reuses health-checked transports") {
+    pg
+    val before = graft.meta.PgConnectionPool.stats(dsn)
+    // a parallel scan: every partition acquires + releases a transport
+    spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load()
+      .selectExpr("id", "name").where("id >= 0").collect()
+    val after = graft.meta.PgConnectionPool.stats(dsn)
+    assert(after._1 > before._1, "no acquires recorded")
+    assert(after._2 > before._2, "no transport reuse after earlier releases")
+  }
 }
