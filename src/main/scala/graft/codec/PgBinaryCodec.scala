@@ -44,6 +44,18 @@ object PgWire {
   val NumericPos = 0x0000
   val NumericNeg = 0x4000
   val NumericNaN = 0xC000
+
+  /** Skip exactly `n` bytes. `DataInputStream.skipBytes` may skip fewer
+    * than requested on socket streams, which would desync the PGCOPY
+    * framing — loop until the full count is consumed. */
+  def skipFully(in: DataInputStream, n: Int): Unit = {
+    var remaining = n
+    while (remaining > 0) {
+      val skipped = in.skipBytes(remaining)
+      if (skipped <= 0) { in.readByte(); remaining -= 1 } // EOFException if truncated
+      else remaining -= skipped
+    }
+  }
 }
 
 /** Reads PGCOPY binary streams into `InternalRow`s shaped by `types`.
@@ -63,7 +75,7 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
       "not a PGCOPY binary stream")
     in.readInt() // flags
     val ext = in.readInt()
-    if (ext > 0) in.skipBytes(ext)
+    if (ext > 0) PgWire.skipFully(in, ext)
   }
 
   /** Read one tuple; None at the -1 trailer (or clean EOF). */

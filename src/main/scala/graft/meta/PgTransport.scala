@@ -58,6 +58,45 @@ object PgTransportFactory {
         "offline build; a live server needs the socket transport")
 }
 
+/** Driver-side lease that keeps the snapshot-exporting transaction open
+  * while parallel partition readers adopt the snapshot. On a real server
+  * an exported snapshot is only valid while the exporting transaction is
+  * in progress (the reference keeps its bind connection's REPEATABLE
+  * READ transaction open for the scan's lifetime —
+  * ref: src/postgres_scanner.cpp:80, 281-283), so the transport here is
+  * held, inside `BEGIN ... REPEATABLE READ READ ONLY`, until
+  * [[release]] — called when the owning Scan is done (or via Cleaner /
+  * JVM shutdown as a backstop).
+  */
+final class PgSnapshotLease(dsn: String) extends AutoCloseable {
+  private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val transport = PgTransportFactory.open(dsn)
+  val snapshotId: String =
+    try {
+      transport.execute(PgCatalogQueries.beginReadOnly)
+      transport.query(PgCatalogQueries.exportSnapshot).head.head
+    } catch { case e: Throwable => transport.close(); throw e }
+
+  def release(): Unit = if (released.compareAndSet(false, true)) {
+    try transport.execute("COMMIT")
+    finally transport.close()
+  }
+  override def close(): Unit = release()
+}
+
+object PgSnapshotLease {
+  private val cleaner = java.lang.ref.Cleaner.create()
+
+  /** Open a lease whose release is additionally tied to `owner`'s
+    * reachability: when the Scan object is GC'd after query execution,
+    * the lease's transaction is committed and the transport returned. */
+  def openFor(owner: AnyRef, dsn: String): PgSnapshotLease = {
+    val lease = new PgSnapshotLease(dsn)
+    cleaner.register(owner, () => lease.release())
+    lease
+  }
+}
+
 /** Per-JVM transport pool, the reference's connection pool shape
   * (ref: src/storage/postgres_connection_pool.cpp:43-134): at most
   * `connectionLimit` live transports per DSN, idle ones cached and
@@ -90,9 +129,14 @@ object PgConnectionPool {
     val raw = cached match {
       case null => PgTransportFactory.openRaw(dsn)
       case t =>
-        // health check on reuse (ref: pool reset-on-return + check)
+        // health check on reuse (ref: pool reset-on-return + check);
+        // a transport that fails the probe is closed, not reused
         try { t.query(PgCatalogQueries.versionProbe); pool.reuses += 1; t }
-        catch { case _: Exception => PgTransportFactory.openRaw(dsn) }
+        catch {
+          case _: Exception =>
+            try t.close() catch { case _: Exception => () }
+            PgTransportFactory.openRaw(dsn)
+        }
     }
     new PooledTransport(raw, pool)
   }
@@ -103,16 +147,81 @@ object PgConnectionPool {
     if (p == null) (0L, 0L) else (p.acquires, p.reuses)
   }
 
+  /** Tracks session state so release can reset the connection before it
+    * is pooled (the reference resets connections on return —
+    * ref: src/storage/postgres_connection_pool.cpp:91-119):
+    *   - an open transaction (BEGIN without COMMIT/ROLLBACK) is rolled
+    *     back so a reused connection never serves reads from a stale
+    *     read-only snapshot;
+    *   - a transport with a COPY stream that was never completed is in
+    *     an unknown protocol state and is closed instead of pooled.
+    */
   private final class PooledTransport(underlying: PgTransport, pool: DsnPool)
       extends PgTransport {
     private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
-    override def execute(sql: String): Unit = underlying.execute(sql)
+    @volatile private var inTransaction = false
+    @volatile private var openCopies = 0
+
+    override def execute(sql: String): Unit = {
+      underlying.execute(sql)
+      val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
+      head match {
+        case "BEGIN" | "START" => inTransaction = true
+        case "COMMIT" | "ROLLBACK" | "END" | "ABORT" => inTransaction = false
+        case _ => ()
+      }
+    }
     override def query(sql: String): Seq[Seq[String]] = underlying.query(sql)
-    override def copyOut(sql: String): java.io.InputStream = underlying.copyOut(sql)
-    override def copyIn(sql: String): java.io.OutputStream = underlying.copyIn(sql)
+
+    override def copyOut(sql: String): java.io.InputStream = {
+      val in = underlying.copyOut(sql)
+      openCopies += 1
+      new java.io.FilterInputStream(in) {
+        private var settled = false
+        override def close(): Unit = {
+          if (!settled) {
+            settled = true
+            // drain to the end of the COPY so the connection is back in
+            // a command-ready state (libpq likewise consumes copy data
+            // to completion); failure leaves the copy open → discard
+            try {
+              val buf = new Array[Byte](8192)
+              while (in.read(buf) != -1) ()
+              openCopies -= 1
+            } catch { case _: Exception => () }
+          }
+          super.close()
+        }
+      }
+    }
+    override def copyIn(sql: String): java.io.OutputStream = {
+      val out = underlying.copyIn(sql)
+      openCopies += 1
+      new java.io.FilterOutputStream(out) {
+        private var done = false
+        // don't let FilterOutputStream fall back to byte-at-a-time
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          out.write(b, off, len)
+        override def close(): Unit = {
+          if (!done) { done = true; openCopies -= 1 }
+          super.close()
+        }
+      }
+    }
+
     override def close(): Unit = if (closed.compareAndSet(false, true)) {
-      pool.idle.add(underlying)
-      pool.permits.release()
+      try {
+        if (openCopies != 0) {
+          // half-consumed / unfinished COPY: protocol state unknown —
+          // discard the connection entirely
+          try underlying.close() catch { case _: Exception => () }
+        } else {
+          if (inTransaction) underlying.execute("ROLLBACK")
+          pool.idle.add(underlying)
+        }
+      } catch {
+        case _: Exception => try underlying.close() catch { case _: Exception => () }
+      } finally pool.permits.release()
     }
   }
 }

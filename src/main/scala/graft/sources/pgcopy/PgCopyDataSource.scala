@@ -171,7 +171,7 @@ final class PgCopyPartitionReader(
               reader.readValue(bytes, pgTypes(i), fullSchema.fields(i).dataType))
           }
         case None =>
-          if (len > 0) in.skipBytes(len) // pruned column: skip, don't decode
+          if (len > 0) graft.codec.PgWire.skipFully(in, len) // pruned column: skip, don't decode
       }
       i += 1
     }

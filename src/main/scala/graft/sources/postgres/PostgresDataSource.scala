@@ -349,6 +349,9 @@ final class PostgresScan(
 
   override def toBatch: Batch = this
 
+  /** held open while partition readers adopt the exported snapshot */
+  @volatile private var snapshotLease: Option[graft.meta.PgSnapshotLease] = None
+
   private def scanColumns: Seq[ScanColumn] = pushedAgg match {
     case Some(agg) => agg.scanColumns
     case None => required.fields.toSeq.map { f =>
@@ -383,15 +386,18 @@ final class PostgresScan(
             val per = math.ceil(ranges.length.toDouble / opts.connectionLimit).toInt
             ranges.grouped(per).map(g => PgSqlGen.PageRange(g.head.minPage, g.last.maxPage)).toSeq
           }
-        // snapshot-consistent parallel read: export one snapshot and
-        // have every partition's connection adopt it
-        // (ref: src/postgres_scanner.cpp:65-100, 280-285)
+        // snapshot-consistent parallel read: export one snapshot inside
+        // a REPEATABLE READ transaction that stays open while readers
+        // adopt it — an exported snapshot is only valid while the
+        // exporting transaction is in progress. The lease is owned by
+        // this Scan (referenced by the physical plan for the query's
+        // lifetime) and released when the Scan is reclaimed
+        // (ref: src/postgres_scanner.cpp:65-100, 280-285).
         val snapshot: Option[String] =
           if (capped.length > 1) {
-            val t = PgTransportFactory.open(opts.dsn)
-            try Some(t.query(
-              graft.meta.PgCatalogQueries.exportSnapshot).head.head)
-            finally t.close()
+            val lease = graft.meta.PgSnapshotLease.openFor(this, opts.dsn)
+            snapshotLease = Some(lease)
+            Some(lease.snapshotId)
           } else None
         capped.map { r =>
           val useRange = opts.useCtidScan && table.pages > 0
@@ -460,7 +466,11 @@ final class PostgresPartitionReader(
       val nfields = try in.readShort() catch { case _: java.io.EOFException => return false }
       if (nfields < 0) return false
       var i = 0
-      while (i < nfields) { val len = in.readInt(); if (len > 0) in.skipBytes(len); i += 1 }
+      while (i < nfields) {
+        val len = in.readInt()
+        if (len > 0) graft.codec.PgWire.skipFully(in, len)
+        i += 1
+      }
       current = new GenericInternalRow(0)
       true
     } else reader.readRow(in) match {
@@ -560,6 +570,12 @@ final class PostgresDataWriter(
   // (ref: src/storage/postgres_table_entry.cpp:74-127)
   private val format = graft.codec.PgCopyFormat.forTypes(pgTypes)
 
+  // each task's COPY runs inside its own transaction, committed only in
+  // commit(): a failed/speculative task's rows must never become
+  // visible (the reference's copy is likewise transactional —
+  // ref: src/postgres_copy_to.cpp:102-109)
+  transport.execute("BEGIN")
+
   private val out = new java.io.DataOutputStream(transport.copyIn(
     s"COPY ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(table)} ($colList) " +
       s"FROM STDIN (FORMAT ${if (format == graft.codec.PgCopyFormat.Binary) "binary" else "text"})"))
@@ -584,12 +600,20 @@ final class PostgresDataWriter(
 
   override def commit(): WriterCommitMessage = {
     binWriter.foreach(_.writeTrailer(out))
-    out.close()
+    out.close() // completes the COPY, applying the buffered rows
+    transport.execute("COMMIT")
     transport.close()
     new WriterCommitMessage {}
   }
 
-  override def abort(): Unit = { out.close(); transport.close() }
+  /** Discard: the COPY stream is abandoned *without* completing it
+    * (closing it would apply the buffered rows; mid-COPY no SQL can be
+    * sent, so this is the CopyFail path). Closing the transport with an
+    * unfinished COPY makes the pool discard the connection rather than
+    * reuse it, and the server aborts the open task transaction with it —
+    * a failed/speculative task persists nothing and its retry cannot
+    * duplicate (ref: transactional copy, postgres_copy_to.cpp:102-109). */
+  override def abort(): Unit = transport.close()
 
   override def close(): Unit = ()
 }

@@ -84,11 +84,11 @@ object PgSqlGen {
     case In(a, vs) if vs.nonEmpty =>
       Some(s"${ref(a)} IN (${vs.map(literal).mkString(", ")})")
     case StringStartsWith(a, v) =>
-      Some(s"${ref(a)} LIKE ${literal(escapeLike(v) + "%")}")
+      Some(s"${ref(a)} LIKE ${likePattern(escapeLike(v) + "%")}")
     case StringEndsWith(a, v) =>
-      Some(s"${ref(a)} LIKE ${literal("%" + escapeLike(v))}")
+      Some(s"${ref(a)} LIKE ${likePattern("%" + escapeLike(v))}")
     case StringContains(a, v) =>
-      Some(s"${ref(a)} LIKE ${literal("%" + escapeLike(v) + "%")}")
+      Some(s"${ref(a)} LIKE ${likePattern("%" + escapeLike(v) + "%")}")
     case And(l, r) =>
       for (ls <- compileFilter(l); rs <- compileFilter(r))
         yield s"($ls AND $rs)"
@@ -147,8 +147,19 @@ object PgSqlGen {
 
   def quoteIdent(s: String): String = PgType.quoteIdent(s)
 
+  /** Standard-conforming string literal: only quotes are doubled;
+    * backslashes are literal under PG's default
+    * standard_conforming_strings=on (the reference likewise doubles
+    * only quotes — ref: src/postgres_filter_pushdown.cpp:52,
+    * KeywordHelper::WriteQuoted). */
   def quoteString(s: String): String =
-    "'" + s.replace("'", "''").replace("\\", "\\\\") + "'"
+    "'" + s.replace("'", "''") + "'"
+
+  /** LIKE pattern literal with an explicit ESCAPE clause so the
+    * backslash escapes emitted by [[escapeLike]] are unambiguous
+    * regardless of server settings. */
+  private def likePattern(pattern: String): String =
+    quoteString(pattern) + " ESCAPE '\\'"
 
   private def escapeLike(s: String): String =
     s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")

@@ -309,4 +309,63 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(after._1 > before._1, "no acquires recorded")
     assert(after._2 > before._2, "no transport reuse after earlier releases")
   }
+
+  test("writer abort discards buffered rows; retry does not duplicate") {
+    val p = InMemoryPg.forName("abortspec")
+    val t = p.createTable("public", "sink", Seq("id" -> PgInt8))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def newWriter() = new graft.sources.postgres.PostgresDataWriter(
+      "mem:abortspec", "public", "sink", schema, Seq("id"), Seq(PgInt8), None)
+    val failed = newWriter()
+    failed.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](1L)))
+    failed.abort() // task failure: rows must NOT persist
+    assert(t.liveRows == 0, s"aborted task leaked ${t.liveRows} rows")
+    val retry = newWriter()
+    retry.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](1L)))
+    retry.commit()
+    assert(t.liveRows == 1, "retry after abort should write exactly once")
+  }
+
+  test("pool resets returned transports: open txn rolled back, open copy discarded") {
+    val p = InMemoryPg.forName("poolreset")
+    p.createTable("public", "t", Seq("id" -> PgInt8))
+    val mdsn = "mem:poolreset"
+    // 1) open transaction on release → ROLLBACK before pooling
+    val t1 = graft.meta.PgTransportFactory.open(mdsn)
+    t1.execute("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ READ ONLY")
+    t1.close()
+    assert(p.executedStatements.lastOption.contains("ROLLBACK"),
+      s"released transport not reset: ${p.executedStatements}")
+    val t2 = graft.meta.PgTransportFactory.open(mdsn)
+    t2.close()
+    assert(graft.meta.PgConnectionPool.stats(mdsn)._2 >= 1, "reset transport not reused")
+    // 2) unfinished COPY IN on release → transport discarded, not pooled
+    val t3 = graft.meta.PgTransportFactory.open(mdsn)
+    val reusesBefore = graft.meta.PgConnectionPool.stats(mdsn)._2
+    t3.copyIn("""COPY "public"."t" ("id") FROM STDIN (FORMAT binary)""") // never completed
+    t3.close()
+    val t4 = graft.meta.PgTransportFactory.open(mdsn)
+    t4.close()
+    assert(graft.meta.PgConnectionPool.stats(mdsn)._2 == reusesBefore,
+      "transport with unfinished COPY must not be reused")
+  }
+
+  test("snapshot lease keeps exporting transaction open until release") {
+    val p = InMemoryPg.forName("leasespec")
+    p.createTable("public", "t", Seq("id" -> PgInt8))
+    p.executedStatements.clear()
+    val lease = new graft.meta.PgSnapshotLease("mem:leasespec")
+    assert(lease.snapshotId.nonEmpty)
+    assert(p.executedStatements.exists(_.startsWith(
+      "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")),
+      "snapshot must be exported inside a REPEATABLE READ transaction")
+    assert(!p.executedStatements.exists(_.startsWith("COMMIT")),
+      "exporting transaction must stay open while readers adopt the snapshot")
+    lease.release()
+    assert(p.executedStatements.exists(_.startsWith("COMMIT")))
+  }
 }

@@ -44,7 +44,12 @@ class SqlGenSpec extends AnyFunSuite {
       And(GreaterThanOrEqual("a", 1), Or(IsNotNull("b"), EqualTo("c", true))))
       .contains("""("a" >= 1 AND ("b" IS NOT NULL OR "c" = true))"""))
     assert(compileFilter(In("a", Array(1, 2, 3))).contains(""""a" IN (1, 2, 3)"""))
-    assert(compileFilter(StringStartsWith("s", "pre%")).contains(""""s" LIKE 'pre\\%%'"""))
+    // standard_conforming_strings: backslashes NOT doubled in the
+    // literal; LIKE gets an explicit ESCAPE clause
+    assert(compileFilter(StringStartsWith("s", "pre%"))
+      .contains(""""s" LIKE 'pre\%%' ESCAPE '\'"""))
+    assert(compileFilter(EqualTo("a", """back\slash"""))
+      .contains(""""a" = 'back\slash'"""))
   }
 
   test("struct field references compile to parenthesized extraction") {
