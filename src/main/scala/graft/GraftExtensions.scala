@@ -5,15 +5,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{PgCtidPack, PgCtidText, PgCtidUnpack}
+import graft.functions.{PgCtidPack, PgCtidText, PgCtidUnpack, VecDot}
 
 /** `--conf spark.sql.extensions=graft.GraftExtensions` — registers the
   * engine's SQL surface: the ctid pack/unpack expressions (SURVEY.md
-  * §7.3). Everything else in the engine is standard DSv2/catalog
-  * plumbing that needs no Catalyst extension.
+  * §7.3) and the codegen'd `vec_dot` embedding fold. Everything else
+  * in the engine is standard DSv2/catalog plumbing that needs no
+  * Catalyst extension.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
     e.injectFunction((
       FunctionIdentifier("pg_ctid_pack"),
       new ExpressionInfo(classOf[PgCtidPack].getName, "pg_ctid_pack"),

@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Approximate nearest-neighbor search over embedding columns.
   *
   * Two paths:
@@ -21,27 +23,27 @@ import org.apache.spark.sql.functions._
   *     (persist/bucketBy on the bucket key), so each search touches
   *     ~L·(1+B)·n/2^B corpus rows instead of n.
   *
-  * All arithmetic is Spark built-ins (zip_with/aggregate folds —
-  * codegen'd, no UDFs); hyperplanes are deterministic from a fixed
-  * seed so results are reproducible run to run.
+  * Dot products go through the codegen'd `vec_dot` expression
+  * (graft.functions.VecDot) — sequential left-fold double arithmetic,
+  * deterministic and oracle-exact. The hyperplane tensor is carried as
+  * ONE nested-array literal (`typedlit`), not B·L·dim separate `lit`
+  * nodes: the expression tree stays ~30 nodes instead of ~40k, which
+  * keeps task binaries small and plan compilation off the hot path.
+  * Hyperplanes are deterministic from a fixed seed so results are
+  * reproducible run to run.
   */
 object Ann {
 
-  /** sequential left-fold dot product (deterministic per row) */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  import VectorFunctions.{vec_dot, vec_cosine}
 
   /** Exact brute-force cosine top-k for each query vector. */
   def bruteTopK(
       queries: DataFrame, // (query_id, qv)
       corpus: DataFrame, // (neighbor_id, cv)
       k: Int): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", vec_cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -51,7 +53,7 @@ object Ann {
 
   /** Deterministic random hyperplanes: L tables × B bits, each plane a
     * `dim`-vector. Generated on the driver (tiny) and inlined as a
-    * literal — broadcast with the plan, no shuffle. */
+    * single nested-array literal — broadcast with the plan, no shuffle. */
   def planes(dim: Int, tables: Int, bits: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
     val rnd = new Random(seed)
     Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
@@ -60,14 +62,17 @@ object Ann {
   /** Hash every row of `df` into its L bucket codes:
     * output = input columns + (table INT, bucket INT). */
   def bucketize(df: DataFrame, vecCol: String, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val tableBuckets: Seq[Column] = planes.zipWithIndex.map { case (tablePlanes, t) =>
-      val code = tablePlanes.zipWithIndex.map { case (p, i) =>
-        val planeLit = array(p.map(lit): _*)
-        when(dot(col(vecCol), planeLit) > 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      struct(lit(t).as("table"), code.as("bucket"))
-    }
-    df.withColumn("tb", explode(array(tableBuckets: _*)))
+    VectorFunctions.register(df.sparkSession)
+    val bits = planes.head.length
+    val planesLit = typedlit(planes) // array<array<array<double>>>
+    // per table t: bucket = Σ_i [dot(v, plane_i) > 0] · 2^i
+    val tb = transform(planesLit, (tablePlanes, t) =>
+      struct(
+        t.cast("int").as("table"),
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, i) =>
+          acc + when(vec_dot(col(vecCol), element_at(tablePlanes, i + 1)) > 0,
+            shiftleft(lit(1), i)).otherwise(lit(0))).as("bucket")))
+    df.withColumn("tb", explode(tb))
       .withColumn("table", col("tb.table"))
       .withColumn("bucket", col("tb.bucket"))
       .drop("tb")
@@ -88,7 +93,12 @@ object Ann {
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
     val ps = planes(dim, tables, bits, seed)
-    val hashedCorpus = bucketize(corpus, "cv", ps)
+    // single-row-group test files scan as one partition; spread the
+    // corpus before the (compute-heavy) hashing so it parallelizes.
+    // At real scale the source has >cores splits and this shuffle is
+    // row-count-proportional, tiny next to the hashing it unlocks.
+    val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val hashedCorpus = bucketize(spread, "cv", ps)
       .select(col("neighbor_id"), col("cv"), col("table"), col("bucket"))
     val hashedQueries = bucketize(queries, "qv", ps)
       .withColumn("probe", explode(probes(col("bucket"), bits)))
@@ -99,7 +109,7 @@ object Ann {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.withColumn("cos", cosine(col("qv"), col("cv")))
+    candidates.withColumn("cos", vec_cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
