@@ -71,7 +71,7 @@ object Ann {
         t.cast("int").as("table"),
         aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, i) =>
           acc + when(vec_dot(col(vecCol), element_at(tablePlanes, i + 1)) > 0,
-            shiftleft(lit(1), i)).otherwise(lit(0))).as("bucket")))
+            pow(lit(2.0), i).cast("int")).otherwise(lit(0))).as("bucket")))
     df.withColumn("tb", explode(tb))
       .withColumn("table", col("tb.table"))
       .withColumn("bucket", col("tb.bucket"))
@@ -93,11 +93,16 @@ object Ann {
       bits: Int = 8,
       seed: Long = 42L): DataFrame = {
     val ps = planes(dim, tables, bits, seed)
-    // single-row-group test files scan as one partition; spread the
+    // Single-row-group test files scan as one partition; spread the
     // corpus before the (compute-heavy) hashing so it parallelizes.
-    // At real scale the source has >cores splits and this shuffle is
-    // row-count-proportional, tiny next to the hashing it unlocks.
-    val spread = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    // Only when the source is genuinely under-split: at real scale the
+    // source already has >cores splits and a full-width repartition of
+    // the embedding column would be the dominant (and pointless) shuffle.
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (corpus.rdd.getNumPartitions < math.min(parallelism, 8))
+        corpus.repartition(parallelism)
+      else corpus
     val hashedCorpus = bucketize(spread, "cv", ps)
       .select(col("neighbor_id"), col("cv"), col("table"), col("bucket"))
     val hashedQueries = bucketize(queries, "qv", ps)
