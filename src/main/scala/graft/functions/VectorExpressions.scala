@@ -22,8 +22,10 @@ import org.apache.spark.sql.types._
   * left-to-right `acc += (double) a(i) * (double) b(i)` — the same
   * accumulation order as DuckDB's `list_sum(list_transform(...))`, so
   * oracle hash-comparison stays bit-identical. A null element (or a
-  * null array) yields NULL, like the zip_with/aggregate composition.
-  * Vectors of unequal length are folded over the common prefix.
+  * null array) yields NULL, like the zip_with/aggregate composition —
+  * and so do unequal-length vectors (zip_with pads the shorter side
+  * with nulls, which propagate through the sum), rather than silently
+  * folding the common prefix.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -58,7 +60,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val y = b.asInstanceOf[ArrayData]
     val lt = elemType(left)
     val rt = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -77,13 +80,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val getA = CodeGenerator.getValue(a, elemType(left), i)
       val getB = CodeGenerator.getValue(b, elemType(right), i)
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double)($getA) * (double)($getB);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double)($getA) * (double)($getB);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 

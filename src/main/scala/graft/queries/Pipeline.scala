@@ -229,9 +229,11 @@ object PipelineOps {
     }
     // band rows carry only (ids, band key): the candidate self-join and
     // pair-dedup shuffle narrow rows; token arrays are re-attached
-    // afterwards via two broadcast joins against the (small per-block)
-    // toks relation. At scale this keeps the wide payload out of the
-    // hot shuffle — the dominant cost of LSH joins.
+    // afterwards by joining back on doc id. The re-attach join strategy
+    // is left to AQE — at sf0.1 it broadcasts, at 100 TB it shuffles on
+    // doc id; forcing broadcast of the full corpus token relation would
+    // OOM at scale. Either way the wide payload stays out of the hot
+    // LSH self-join shuffle — the dominant cost of LSH joins.
     val banded = toks.select(col("doc_id"), col("source"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("source"),
@@ -247,8 +249,8 @@ object PipelineOps {
     val ta = toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))
     val tb = toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
     cands
-      .join(broadcast(ta), "doc_a")
-      .join(broadcast(tb), "doc_b")
+      .join(ta, "doc_a")
+      .join(tb, "doc_b")
       .withColumn("jac",
         size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
           size(array_union(col("tok_a"), col("tok_b"))))
@@ -529,38 +531,80 @@ object PipelineOps {
   val st02_sql: String = q23_sql
 
   // ---------------------------------------------------------------- //
-  // p10: embedding-cosine near-duplicate pairs, blocked by label (the
-  // cheap blocking key; at scale the block key is an LSH bucket — see
-  // s02). Exact cosine within blocks, threshold 0.35 (these synthetic
-  // embeddings are weakly correlated; real near-dups sit at 0.95+).
+  // p10: embedding-cosine near-duplicate pairs, blocked by LSH bucket
+  // (random-hyperplane signatures via operators.Ann.bucketize — the
+  // same bucketed path as s02). Candidates = pairs sharing any
+  // (table, bucket); exact cosine >= 0.35 verifies. Unlike a
+  // categorical block key (r2 used `label`), bucket granularity is
+  // tunable (bits) and splits on similarity structure, so no hot key
+  // degenerates to O(block²). The hyperplanes are deterministic
+  // doubles from a fixed seed, inlined as literals into the oracle
+  // SQL — dot-product folds are bit-identical cross-engine, so even
+  // the bucketing stays exactly hash-checked.
   // ---------------------------------------------------------------- //
+  private val p10TablesN = 4
+  private val p10BitsN = 8
+  private lazy val p10Planes: Seq[Seq[Seq[Double]]] =
+    graft.operators.Ann.planes(dim = 64, tables = p10TablesN, bits = p10BitsN, seed = 42L)
+
   def p10_embedding_dedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot, vec_norm}
     val emb = t(s, dir, "embeddings")
+    // candidate generation shuffles only narrow (vec_id, table, bucket)
+    // rows; embeddings re-attach afterwards by id (join strategy left
+    // to AQE — broadcast at test scale, shuffle at 100 TB)
+    val hashed = graft.operators.Ann.bucketize(
+        emb.select(col("vec_id"), col("embedding")), "embedding", p10Planes)
+      .select(col("vec_id"), col("table"), col("bucket"))
+    val cands = hashed.as("a").join(hashed.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
     // norms computed ONCE per vector before the pair join — recomputing
     // them per pair would triple the dominant cost (O(pairs · dim))
-    val norm = sqrt(fold(zip_with(col("embedding"), col("embedding"),
-      (x, y) => x.cast("double") * y.cast("double"))))
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("va"), norm.as("norm_a"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("vb"), norm.as("norm_b"))
-    val dotAB = fold(zip_with(col("va"), col("vb"), (x, y) => x.cast("double") * y.cast("double")))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dotAB / (col("norm_a") * col("norm_b")))
+    val ea = emb.select(col("vec_id").as("vec_a"),
+      col("embedding").as("va"), vec_norm(col("embedding")).as("norm_a"))
+    val eb = emb.select(col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), vec_norm(col("embedding")).as("norm_b"))
+    cands.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cos", vec_dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= 0.35)
-      .select(col("label"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val p10_sql: String = {
-    val dotE = "list_sum(list_transform(range(1, len(a.va)+1), i -> CAST(a.va[i] AS DOUBLE) * CAST(b.vb[i] AS DOUBLE)))"
-    val norm = "sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
-    s"""WITH a AS (SELECT label, vec_id AS vec_a, embedding AS va, $norm AS norm_a FROM embeddings),
-       |b AS (SELECT label, vec_id AS vec_b, embedding AS vb, $norm AS norm_b FROM embeddings)
-       |SELECT a.label, vec_a, vec_b, round($dotE / (norm_a * norm_b), 6) AS cos_sim
-       |FROM a JOIN b ON a.label = b.label AND vec_a < vec_b
-       |WHERE $dotE / (norm_a * norm_b) >= 0.35
+    // the hyperplane tensor inlined as VALUES rows (tbl, bit, plane);
+    // Double.toString round-trips exactly, so DuckDB sees the same
+    // doubles Spark's typedlit carries
+    val values = p10Planes.zipWithIndex.flatMap { case (tps, tbl) =>
+      tps.zipWithIndex.map { case (p, bit) =>
+        s"($tbl, $bit, [${p.mkString(", ")}])"
+      }
+    }.mkString(",\n    ")
+    val planeDot =
+      "list_sum(list_transform(range(1, 65), k -> CAST(e.embedding[k] AS DOUBLE) * p.p[k]))"
+    val pairDot =
+      "list_sum(list_transform(range(1, 65), k -> CAST(na.embedding[k] AS DOUBLE) * CAST(nb.embedding[k] AS DOUBLE)))"
+    val norm =
+      "sqrt(list_sum(list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE))))"
+    s"""WITH planes AS (
+       |  SELECT * FROM (VALUES
+       |    $values) v(tbl, bit, p)),
+       |hashed AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(SUM(CASE WHEN $planeDot > 0 THEN (1 << p.bit) ELSE 0 END) AS INT) AS bucket
+       |  FROM embeddings e CROSS JOIN planes p
+       |  GROUP BY e.vec_id, p.tbl),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM hashed a JOIN hashed b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, embedding, $norm AS nrm FROM embeddings)
+       |SELECT vec_a, vec_b, round($pairDot / (na.nrm * nb.nrm), 6) AS cos_sim
+       |FROM cands JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+       |WHERE $pairDot / (na.nrm * nb.nrm) >= 0.35
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 

@@ -48,6 +48,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(biggest < n / 2, s"degenerate LSH bucket of size $biggest")
   }
 
+  test("p10 LSH blocking generates sublinear candidate volume") {
+    // candidate pairs from the bucketed self-join must stay far below
+    // all-pairs — the reason p10 blocks by LSH bucket, not a hot
+    // categorical key
+    val e = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val n = e.count()
+    val hashed = Ann.bucketize(
+        e.select(col("vec_id"), col("embedding")), "embedding",
+        Ann.planes(dim = 64, tables = 4, bits = 8))
+      .select(col("vec_id"), col("table"), col("bucket"))
+    val cands = hashed.as("a").join(hashed.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+    val allPairs = n * (n - 1) / 2
+    assert(cands < allPairs / 10,
+      s"candidates $cands not sublinear vs all-pairs $allPairs")
+  }
+
+  test("p08 token re-attach carries no broadcast hint (AQE decides)") {
+    // forcing broadcast of the full token relation OOMs at scale; the
+    // logical plan must leave join strategy to the optimizer
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.queries.PipelineOps.p08_lsh_pairs(spark, "/root/testdata/sf0.001")
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"unexpected join hints: $hints")
+  }
+
   test("multimodal pipeline: decode features partition-wise with error rows") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(docs)
