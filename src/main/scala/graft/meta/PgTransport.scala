@@ -51,12 +51,32 @@ object PgTransportFactory {
 
   def open(dsn: String): PgTransport = PgConnectionPool.acquire(dsn)
 
-  private[meta] def openRaw(dsn: String): PgTransport =
-    if (dsn.startsWith("mem:")) InMemoryPg.forName(dsn.stripPrefix("mem:"))
-    else throw new IllegalArgumentException(
-      s"unsupported dsn '$dsn': only mem: endpoints are available in this " +
-        "offline build; a live server needs the socket transport")
+  /** A dedicated transport outside the pool's permit budget — used by
+    * the snapshot lease, whose held-open exporting transaction must
+    * never starve the per-DSN connection budget for the partition
+    * readers it serves. */
+  private[graft] def openUnpooled(dsn: String): PgTransport = openRaw(dsn)
+
+  private[meta] def openRaw(dsn: String): PgTransport = {
+    val t =
+      if (dsn.startsWith("mem:")) InMemoryPg.forName(dsn.stripPrefix("mem:"))
+      else throw new IllegalArgumentException(
+        s"unsupported dsn '$dsn': only mem: endpoints are available in this " +
+          "offline build; a live server needs the socket transport")
+    // pin the quoting assumption PgSqlGen.quoteString relies on rather
+    // than inheriting it from server/pooler config: with scs=off a
+    // pushed string literal ending in a backslash would swallow its
+    // closing quote (query breakage / injection vector)
+    t.execute("SET standard_conforming_strings = on")
+    t
+  }
 }
+
+/** What an InputPartition carries to adopt a shared snapshot: the
+  * server-side snapshot id plus the driver-side lease token used to
+  * report adoption back to [[PgSnapshotLease]]. */
+final case class SnapshotRef(snapshotId: String, leaseToken: String)
+    extends Serializable
 
 /** Driver-side lease that keeps the snapshot-exporting transaction open
   * while parallel partition readers adopt the snapshot. On a real server
@@ -65,19 +85,39 @@ object PgTransportFactory {
   * READ transaction open for the scan's lifetime —
   * ref: src/postgres_scanner.cpp:80, 281-283), so the transport here is
   * held, inside `BEGIN ... REPEATABLE READ READ ONLY`, until
-  * [[release]] — called when the owning Scan is done (or via Cleaner /
-  * JVM shutdown as a backstop).
+  * [[release]].
+  *
+  * Release is deterministic: the lease knows how many partitions will
+  * adopt the snapshot, each reader reports adoption after its
+  * `SET TRANSACTION SNAPSHOT`, and the last adoption commits the
+  * exporting transaction — at that point every reader's own transaction
+  * has captured the snapshot and the export is no longer needed. The
+  * adoption report goes through an in-JVM registry, so it fires in
+  * local mode and is a no-op from remote executors; Cleaner-on-Scan-GC
+  * remains the backstop for those, bounding how long a dead scan can
+  * pin a server transaction. The transport is unpooled, so a held lease
+  * never consumes a reader's pool permit.
   */
-final class PgSnapshotLease(dsn: String) extends AutoCloseable {
+final class PgSnapshotLease(dsn: String, expectedAdoptions: Int) extends AutoCloseable {
   private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private val transport = PgTransportFactory.open(dsn)
+  private val remaining = new java.util.concurrent.atomic.AtomicInteger(expectedAdoptions)
+  private val transport = PgTransportFactory.openUnpooled(dsn)
+  val token: String = java.util.UUID.randomUUID().toString
   val snapshotId: String =
     try {
       transport.execute(PgCatalogQueries.beginReadOnly)
       transport.query(PgCatalogQueries.exportSnapshot).head.head
     } catch { case e: Throwable => transport.close(); throw e }
 
+  def ref: SnapshotRef = SnapshotRef(snapshotId, token)
+
+  def isReleased: Boolean = released.get()
+
+  private[meta] def adopted(): Unit =
+    if (remaining.decrementAndGet() <= 0) release()
+
   def release(): Unit = if (released.compareAndSet(false, true)) {
+    PgSnapshotLease.registry.remove(token)
     try transport.execute("COMMIT")
     finally transport.close()
   }
@@ -86,15 +126,31 @@ final class PgSnapshotLease(dsn: String) extends AutoCloseable {
 
 object PgSnapshotLease {
   private val cleaner = java.lang.ref.Cleaner.create()
+  private[meta] val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, PgSnapshotLease]()
 
-  /** Open a lease whose release is additionally tied to `owner`'s
-    * reachability: when the Scan object is GC'd after query execution,
-    * the lease's transaction is committed and the transport returned. */
-  def openFor(owner: AnyRef, dsn: String): PgSnapshotLease = {
-    val lease = new PgSnapshotLease(dsn)
+  /** Open a lease for `expectedAdoptions` partition readers. Release is
+    * also tied to `owner`'s reachability as a backstop: when the Scan
+    * object is GC'd after query execution, the lease's transaction is
+    * committed and the transport closed. */
+  def openFor(owner: AnyRef, dsn: String, expectedAdoptions: Int): PgSnapshotLease = {
+    val lease = new PgSnapshotLease(dsn, expectedAdoptions)
+    registry.put(lease.token, lease)
     cleaner.register(owner, () => lease.release())
     lease
   }
+
+  /** Called by a partition reader right after `SET TRANSACTION
+    * SNAPSHOT`. In-JVM only (local mode / driver-side readers); a miss
+    * — e.g. from a remote executor — is a harmless no-op. */
+  def reportAdoption(ref: SnapshotRef): Unit = {
+    val lease = registry.get(ref.leaseToken)
+    if (lease != null) lease.adopted()
+  }
+
+  /** Leases currently holding a server transaction open (observability
+    * for tests: a completed scan must leave none behind). */
+  def activeLeases: Int = registry.size
 }
 
 /** Per-JVM transport pool, the reference's connection pool shape
@@ -183,11 +239,18 @@ object PgConnectionPool {
             settled = true
             // drain to the end of the COPY so the connection is back in
             // a command-ready state (libpq likewise consumes copy data
-            // to completion); failure leaves the copy open → discard
+            // to completion) — but bounded: a scan terminated early
+            // (e.g. a LIMIT stopped consuming) must not read the whole
+            // remaining table over the wire just to recycle one
+            // connection. Past the budget the copy stays open and
+            // close() discards the connection instead.
             try {
               val buf = new Array[Byte](8192)
-              while (in.read(buf) != -1) ()
-              openCopies -= 1
+              val budget = 4L * 1024 * 1024
+              var drained = 0L
+              var n = in.read(buf)
+              while (n != -1 && drained <= budget) { drained += n; n = in.read(buf) }
+              if (n == -1) openCopies -= 1
             } catch { case _: Exception => () }
           }
           super.close()

@@ -389,15 +389,19 @@ final class PostgresScan(
         // snapshot-consistent parallel read: export one snapshot inside
         // a REPEATABLE READ transaction that stays open while readers
         // adopt it — an exported snapshot is only valid while the
-        // exporting transaction is in progress. The lease is owned by
-        // this Scan (referenced by the physical plan for the query's
-        // lifetime) and released when the Scan is reclaimed
-        // (ref: src/postgres_scanner.cpp:65-100, 280-285).
-        val snapshot: Option[String] =
+        // exporting transaction is in progress. The lease releases
+        // deterministically once every partition reader has adopted
+        // the snapshot (Cleaner on this Scan as the backstop —
+        // ref: src/postgres_scanner.cpp:65-100, 280-285). Re-planning
+        // the same Scan releases the previous lease instead of
+        // leaking it.
+        snapshotLease.foreach(_.release())
+        snapshotLease = None
+        val snapshot: Option[graft.meta.SnapshotRef] =
           if (capped.length > 1) {
-            val lease = graft.meta.PgSnapshotLease.openFor(this, opts.dsn)
+            val lease = graft.meta.PgSnapshotLease.openFor(this, opts.dsn, capped.length)
             snapshotLease = Some(lease)
-            Some(lease.snapshotId)
+            Some(lease.ref)
           } else None
         capped.map { r =>
           val useRange = opts.useCtidScan && table.pages > 0
@@ -426,7 +430,8 @@ final class PostgresScan(
 }
 
 final case class PostgresInputPartition(
-    dsn: String, sql: String, snapshot: Option[String]) extends InputPartition
+    dsn: String, sql: String, snapshot: Option[graft.meta.SnapshotRef])
+    extends InputPartition
 
 final class PostgresReaderFactory(cols: Seq[ScanColumn], required: StructType)
     extends PartitionReaderFactory {
@@ -440,17 +445,19 @@ final class PostgresReaderFactory(cols: Seq[ScanColumn], required: StructType)
 final class PostgresPartitionReader(
     dsn: String,
     sql: String,
-    snapshot: Option[String],
+    snapshot: Option[graft.meta.SnapshotRef],
     cols: Seq[ScanColumn],
     required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val transport = PgTransportFactory.open(dsn)
-  // adopt the exported snapshot before streaming
+  // adopt the exported snapshot before streaming, then report the
+  // adoption so the lease can release once the last reader is in
   // (ref: src/postgres_scanner.cpp:354-383)
-  snapshot.foreach { id =>
+  snapshot.foreach { ref =>
     transport.execute(graft.meta.PgCatalogQueries.beginReadOnly)
-    transport.execute(graft.meta.PgCatalogQueries.setSnapshot(id))
+    transport.execute(graft.meta.PgCatalogQueries.setSnapshot(ref.snapshotId))
+    graft.meta.PgSnapshotLease.reportAdoption(ref)
   }
   private val reader = new graft.codec.PgBinaryReader(
     cols.map(_.pgType), required.fields.map(_.dataType).toSeq)
@@ -599,10 +606,15 @@ final class PostgresDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    binWriter.foreach(_.writeTrailer(out))
-    out.close() // completes the COPY, applying the buffered rows
-    transport.execute("COMMIT")
-    transport.close()
+    // transport.close() must run even if completing the COPY or the
+    // COMMIT throws — the pool's return logic rolls back or discards
+    // as appropriate; skipping it would leak the connection and its
+    // pool permit for the rest of the JVM
+    try {
+      binWriter.foreach(_.writeTrailer(out))
+      out.close() // completes the COPY, applying the buffered rows
+      transport.execute("COMMIT")
+    } finally transport.close()
     new WriterCommitMessage {}
   }
 

@@ -358,7 +358,7 @@ class PostgresConnectorSpec extends AnyFunSuite {
     val p = InMemoryPg.forName("leasespec")
     p.createTable("public", "t", Seq("id" -> PgInt8))
     p.executedStatements.clear()
-    val lease = new graft.meta.PgSnapshotLease("mem:leasespec")
+    val lease = new graft.meta.PgSnapshotLease("mem:leasespec", expectedAdoptions = 99)
     assert(lease.snapshotId.nonEmpty)
     assert(p.executedStatements.exists(_.startsWith(
       "BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")),
@@ -367,5 +367,29 @@ class PostgresConnectorSpec extends AnyFunSuite {
       "exporting transaction must stay open while readers adopt the snapshot")
     lease.release()
     assert(p.executedStatements.exists(_.startsWith("COMMIT")))
+  }
+
+  test("snapshot lease releases deterministically once all readers adopt") {
+    pg
+    // multi-partition scan → lease opened at planning; the last
+    // partition reader's adoption must release it without waiting
+    // for the Scan to be GC'd
+    val df = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load()
+    assert(df.count() == 300)
+    assert(graft.meta.PgSnapshotLease.activeLeases == 0,
+      "completed scan left a snapshot lease holding a server transaction")
+  }
+
+  test("lease transport is unpooled: a held lease never consumes a reader permit") {
+    val p = InMemoryPg.forName("leasebudget")
+    p.createTable("public", "t", Seq("id" -> PgInt8))
+    val mdsn = "mem:leasebudget"
+    val before = graft.meta.PgConnectionPool.stats(mdsn)._1
+    val lease = new graft.meta.PgSnapshotLease(mdsn, expectedAdoptions = 1)
+    val after = graft.meta.PgConnectionPool.stats(mdsn)._1
+    assert(after == before, "lease must not draw from the pooled permit budget")
+    lease.release()
   }
 }
