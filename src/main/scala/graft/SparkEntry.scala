@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.entries.map { case (k, (fn, _)) => k -> fn } ++
-      graft.queries.PipelineOps.entries.map { case (k, (fn, _)) => k -> fn }
+      graft.queries.PipelineOps.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.entries.map { case (k, (_, sql)) => k -> sql } ++
-      graft.queries.PipelineOps.entries.collect { case (k, (_, Some(sql))) => k -> sql }
+      graft.queries.PipelineOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }
