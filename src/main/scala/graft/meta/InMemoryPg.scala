@@ -124,6 +124,211 @@ final class InMemoryPg(val name: String) extends PgTransport {
   }
 
   // ---------------------------------------------------------------- //
+  // Describe + mini evaluator for arbitrary SELECT shapes — the offline
+  // analogue of the PQprepare/PQdescribePrepared handshake the
+  // reference uses to bind `postgres_query` result shapes
+  // (ref: src/postgres_query.cpp:41-86). Supports: projection (cols,
+  // aliases, *), count/min/max/sum aggregates, WHERE conjunctions of
+  // simple comparisons, GROUP BY, ORDER BY, LIMIT. A live server binds
+  // genuinely arbitrary SQL; this covers the shapes tests exercise.
+  // ---------------------------------------------------------------- //
+
+  private val SelectRe: Regex =
+    ("""(?is)\s*SELECT\s+(.+?)\s+FROM\s+(?:"?([\w]+)"?\.)?"?([\w]+)"?""" +
+      """(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?""" +
+      """(?:\s+ORDER\s+BY\s+(.+?))?(?:\s+LIMIT\s+(\d+))?\s*;?\s*""").r
+
+  private final case class MiniQuery(
+      schema: String, table: String, itemsRaw: String,
+      where: Option[String], groupBy: Option[String],
+      orderBy: Option[String], limit: Option[Int])
+
+  private sealed trait Item { def name: String }
+  private final case class ColItem(col: String, name: String) extends Item
+  private final case class AggI(fn: String, col: Option[String], name: String) extends Item
+
+  private val AggSelRe: Regex =
+    """(?i)(count|min|max|sum)\(\s*(\*|"[^"]+"|[\w]+)\s*\)(?:\s+(?:AS\s+)?"?([\w]+)"?)?""".r
+  private val ColSelRe: Regex =
+    """"?([\w]+)"?(?:\s+(?:AS\s+)?"?([\w]+)"?)?""".r
+  private val PredRe: Regex =
+    """"?([\w]+)"?\s*(=|<>|!=|<=|>=|<|>)\s*(.+)""".r
+
+  private def parseSelect(sql: String): MiniQuery = sql match {
+    case SelectRe(items, schOrNull, tbl, whereOrNull, gbOrNull, obOrNull, limOrNull) =>
+      MiniQuery(Option(schOrNull).getOrElse("public"), tbl, items,
+        Option(whereOrNull), Option(gbOrNull), Option(obOrNull),
+        Option(limOrNull).map(_.toInt))
+    case other =>
+      throw new IllegalArgumentException(s"InMemoryPg: cannot bind query: $other")
+  }
+
+  private def unq(s: String): String =
+    s.trim.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+
+  private def bindItems(q: MiniQuery, t: MemTable): Seq[Item] =
+    splitTop(q.itemsRaw).flatMap {
+      case "*" => t.columns.map { case (n, _) => ColItem(n, n) }
+      case AggSelRe(fn, arg, aliasOrNull) =>
+        val f = fn.toLowerCase
+        val col = if (arg == "*") None else Some(unq(arg))
+        col.foreach(c => require(t.colIndex(c) >= 0, s"column $c not found"))
+        Seq(AggI(f, col, Option(aliasOrNull).getOrElse(f)))
+      case ColSelRe(col, aliasOrNull) =>
+        require(t.colIndex(col) >= 0, s"column $col not found in ${t.schema}.${t.table}")
+        Seq(ColItem(col, Option(aliasOrNull).getOrElse(col)))
+      case other =>
+        throw new IllegalArgumentException(s"InMemoryPg: cannot bind select item: $other")
+    }
+
+  private def itemType(it: Item, t: MemTable): PgType = it match {
+    case ColItem(c, _) => t.colTypes(t.colIndex(c))
+    case AggI("count", _, _) => PgInt8
+    case AggI("min" | "max", Some(c), _) => t.colTypes(t.colIndex(c))
+    case AggI("sum", Some(c), _) => t.colTypes(t.colIndex(c)) match {
+      // PG: sum(int2|int4) → int8, sum(float) → float8; sum(int8) →
+      // numeric, unsupported offline (unconstrained numeric wire value)
+      case PgInt2 | PgInt4 => PgInt8
+      case PgFloat4 | PgFloat8 => PgFloat8
+      case other => throw new IllegalArgumentException(
+        s"InMemoryPg: sum over $other is not supported in offline describe")
+    }
+    case other => throw new IllegalArgumentException(s"cannot type $other")
+  }
+
+  /** PQdescribePrepared analogue: bind the result shape offline. */
+  override def describe(sql: String): Seq[(String, PgType)] = {
+    val q = parseSelect(sql)
+    val t = getTable(q.schema, q.table)
+    val items = bindItems(q, t)
+    val names = items.map(_.name)
+    require(names.distinct.length == names.length,
+      s"duplicate output names $names — alias aggregate items")
+    items.map(it => it.name -> itemType(it, t))
+  }
+
+  /** natural-order comparison used by WHERE/ORDER BY evaluation */
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: org.apache.spark.unsafe.types.UTF8String, y) => x.toString.compareTo(y.toString)
+    case (x, y) =>
+      def bd(v: Any): java.math.BigDecimal = v match {
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case other => new java.math.BigDecimal(other.toString)
+      }
+      bd(x).compareTo(bd(y))
+  }
+
+  private def litValue(raw: String): Any = {
+    val s = raw.trim
+    if (s.startsWith("'"))
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        s.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+    else s // numeric text; cmpAny parses via BigDecimal
+  }
+
+  /** Evaluate a bound SELECT: (columns with types, result rows). */
+  private def evalSelect(sql: String): (Seq[(String, PgType)], Seq[Array[Any]]) = {
+    val q = parseSelect(sql)
+    val t = getTable(q.schema, q.table)
+    val items = bindItems(q, t)
+    val shape = items.map(it => it.name -> itemType(it, t))
+
+    // WHERE: conjunction of simple comparisons
+    val preds: Seq[(Int, String, Any)] = q.where.toSeq.flatMap { w =>
+      w.split("(?i)\\s+AND\\s+").toSeq.map {
+        case PredRe(col, op, lit) =>
+          val i = t.colIndex(unq(col))
+          require(i >= 0, s"WHERE column $col not found")
+          (i, op, litValue(lit))
+        case other =>
+          throw new IllegalArgumentException(s"InMemoryPg: cannot bind predicate: $other")
+      }
+    }
+    def passes(r: InternalRow): Boolean = preds.forall { case (i, op, lit) =>
+      if (r.isNullAt(i)) false
+      else {
+        val c = cmpAny(r.get(i, PgType.toSpark(t.colTypes(i))), lit)
+        op match {
+          case "=" => c == 0
+          case "<>" | "!=" => c != 0
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case ">=" => c >= 0
+        }
+      }
+    }
+    val rows = t.slots.flatten.filter(passes).toSeq
+
+    def colVal(r: InternalRow, c: String): Any = {
+      val i = t.colIndex(c)
+      if (r.isNullAt(i)) null else r.get(i, PgType.toSpark(t.colTypes(i)))
+    }
+
+    val isAgg = q.groupBy.isDefined || items.exists(_.isInstanceOf[AggI])
+    val result: Seq[Array[Any]] =
+      if (!isAgg) rows.map(r => items.map {
+        case ColItem(c, _) => colVal(r, c)
+        case other => throw new IllegalArgumentException(s"unexpected item $other")
+      }.toArray)
+      else {
+        val groupCols: Seq[String] = q.groupBy.toSeq.flatMap(g => splitTop(g).map(unq))
+        items.foreach {
+          case ColItem(c, _) => require(groupCols.contains(c),
+            s"column $c must appear in GROUP BY")
+          case _ =>
+        }
+        val grouped: Seq[(Seq[Any], Seq[InternalRow])] =
+          if (groupCols.isEmpty) Seq(Seq.empty[Any] -> rows)
+          else rows.groupBy(r => groupCols.map(colVal(r, _))).toSeq
+        grouped.map { case (_, grp) =>
+          items.map {
+            case ColItem(c, _) => colVal(grp.head, c)
+            case AggI("count", None, _) => grp.length.toLong
+            case AggI("count", Some(c), _) => grp.count(colVal(_, c) != null).toLong
+            case AggI(fn @ ("min" | "max"), Some(c), _) =>
+              val vs = grp.map(colVal(_, c)).filter(_ != null)
+              if (vs.isEmpty) null
+              else if (fn == "min") vs.reduce((a, b) => if (cmpAny(a, b) <= 0) a else b)
+              else vs.reduce((a, b) => if (cmpAny(a, b) >= 0) a else b)
+            case AggI("sum", Some(c), _) =>
+              val vs = grp.map(colVal(_, c)).filter(_ != null)
+              if (vs.isEmpty) null
+              else t.colTypes(t.colIndex(c)) match {
+                case PgInt2 => vs.map(_.asInstanceOf[Short].toLong).sum
+                case PgInt4 => vs.map(_.asInstanceOf[Int].toLong).sum
+                case PgFloat4 => vs.map(_.asInstanceOf[Float].toDouble).sum
+                case PgFloat8 => vs.map(_.asInstanceOf[Double]).sum
+                case other => throw new IllegalArgumentException(s"sum over $other")
+              }
+            case other => throw new IllegalArgumentException(s"cannot evaluate $other")
+          }.toArray
+        }
+      }
+
+    // ORDER BY output column (needed for deterministic LIMIT)
+    val ordered = q.orderBy match {
+      case Some(ob) =>
+        val ObRe = """"?([\w]+)"?(?:\s+(?i)(ASC|DESC))?""".r
+        ob.trim match {
+          case ObRe(col, dirOrNull) =>
+            val i = items.indexWhere(_.name == unq(col))
+            require(i >= 0, s"ORDER BY column $col not in select list")
+            val asc = dirOrNull == null || dirOrNull.equalsIgnoreCase("ASC")
+            val sorted = result.sortWith((a, b) => cmpAny(a(i), b(i)) < 0)
+            if (asc) sorted else sorted.reverse
+          case other =>
+            throw new IllegalArgumentException(s"InMemoryPg: cannot bind ORDER BY: $other")
+        }
+      case None => result
+    }
+    (shape, q.limit.map(ordered.take).getOrElse(ordered))
+  }
+
+  // ---------------------------------------------------------------- //
   // COPY OUT: serve PGCOPY binary for the connector-generated scan SQL
   // ---------------------------------------------------------------- //
   private val CopyOutAggRe: Regex =
@@ -132,6 +337,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
     """COPY \(SELECT (.+) FROM "([^"]+)"\."([^"]+)"(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
   private val CopyOutSubqueryRe: Regex =
     """COPY \(SELECT (.+) FROM \(SELECT \* FROM "?([\w]+)"?\."?([\w]+)"?\) AS __unnamed_subquery(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
+  private val CopyOutAnySubqueryRe: Regex =
+    """(?s)COPY \(SELECT (.+) FROM \((.+)\) AS __unnamed_subquery(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
   private val CtidRangeRe: Regex =
     """ctid BETWEEN '\((\d+),0\)'::tid AND '\((\d+),0\)'::tid""".r.unanchored
 
@@ -192,6 +399,29 @@ final class InMemoryPg(val name: String) extends PgTransport {
         else proj.split(",").map(_.trim).toSeq
           .map(_.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\""))
       serveRows(t, projCols, None)
+    case CopyOutAnySubqueryRe(proj, innerSql, _) =>
+      // arbitrary bound subquery (postgres_query form): evaluate the
+      // inner SELECT, apply the outer projection; pushed outer filters
+      // are ignored — Spark re-applies them (reference contract)
+      val (shape, rows) = evalSelect(innerSql)
+      val names = shape.map(_._1)
+      val (outTypes, idx): (Seq[PgType], Seq[Int]) =
+        if (proj.trim == "NULL") (Seq(PgText), Seq(-1))
+        else {
+          val cols = splitTop(proj).map(c => unq(c.takeWhile(_ != ':')))
+          (cols.map(c => shape(names.indexOf(c))._2), cols.map(names.indexOf))
+        }
+      val writer = new PgBinaryWriter(outTypes)
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      writer.writeHeader(out)
+      rows.foreach { r =>
+        val vals: Array[Any] = idx.map(i => if (i == -1) null else r(i)).toArray
+        writer.writeRow(out, new GenericInternalRow(vals))
+      }
+      writer.writeTrailer(out)
+      out.flush()
+      new ByteArrayInputStream(bos.toByteArray)
     case CopyOutRe(proj, sch, tbl, whereOrNull) =>
       val t = getTable(sch, tbl)
       val pageRange = Option(whereOrNull).flatMap {

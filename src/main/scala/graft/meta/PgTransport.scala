@@ -29,6 +29,14 @@ trait PgTransport extends AutoCloseable {
     * Mirrors libpq text-format result sets used for discovery. */
   def query(sql: String): Seq[Seq[String]]
 
+  /** Bind the result shape of an arbitrary SELECT without running it —
+    * the `PQprepare` + `PQdescribePrepared` handshake the reference
+    * uses for `postgres_query` (ref: src/postgres_query.cpp:41-86).
+    * Returns (column name, wire type) pairs. */
+  def describe(sql: String): Seq[(String, graft.types.PgType)] =
+    throw new UnsupportedOperationException(
+      "this transport cannot describe arbitrary SQL")
+
   /** `COPY (...) TO STDOUT (FORMAT binary)` byte stream. */
   def copyOut(sql: String): InputStream
 
@@ -228,6 +236,9 @@ object PgConnectionPool {
       }
     }
     override def query(sql: String): Seq[Seq[String]] = underlying.query(sql)
+
+    override def describe(sql: String): Seq[(String, graft.types.PgType)] =
+      underlying.describe(sql)
 
     override def copyOut(sql: String): java.io.InputStream = {
       val in = underlying.copyOut(sql)

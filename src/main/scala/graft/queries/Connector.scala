@@ -173,6 +173,26 @@ object ConnectorOps {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |WHERE n_regionkey <= 2 ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // c07: arbitrary postgres_query binding — an aggregate-shaped remote
+  // SQL whose result shape is bound through the transport's Describe
+  // handshake (PQprepare/PQdescribePrepared analogue), then streamed
+  // as a single-partition subquery scan
+  // ---------------------------------------------------------------- //
+  def c07_pg_query_agg(s: SparkSession, dir: String): DataFrame =
+    graft.functions.PgFunctions.postgresQuery(s, ensureSeeded(s, dir),
+      """SELECT c_mktsegment, count(*) AS n, sum(c_nationkey) AS sn,
+        |  min(c_acctbal) AS min_bal
+        |FROM public.customer WHERE c_acctbal > 500.0
+        |GROUP BY c_mktsegment""".stripMargin)
+      .orderBy(col("c_mktsegment"))
+
+  val c07_sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(c_nationkey) AS BIGINT) AS sn, min(c_acctbal) AS min_bal
+      |FROM customer WHERE c_acctbal > 500.0
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -181,5 +201,6 @@ object ConnectorOps {
     "c04_pg_agg_pushdown" -> ((c04_pg_agg_pushdown _, Some(c04_sql))),
     "c05_pg_write_roundtrip" -> ((c05_pg_write_roundtrip _, Some(c05_sql))),
     "c06_pg_query" -> ((c06_pg_query _, Some(c06_sql))),
+    "c07_pg_query_agg" -> ((c07_pg_query_agg _, Some(c07_sql))),
   )
 }

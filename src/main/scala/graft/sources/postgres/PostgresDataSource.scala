@@ -87,10 +87,10 @@ object PostgresTable {
     try {
       val cols: Seq[(String, PgType)] = opts.query match {
         case Some(q) =>
-          // postgres_query form: bind the result shape remotely
-          // (ref: src/postgres_query.cpp:41-86). The offline transport
-          // describes SELECT-* shapes; a live one uses Describe.
-          describeQuery(t, q)
+          // postgres_query form: bind the result shape remotely via the
+          // transport's Describe handshake (PQprepare +
+          // PQdescribePrepared, ref: src/postgres_query.cpp:41-86)
+          t.describe(q.trim.stripSuffix(";"))
         case None =>
           val info = t.query(PgCatalogQueries.tableInfo(opts.schema, opts.table.get))
           require(info.nonEmpty, s"relation ${opts.schema}.${opts.table.get} not found")
@@ -107,18 +107,6 @@ object PostgresTable {
     } finally t.close()
   }
 
-  private def describeQuery(t: PgTransport, q: String): Seq[(String, PgType)] = {
-    val FromRe = """(?is)\s*SELECT\s+\*\s+FROM\s+"?([\w]+)"?\."?([\w]+)"?\s*;?\s*""".r
-    q match {
-      case FromRe(sch, tbl) =>
-        t.query(PgCatalogQueries.tableInfo(sch, tbl)).map { r =>
-          r.head -> PgType.fromName(r(1), r(2).toInt, r(3).toInt)
-        }
-      case _ => throw new IllegalArgumentException(
-        "offline transport can only describe 'SELECT * FROM schema.table' " +
-          "queries; a live server binds arbitrary SQL via Describe")
-    }
-  }
 }
 
 final class PostgresTable(

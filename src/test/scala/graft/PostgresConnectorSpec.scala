@@ -91,6 +91,28 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  test("query option: arbitrary SQL binds via the Describe handshake") {
+    pg
+    // projection + alias + filter
+    val proj = PgFunctions.postgresQuery(spark, dsn,
+      "SELECT id AS k, name FROM public.people WHERE id < 5")
+    assert(proj.columns.toSeq == Seq("k", "name"))
+    assert(proj.collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
+    // aggregate shape: count/min/max/sum with GROUP BY, typed like PG
+    val agg = PgFunctions.postgresQuery(spark, dsn,
+      "SELECT count(*) AS n, min(name) AS mn, max(score) AS mx FROM public.people")
+    val r = agg.head()
+    assert(agg.schema("n").dataType.simpleString == "bigint")
+    assert(agg.schema("mx").dataType.simpleString == "decimal(10,2)")
+    assert(r.getLong(0) == 300)
+    assert(r.getString(1) == "name_0")
+    assert(r.getDecimal(2) == new java.math.BigDecimal("29.90"))
+    // ORDER BY + LIMIT survive into the bound shape
+    val top = PgFunctions.postgresQuery(spark, dsn,
+      "SELECT id, name FROM public.people ORDER BY id DESC LIMIT 3")
+    assert(top.collect().map(_.getLong(0)).sorted.toSeq == Seq(297L, 298L, 299L))
+  }
+
   test("catalog: list/load/insert/select through pg.* identifiers") {
     pg
     assert(spark.sql("SHOW NAMESPACES IN pg").collect().map(_.getString(0)).contains("public"))
