@@ -42,12 +42,19 @@ final class InMemoryPg(val name: String) extends PgTransport {
   }
 
   private val tables = new ConcurrentHashMap[(String, String), MemTable]()
+  /** user-defined types (enums, composites) by name */
+  val userTypes = new ConcurrentHashMap[String, PgType]()
   /** index name → (schema, table, unique, columns) */
   val indexes = new ConcurrentHashMap[String, (String, String, Boolean, Seq[String])]()
   private val schemas = ConcurrentHashMap.newKeySet[String]()
   schemas.add("public")
 
   val executedStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+  // spoofable instance identity for version/instance-gating tests
+  @volatile var versionString: String = "PostgreSQL 16.3 (InMemoryPg graft)"
+  @volatile var rdsSettingsCount: Long = 0L
+  @volatile var inRecovery: Boolean = false
 
   def createTable(schema: String, table: String, columns: Seq[(String, PgType)]): MemTable = {
     schemas.add(schema)
@@ -79,7 +86,24 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
   override def query(sql: String): Seq[Seq[String]] = sql match {
     case s if s.startsWith("SELECT version()") =>
-      Seq(Seq("PostgreSQL 16.3 (InMemoryPg graft)"))
+      Seq(Seq(versionString))
+    case s if s.contains("pg_settings") =>
+      Seq(Seq(rdsSettingsCount.toString))
+    case s if s.contains("pg_is_in_recovery") =>
+      Seq(Seq(if (inRecovery) "t" else "f", "0"))
+    case s if s.contains("pg_enum") =>
+      import scala.jdk.CollectionConverters._
+      userTypes.asScala.toSeq.sortBy(_._1).collect {
+        case (n, PgEnum(_, labels)) => labels.map(l => Seq(n, l))
+      }.flatten
+    case s if s.contains("relkind = 'c'") =>
+      import scala.jdk.CollectionConverters._
+      userTypes.asScala.toSeq.sortBy(_._1).collect {
+        case (n, PgComposite(_, fields)) => fields.map { case (fn, ft) =>
+          val (typname, typmod, ndims) = wireTypeName(ft)
+          Seq(n, fn, typname, typmod.toString, ndims.toString)
+        }
+      }.flatten
     case s if s.contains("pg_namespace") && !s.contains("JOIN") =>
       import scala.jdk.CollectionConverters._
       schemas.asScala.toSeq.sorted.map(Seq(_))
@@ -120,6 +144,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
     case PgArray(e, nd, _) =>
       val (en, tm, _) = wireTypeName(e)
       ("_" + en, tm, nd)
+    case PgEnum(n, _) => (n, -1, 0)
+    case PgComposite(n, _) => (n, -1, 0)
     case other => (other.typeName, -1, 0)
   }
 
@@ -774,11 +800,24 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val UpdateFromTempRe: Regex =
     """(?s)UPDATE "([^"]+)"\."([^"]+)" SET (.*) FROM "([^"]+)" WHERE "[^"]+"\."[^"]+"\.ctid = "[^"]+"\."__page_id_string"::tid""".r
 
+  private val CreateEnumRe: Regex =
+    """(?s)CREATE TYPE "?([\w]+)"? AS ENUM \((.*)\)""".r
+  private val CreateCompositeRe: Regex =
+    """(?s)CREATE TYPE "?([\w]+)"? AS \((.*)\)""".r
+  private val DropTypeRe: Regex = """DROP TYPE (?:IF EXISTS )?"?([\w]+)"?""".r
+
   override def execute(sql: String): Unit = {
     executedStatements += sql
     sql match {
       case s if s.startsWith("BEGIN") || s.startsWith("COMMIT") ||
         s.startsWith("ROLLBACK") || s.startsWith("SET ") => ()
+      case CreateEnumRe(name, labelList) =>
+        val labels = splitTop(labelList).map(l =>
+          l.trim.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+        userTypes.put(name, PgEnum(name, labels))
+      case CreateCompositeRe(name, fieldDefs) =>
+        userTypes.put(name, PgComposite(name, parseColumns(fieldDefs)))
+      case DropTypeRe(name) => userTypes.remove(name)
       case CreateTempTableRe(tbl, colDefs) =>
         createTable("pg_temp", tbl, parseColumns(colDefs))
       case UpdateFromTempRe(sch, tbl, setList, tmpName) =>
@@ -912,6 +951,10 @@ final class InMemoryPg(val name: String) extends PgTransport {
   }
 
   private def parseTypeString(s: String): PgType = {
+    // quoted / registered user-defined type names resolve first
+    val bare = s.stripPrefix("\"").stripSuffix("\"")
+    val registered = userTypes.get(bare)
+    if (registered != null) return registered
     val upper = s.toUpperCase
     val NumRe = """NUMERIC\((\d+),(\d+)\)""".r
     val CharRe = """CHAR\((\d+)\)""".r

@@ -15,6 +15,16 @@ object PgCatalogQueries {
 
   val versionProbe: String = "SELECT version()"
 
+  /** Aurora sniff: RDS instances expose rds% settings
+    * (ref: src/postgres_connection.cpp:122-134). */
+  val rdsProbe: String =
+    "SELECT COUNT(*) FROM pg_settings WHERE name LIKE 'rds%'"
+
+  /** Replica/recovery sniff gating snapshot export
+    * (ref: src/postgres_scanner.cpp:65-100). */
+  val recoveryProbe: String =
+    "SELECT pg_is_in_recovery(), (SELECT COUNT(*) FROM pg_stat_wal_receiver)"
+
   /** User schemas; pg_* and information_schema flagged out
     * (ref: src/storage/postgres_schema_entry.cpp:28-33). */
   val listSchemas: String =
@@ -64,6 +74,25 @@ object PgCatalogQueries {
        |JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = k.attnum
        |WHERE n.nspname = ${q(schema)} AND c.relname = ${q(table)}
        |GROUP BY i.relname, am.amname""".stripMargin
+
+  /** Enum label discovery: (type name, label) in sort order
+    * (ref: src/storage/postgres_type_set.cpp:23-82). */
+  val enumTypes: String =
+    """SELECT t.typname, e.enumlabel FROM pg_enum e
+      |JOIN pg_type t ON t.oid = e.enumtypid
+      |ORDER BY t.typname, e.enumsortorder""".stripMargin
+
+  /** Composite type discovery: (type name, field name, field type name,
+    * typmod, dims) in attribute order
+    * (ref: src/storage/postgres_type_set.cpp:84-145). */
+  val compositeTypes: String =
+    """SELECT t.typname, a.attname, ft.typname, a.atttypmod, a.attndims
+      |FROM pg_type t
+      |JOIN pg_class c ON c.oid = t.typrelid AND c.relkind = 'c'
+      |JOIN pg_attribute a ON a.attrelid = c.oid
+      |  AND a.attnum > 0 AND NOT a.attisdropped
+      |JOIN pg_type ft ON ft.oid = a.atttypid
+      |ORDER BY t.typname, a.attnum""".stripMargin
 
   /** Database size utility
     * (ref: src/storage/postgres_catalog.cpp:91-102). */

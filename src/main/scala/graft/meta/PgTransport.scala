@@ -157,8 +157,19 @@ object PgSnapshotLease {
   }
 
   /** Leases currently holding a server transaction open (observability
-    * for tests: a completed scan must leave none behind). */
+    * for tests: a completed scan must leave none behind). Note a scan
+    * that was PLANNED but never executed (e.g. `.rdd.getNumPartitions`
+    * alone) keeps its lease until the Cleaner backstop fires. */
   def activeLeases: Int = registry.size
+
+  /** Release every outstanding lease — driver-shutdown hygiene and a
+    * clean baseline for tests. */
+  def releaseAll(): Int = {
+    import scala.jdk.CollectionConverters._
+    val leases = registry.values.asScala.toSeq
+    leases.foreach(_.release())
+    leases.size
+  }
 }
 
 /** Per-JVM transport pool, the reference's connection pool shape

@@ -94,25 +94,73 @@ object PostgresTable {
         case None =>
           val info = t.query(PgCatalogQueries.tableInfo(opts.schema, opts.table.get))
           require(info.nonEmpty, s"relation ${opts.schema}.${opts.table.get} not found")
-          info.map { r =>
+          val raw = info.map { r =>
             r.head -> PgType.fromName(r(1), r(2).toInt, r(3).toInt)
           }
+          // pg_type only gives us a name; enum labels and composite
+          // fields need their own discovery pass (ref:
+          // src/storage/postgres_type_set.cpp:23-82, 84-145). Only pay
+          // for it when a column actually resolved to an unknown name.
+          if (raw.exists(c => hasUnknown(c._2))) {
+            val registry = loadTypeRegistry(t)
+            raw.map { case (n, pt) => n -> resolveUserTypes(pt, registry) }
+          } else raw
       }
+      // ctid-range scans are gated on server version: below PG 14 they
+      // are inefficient and the reference disables them, collapsing to
+      // a single streaming task (ref: src/postgres_scanner.cpp:111-123)
+      val version = graft.meta.PgServerVersion.probe(t)
       val pages: Long = opts.table match {
-        case Some(tbl) if opts.useCtidScan =>
+        case Some(tbl) if opts.useCtidScan && version.supportsCtidScan =>
           t.query(PgCatalogQueries.relPages(opts.schema, tbl)).head.head.toLong
         case _ => 0L // query scans stream single-threaded (ref: SetTablePages(0))
       }
-      new PostgresTable(opts, cols, pages)
+      new PostgresTable(opts, cols, pages, version)
     } finally t.close()
   }
 
+  private def hasUnknown(t: PgType): Boolean = t match {
+    case _: PgType.PgUnknown => true
+    case a: PgType.PgArray => hasUnknown(a.elem)
+    case _ => false
+  }
+
+  /** name → user-defined type, with composite fields resolved
+    * recursively against enums, other composites, and builtins. */
+  private[postgres] def loadTypeRegistry(t: PgTransport): Map[String, PgType] = {
+    val enums: Map[String, PgType] =
+      t.query(PgCatalogQueries.enumTypes)
+        .groupBy(_.head)
+        .map { case (n, rows) => n -> (PgType.PgEnum(n, rows.map(_(1))): PgType) }
+    val compRows: Map[String, Seq[Seq[String]]] =
+      t.query(PgCatalogQueries.compositeTypes).groupBy(_.head)
+    def buildComposite(name: String, visited: Set[String]): PgType =
+      PgType.PgComposite(name, compRows(name).map { r =>
+        r(1) -> resolveField(PgType.fromName(r(2), r(3).toInt, r(4).toInt), visited + name)
+      })
+    def resolveField(pt: PgType, visited: Set[String]): PgType = pt match {
+      case PgType.PgUnknown(n) if enums.contains(n) => enums(n)
+      case PgType.PgUnknown(n) if compRows.contains(n) && !visited(n) =>
+        buildComposite(n, visited)
+      case a: PgType.PgArray => a.copy(elem = resolveField(a.elem, visited))
+      case other => other
+    }
+    enums ++ compRows.keys.map(n => n -> buildComposite(n, Set.empty))
+  }
+
+  private def resolveUserTypes(pt: PgType, registry: Map[String, PgType]): PgType =
+    pt match {
+      case PgType.PgUnknown(n) if registry.contains(n) => registry(n)
+      case a: PgType.PgArray => a.copy(elem = resolveUserTypes(a.elem, registry))
+      case other => other
+    }
 }
 
 final class PostgresTable(
     val opts: PostgresOptions,
     val pgColumns: Seq[(String, PgType)],
-    val pages: Long)
+    val pages: Long,
+    val serverVersion: graft.meta.PgServerVersion = graft.meta.PgServerVersion.unknown)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
 
@@ -386,7 +434,7 @@ final class PostgresScan(
         snapshotLease.foreach(_.release())
         snapshotLease = None
         val snapshot: Option[graft.meta.SnapshotRef] =
-          if (capped.length > 1) {
+          if (capped.length > 1 && snapshotSupported(opts.dsn)) {
             val lease = graft.meta.PgSnapshotLease.openFor(this, opts.dsn, capped.length)
             snapshotLease = Some(lease)
             Some(lease.ref)
@@ -402,6 +450,16 @@ final class PostgresScan(
         }.toArray
     }
   }
+
+  /** Snapshot export is skipped on Aurora and on replicas/recovering
+    * instances, where exported snapshots are unsupported or meaningless
+    * (ref: PostgresGetSnapshot, src/postgres_scanner.cpp:65-100). */
+  private def snapshotSupported(dsn: String): Boolean =
+    !table.serverVersion.aurora && {
+      val t = graft.meta.PgTransportFactory.open(dsn)
+      try !graft.meta.PgServerVersion.inRecovery(t)
+      finally t.close()
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PostgresReaderFactory(scanColumns, required)

@@ -115,4 +115,46 @@ class AllTypesSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Any]]("a") == scala.collection.Seq(1L, null, 3L))
     assert((0 until back(1).length).forall(back(1).isNullAt))
   }
+
+  test("enum discovery surfaces labels and the column round-trips") {
+    val pg = InMemoryPg.forName("types")
+    pg.execute("""CREATE TYPE "mood" AS ENUM ('sad', 'ok', 'happy')""")
+    pg.execute("""CREATE TABLE "public"."moods" ("id" BIGINT, "m" "mood")""")
+    // discovery resolves the enum with its labels, not PgUnknown
+    val tbl = graft.sources.postgres.PostgresTable.discover(
+      graft.sources.postgres.PostgresOptions(Map("dsn" -> dsn, "table" -> "moods")))
+    assert(tbl.pgColumns.find(_._1 == "m").get._2 ==
+      PgEnum("mood", Seq("sad", "ok", "happy")))
+    import spark.implicits._
+    Seq((1L, "happy"), (2L, "sad"), (3L, null)).toDF("id", "m")
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "moods").mode("append").save()
+    val back = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "moods").load()
+      .orderBy("id").collect()
+    assert(back.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq ==
+      Seq("happy", "sad", null))
+  }
+
+  test("composite discovery surfaces fields and the column round-trips") {
+    val pg = InMemoryPg.forName("types")
+    pg.execute("""CREATE TYPE "pt" AS ("x" DOUBLE PRECISION, "lbl" VARCHAR)""")
+    pg.execute("""CREATE TABLE "public"."points" ("id" BIGINT, "p" "pt")""")
+    val df = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "points").load()
+    assert(df.schema("p").dataType.simpleString == "struct<x:double,lbl:string>")
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import spark.implicits._
+    Seq((1L, 2.5, "a"), (2L, -0.5, "b")).toDF("id", "x", "lbl")
+      .select(col("id"), struct(col("x").as("x"), col("lbl").as("lbl")).as("p"))
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "points").mode("append").save()
+    val back = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "points").load()
+      .orderBy("id").collect()
+    val p0 = back(0).getStruct(1)
+    assert(p0.getDouble(0) == 2.5 && p0.getString(1) == "a")
+    val p1 = back(1).getStruct(1)
+    assert(p1.getDouble(0) == -0.5 && p1.getString(1) == "b")
+  }
 }

@@ -393,6 +393,9 @@ class PostgresConnectorSpec extends AnyFunSuite {
 
   test("snapshot lease releases deterministically once all readers adopt") {
     pg
+    // clean baseline: earlier tests may have planned-but-never-executed
+    // scans whose leases legitimately wait on the GC backstop
+    graft.meta.PgSnapshotLease.releaseAll()
     // multi-partition scan → lease opened at planning; the last
     // partition reader's adoption must release it without waiting
     // for the Scan to be GC'd
@@ -402,6 +405,50 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(df.count() == 300)
     assert(graft.meta.PgSnapshotLease.activeLeases == 0,
       "completed scan left a snapshot lease holding a server transaction")
+  }
+
+  test("ctid-range parallel scan is disabled below PG 14") {
+    val p = InMemoryPg.forName("oldpg")
+    p.versionString = "PostgreSQL 13.7 on x86_64-pc-linux-gnu"
+    val t = p.createTable("public", "t", Seq("id" -> PgInt8))
+    (0 until 300).foreach { i =>
+      t.slots += Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i.toLong)))
+    }
+    p.executedStatements.clear()
+    val df = spark.read.format("postgres")
+      .option("dsn", "mem:oldpg").option("table", "t")
+      .option("pagesPerTask", "2").load()
+    assert(df.rdd.getNumPartitions == 1,
+      "pre-14 server must collapse to a single streaming partition")
+    assert(df.count() == 300)
+    assert(!p.executedStatements.exists(_.contains("SET TRANSACTION SNAPSHOT")),
+      "single-partition scan must not export/adopt a snapshot")
+  }
+
+  test("snapshot export is skipped on Aurora and on replicas") {
+    def scanStatements(name: String, mutate: InMemoryPg => Unit): Seq[String] = {
+      val p = InMemoryPg.forName(name)
+      mutate(p)
+      val t = p.createTable("public", "t", Seq("id" -> PgInt8))
+      (0 until 300).foreach { i =>
+        t.slots += Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong)))
+      }
+      p.executedStatements.clear()
+      val df = spark.read.format("postgres")
+        .option("dsn", s"mem:$name").option("table", "t")
+        .option("pagesPerTask", "2").load()
+      assert(df.rdd.getNumPartitions > 1, "scan should still parallelize")
+      assert(df.count() == 300)
+      p.executedStatements.toSeq
+    }
+    val aurora = scanStatements("aurorapg", _.rdsSettingsCount = 3L)
+    assert(!aurora.exists(_.contains("SET TRANSACTION SNAPSHOT")),
+      s"Aurora scan must not use exported snapshots: $aurora")
+    val replica = scanStatements("replicapg", _.inRecovery = true)
+    assert(!replica.exists(_.contains("SET TRANSACTION SNAPSHOT")),
+      s"replica scan must not use exported snapshots: $replica")
   }
 
   test("lease transport is unpooled: a held lease never consumes a reader permit") {
