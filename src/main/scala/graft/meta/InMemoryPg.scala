@@ -420,10 +420,12 @@ final class InMemoryPg(val name: String) extends PgTransport {
       copyOut0(s"""COPY (SELECT count(*) FROM "$sch"."$tbl") TO STDOUT (FORMAT binary)""")
     case CopyOutSubqueryRe(proj, sch, tbl, _) =>
       val t = getTable(sch, tbl)
-      val projCols: Seq[String] =
+      val projCols: Seq[(String, Boolean)] =
         if (proj.trim == "NULL") Nil
         else proj.split(",").map(_.trim).toSeq
-          .map(_.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\""))
+          .map(c => (c.takeWhile(_ != ':')
+            .stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\""),
+            c.contains("::")))
       serveRows(t, projCols, None)
     case CopyOutAnySubqueryRe(proj, innerSql, _) =>
       // arbitrary bound subquery (postgres_query form): evaluate the
@@ -458,13 +460,15 @@ final class InMemoryPg(val name: String) extends PgTransport {
       // server; the connector re-applies them post-scan (the reference
       // does the same — host always re-filters, SURVEY §2.2), so the
       // fake may ignore them without affecting correctness.
-      val projCols: Seq[String] =
+      val projCols: Seq[(String, Boolean)] =
         if (proj.trim == "NULL") Nil
         else proj.split(",").map(_.trim).toSeq.map {
-          case "ctid" => "ctid"
-          // drop a ::VARCHAR cast suffix BEFORE stripping quotes
-          case c => c.takeWhile(_ != ':')
-            .stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+          case "ctid" => ("ctid", false)
+          // drop a ::VARCHAR cast suffix BEFORE stripping quotes; keep
+          // the cast flag so non-text columns are served as text
+          case c => (c.takeWhile(_ != ':')
+            .stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\""),
+            c.contains("::"))
         }
       serveRows(t, projCols, pageRange)
     case other =>
@@ -473,21 +477,30 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
   private def serveRows(
       t: MemTable,
-      projCols: Seq[String],
+      projCols: Seq[(String, Boolean)],
       pageRange: Option[(Long, Long)]): InputStream = {
+    // a ::VARCHAR cast on a non-text column means the server renders
+    // the value as its text literal (the CAST_TO_VARCHAR trick for
+    // unknown types / pg_array_as_varchar)
+    def renders(c: String, cast: Boolean): Boolean =
+      cast && c != "ctid" &&
+        PgType.toSpark(t.columns(t.colIndex(c))._2) !=
+          org.apache.spark.sql.types.StringType
     val outTypes: Seq[PgType] =
       if (projCols.isEmpty) Seq(PgText) // SELECT NULL projection
       else projCols.map {
-        case "ctid" => PgCtid
-        case c => t.columns(t.colIndex(c))._2
+        case ("ctid", _) => PgCtid
+        case (c, cast) =>
+          if (renders(c, cast)) PgVarchar else t.columns(t.colIndex(c))._2
       }
-    val idx: Seq[Int] = projCols.map {
-      case "ctid" => -1
-      case c =>
+    val idx: Seq[(Int, Boolean)] = projCols.map {
+      case ("ctid", _) => (-1, false)
+      case (c, cast) =>
         val i = t.colIndex(c)
         require(i >= 0, s"column $c not found in ${t.schema}.${t.table}")
-        i
+        (i, renders(c, cast))
     }
+    val textRenderer = new graft.codec.PgTextWriter(t.colTypes)
     val writer = new PgBinaryWriter(outTypes)
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -503,10 +516,17 @@ final class InMemoryPg(val name: String) extends PgTransport {
           case Some(row) =>
             val vals: Array[Any] =
               if (projCols.isEmpty) Array[Any](null)
-              else idx.zipWithIndex.map { case (ci, oi) =>
+              else idx.map { case (ci, render) =>
                 if (ci == -1) (page.toLong << 16) | (slot % RowsPerPage + 1).toLong
                 else if (row.isNullAt(ci)) null
-                else row.get(ci, PgType.toSpark(t.columns(ci)._2))
+                else {
+                  val v = row.get(ci, PgType.toSpark(t.columns(ci)._2))
+                  if (render)
+                    org.apache.spark.unsafe.types.UTF8String.fromString(
+                      textRenderer.valueText(v, t.colTypes(ci),
+                        PgType.toSpark(t.colTypes(ci))))
+                  else v
+                }
               }.toArray
             writer.writeRow(out, new GenericInternalRow(vals))
           case None =>

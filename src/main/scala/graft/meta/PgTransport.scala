@@ -57,6 +57,19 @@ object PgTransportFactory {
   def connectionLimit: Int = poolLimit
   def setConnectionLimit(n: Int): Unit = poolLimit = n
 
+  /** `pg_connection_cache` analogue (ref: src/storage/
+    * postgres_connection_pool.cpp:5, 102): when off, released
+    * transports are closed instead of cached for reuse. Global, like
+    * the reference's setting. */
+  @volatile var connectionCacheEnabled: Boolean = true
+
+  /** `pg_debug_show_queries` analogue (ref: src/postgres_extension.cpp:
+    * 182-183): print every statement sent to the server. */
+  @volatile var debugShowQueries: Boolean = false
+
+  private[meta] def debug(sql: String): Unit =
+    if (debugShowQueries) println(s"[postgres] $sql")
+
   def open(dsn: String): PgTransport = PgConnectionPool.acquire(dsn)
 
   /** A dedicated transport outside the pool's permit budget — used by
@@ -238,6 +251,7 @@ object PgConnectionPool {
     @volatile private var openCopies = 0
 
     override def execute(sql: String): Unit = {
+      PgTransportFactory.debug(sql)
       underlying.execute(sql)
       val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
       head match {
@@ -246,12 +260,16 @@ object PgConnectionPool {
         case _ => ()
       }
     }
-    override def query(sql: String): Seq[Seq[String]] = underlying.query(sql)
+    override def query(sql: String): Seq[Seq[String]] = {
+      PgTransportFactory.debug(sql)
+      underlying.query(sql)
+    }
 
     override def describe(sql: String): Seq[(String, graft.types.PgType)] =
       underlying.describe(sql)
 
     override def copyOut(sql: String): java.io.InputStream = {
+      PgTransportFactory.debug(sql)
       val in = underlying.copyOut(sql)
       openCopies += 1
       new java.io.FilterInputStream(in) {
@@ -280,6 +298,7 @@ object PgConnectionPool {
       }
     }
     override def copyIn(sql: String): java.io.OutputStream = {
+      PgTransportFactory.debug(sql)
       val out = underlying.copyIn(sql)
       openCopies += 1
       new java.io.FilterOutputStream(out) {
@@ -299,6 +318,10 @@ object PgConnectionPool {
         if (openCopies != 0) {
           // half-consumed / unfinished COPY: protocol state unknown —
           // discard the connection entirely
+          try underlying.close() catch { case _: Exception => () }
+        } else if (!PgTransportFactory.connectionCacheEnabled) {
+          // pg_connection_cache off: close instead of caching for reuse
+          if (inTransaction) underlying.execute("ROLLBACK")
           try underlying.close() catch { case _: Exception => () }
         } else {
           if (inTransaction) underlying.execute("ROLLBACK")

@@ -75,6 +75,15 @@ final case class PostgresOptions(all: Map[String, String]) {
   val useCtidScan: Boolean = get("useCtidScan").forall(_.toBoolean)
   val connectionLimit: Int = get("connectionLimit").map(_.toInt).getOrElse(64)
   val nullByteReplacement: Option[String] = get("nullByteReplacement")
+  /** pg_use_binary_copy: off forces the COPY TEXT wire format on writes */
+  val useBinaryCopy: Boolean = get("useBinaryCopy").forall(_.toBoolean)
+  /** pg_array_as_varchar: read arrays as text — the mixed-dimension
+    * escape hatch (ref: src/postgres_utils.cpp:84-92) */
+  val arrayAsVarchar: Boolean = get("arrayAsVarchar").exists(_.toBoolean)
+  /** pg_connection_cache / pg_debug_show_queries are global settings in
+    * the reference; setting the option applies them globally here too */
+  val connectionCache: Option[Boolean] = get("connectionCache").map(_.toBoolean)
+  val debugShowQueries: Option[Boolean] = get("debugShowQueries").map(_.toBoolean)
   require(table.isDefined || query.isDefined,
     "postgres source requires option 'table' or 'query'")
 }
@@ -83,6 +92,8 @@ object PostgresTable {
   /** Bind the table/query shape from the remote catalog
     * (ref: PostgresBind, src/postgres_scanner.cpp:153-178). */
   def discover(opts: PostgresOptions): PostgresTable = {
+    opts.connectionCache.foreach(PgTransportFactory.connectionCacheEnabled = _)
+    opts.debugShowQueries.foreach(PgTransportFactory.debugShowQueries = _)
     val t = PgTransportFactory.open(opts.dsn)
     try {
       val cols: Seq[(String, PgType)] = opts.query match {
@@ -101,10 +112,20 @@ object PostgresTable {
           // fields need their own discovery pass (ref:
           // src/storage/postgres_type_set.cpp:23-82, 84-145). Only pay
           // for it when a column actually resolved to an unknown name.
-          if (raw.exists(c => hasUnknown(c._2))) {
-            val registry = loadTypeRegistry(t)
-            raw.map { case (n, pt) => n -> resolveUserTypes(pt, registry) }
-          } else raw
+          val resolved =
+            if (raw.exists(c => hasUnknown(c._2))) {
+              val registry = loadTypeRegistry(t)
+              raw.map { case (n, pt) => n -> resolveUserTypes(pt, registry) }
+            } else raw
+          // pg_array_as_varchar: read arrays as their text literal via a
+          // ::VARCHAR cast — lets mixed-dimension arrays through
+          // (ref: src/postgres_utils.cpp:84-92)
+          if (opts.arrayAsVarchar) resolved.map {
+            case (n, a: PgType.PgArray) =>
+              n -> (PgType.PgUnknown("_" + a.elem.typeName): PgType)
+            case other => other
+          }
+          else resolved
       }
       // ctid-range scans are gated on server version: below PG 14 they
       // are inefficient and the reference disables them, collapsing to
@@ -582,7 +603,7 @@ final class PostgresBatchWrite(
         (table.pgColumns.map(_._1), table.pgColumns.map(_._2))
       }
     new PostgresWriterFactory(opts.dsn, opts.schema, tbl,
-      writeSchema, colNames, pgTypes, opts.nullByteReplacement)
+      writeSchema, colNames, pgTypes, opts.nullByteReplacement, opts.useBinaryCopy)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -596,12 +617,13 @@ final class PostgresWriterFactory(
     writeSchema: StructType,
     colNames: Seq[String],
     pgTypes: Seq[PgType],
-    nullByteReplacement: Option[String])
+    nullByteReplacement: Option[String],
+    useBinaryCopy: Boolean = true)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PostgresDataWriter(dsn, schema, table, writeSchema, colNames, pgTypes,
-      nullByteReplacement)
+      nullByteReplacement, useBinaryCopy)
 }
 
 final class PostgresDataWriter(
@@ -611,17 +633,21 @@ final class PostgresDataWriter(
     writeSchema: StructType,
     colNames: Seq[String],
     pgTypes: Seq[PgType],
-    nullByteReplacement: Option[String])
+    nullByteReplacement: Option[String],
+    useBinaryCopy: Boolean = true)
     extends DataWriter[InternalRow] {
 
   private val transport = PgTransportFactory.open(dsn)
   private val colList = colNames.map(PgSqlGen.quoteIdent).mkString(", ")
   private val sparkTypes = writeSchema.fields.map(_.dataType).toSeq
 
-  // binary COPY unless some column type can't round-trip it — then the
-  // text path, like the reference's GetCopyFormat fallback
-  // (ref: src/storage/postgres_table_entry.cpp:74-127)
-  private val format = graft.codec.PgCopyFormat.forTypes(pgTypes)
+  // binary COPY unless disabled (pg_use_binary_copy) or some column
+  // type can't round-trip it — then the text path, like the
+  // reference's GetCopyFormat fallback
+  // (ref: src/storage/postgres_table_entry.cpp:74-127, 114-118)
+  private val format =
+    if (!useBinaryCopy) graft.codec.PgCopyFormat.Text
+    else graft.codec.PgCopyFormat.forTypes(pgTypes)
 
   // each task's COPY runs inside its own transaction, committed only in
   // commit(): a failed/speculative task's rows must never become

@@ -407,6 +407,72 @@ class PostgresConnectorSpec extends AnyFunSuite {
       "completed scan left a snapshot lease holding a server transaction")
   }
 
+  test("arrayAsVarchar reads array columns as their text literal") {
+    val p = InMemoryPg.forName("arropt")
+    if (!p.hasTable("public", "arrs")) {
+      val t = p.createTable("public", "arrs", Seq(
+        "id" -> PgInt8, "xs" -> PgArray(PgInt4)))
+      t.slots += Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](1L, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](1, null, 3)))))
+    }
+    val plain = spark.read.format("postgres")
+      .option("dsn", "mem:arropt").option("table", "arrs").load()
+    assert(plain.schema("xs").dataType.simpleString == "array<int>")
+    val asText = spark.read.format("postgres")
+      .option("dsn", "mem:arropt").option("table", "arrs")
+      .option("arrayAsVarchar", "true").load()
+    assert(asText.schema("xs").dataType.simpleString == "string")
+    assert(asText.select("xs").head.getString(0) == "{1,NULL,3}")
+  }
+
+  test("useBinaryCopy=false forces the COPY TEXT write format") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.txtw")
+    spark.sql("CREATE TABLE pg.public.txtw (k BIGINT, v STRING)")
+    val p = InMemoryPg.forName("spec")
+    p.copyInStatements.clear()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "txtw")
+      .option("useBinaryCopy", "false")
+      .mode("append").save()
+    assert(p.copyInStatements.nonEmpty &&
+      p.copyInStatements.forall(_.contains("FORMAT text")),
+      s"expected text COPY: ${p.copyInStatements}")
+    val back = spark.sql("SELECT * FROM pg.public.txtw ORDER BY k").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("connectionCache=false stops transport reuse; debugShowQueries prints") {
+    val p = InMemoryPg.forName("cacheopt")
+    p.createTable("public", "t", Seq("id" -> PgInt8))
+    try {
+      spark.read.format("postgres")
+        .option("dsn", "mem:cacheopt").option("table", "t")
+        .option("connectionCache", "false").load().count()
+      val reuses1 = graft.meta.PgConnectionPool.stats("mem:cacheopt")._2
+      spark.read.format("postgres")
+        .option("dsn", "mem:cacheopt").option("table", "t").load().count()
+      // second scan would normally reuse cached transports; with the
+      // cache off at release time nothing was pooled to reuse
+      val reuses2 = graft.meta.PgConnectionPool.stats("mem:cacheopt")._2
+      assert(reuses2 == reuses1, "transports must not be cached when the option is off")
+    } finally graft.meta.PgTransportFactory.connectionCacheEnabled = true
+    val buf = new java.io.ByteArrayOutputStream()
+    try {
+      Console.withOut(new java.io.PrintStream(buf)) {
+        graft.meta.PgTransportFactory.debugShowQueries = true
+        val t = graft.meta.PgTransportFactory.open("mem:cacheopt")
+        try t.query(graft.meta.PgCatalogQueries.versionProbe) finally t.close()
+      }
+    } finally graft.meta.PgTransportFactory.debugShowQueries = false
+    assert(buf.toString.contains("SELECT version()"),
+      s"debugShowQueries should print statements, got: ${buf.toString}")
+  }
+
   test("ctid-range parallel scan is disabled below PG 14") {
     val p = InMemoryPg.forName("oldpg")
     p.versionString = "PostgreSQL 13.7 on x86_64-pc-linux-gnu"
