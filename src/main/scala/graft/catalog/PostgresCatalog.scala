@@ -38,8 +38,13 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    dsn = Option(options.get("dsn")).getOrElse(
-      throw new IllegalArgumentException(s"catalog $name requires option 'dsn'"))
+    // explicit dsn wins; otherwise assemble one from secret-style parts
+    // (host/port/user/password/database — the CREATE SECRET analogue,
+    // ref: src/postgres_storage.cpp:26-98)
+    dsn = Option(options.get("dsn"))
+      .orElse(graft.meta.PgDsn.assemble(options.asScala.toMap))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $name requires option 'dsn' or host/user/... connection parts"))
     extraOptions = options.asScala.toMap
     // version probe at attach (ref: src/storage/postgres_catalog.cpp:12-27)
     val t = PgTransportFactory.open(dsn)

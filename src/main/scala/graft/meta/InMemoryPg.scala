@@ -805,6 +805,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val DropSchemaRe: Regex = """DROP SCHEMA (?:IF EXISTS )?"([^"]+)"(?: CASCADE)?""".r
   private val DeleteCtidRe: Regex =
     """DELETE FROM "([^"]+)"\."([^"]+)" WHERE ctid IN \((.*)\)""".r
+  private val InsertSelectRe: Regex =
+    """INSERT INTO "([^"]+)"\."([^"]+)" \(([^)]*)\) SELECT [^)]*? FROM "([^"]+)"\."([^"]+)"""".r
   private val RenameTableRe: Regex =
     """ALTER TABLE "([^"]+)"\."([^"]+)" RENAME TO "([^"]+)"""".r
   private val AddColumnRe: Regex =
@@ -881,6 +883,28 @@ final class InMemoryPg(val name: String) extends PgTransport {
         schemas.remove(s)
         import scala.jdk.CollectionConverters._
         tables.keySet.asScala.filter(_._1 == s).toSeq.foreach(tables.remove)
+      case InsertSelectRe(tSch, tTbl, colList, sSch, sTbl) =>
+        // staged-write promote: copy rows column-by-name from the
+        // staging table into the target
+        val target = getTable(tSch, tTbl)
+        val src = getTable(sSch, sTbl)
+        val cols = colList.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+        val tIdx = cols.map(target.colIndex)
+        val sIdx = cols.map(src.colIndex)
+        require(tIdx.forall(_ >= 0) && sIdx.forall(_ >= 0),
+          s"INSERT SELECT column mismatch: $cols")
+        target.synchronized {
+          src.slots.foreach {
+            case Some(r) =>
+              val full = new GenericInternalRow(target.columns.length)
+              tIdx.zip(sIdx).foreach { case (ti, si) =>
+                if (r.isNullAt(si)) full.setNullAt(ti)
+                else full.update(ti, r.get(si, PgType.toSpark(src.colTypes(si))))
+              }
+              target.slots += Some(full)
+            case None =>
+          }
+        }
       case CreateTableRe(sch, tbl, colDefs) =>
         createTable(sch, tbl, parseColumns(colDefs))
       case DropTableRe(sch, tbl) => tables.remove((sch, tbl))

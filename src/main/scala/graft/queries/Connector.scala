@@ -133,7 +133,7 @@ object ConnectorOps {
   def c05_pg_write_roundtrip(s: SparkSession, dir: String): DataFrame = {
     val d = ensureSeeded(s, dir)
     val derived = Tables.load(s, dir, "orders")
-      .filter(col("o_totalprice") > 100000.0)
+      .filter(col("o_totalprice") > 400000.0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderpriority"))
     val t = PgTransportFactory.open(d)
@@ -154,7 +154,7 @@ object ConnectorOps {
 
   val c05_sql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-      |FROM orders WHERE o_totalprice > 100000.0
+      |FROM orders WHERE o_totalprice > 400000.0
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- //

@@ -77,6 +77,12 @@ final case class PostgresOptions(all: Map[String, String]) {
   val nullByteReplacement: Option[String] = get("nullByteReplacement")
   /** pg_use_binary_copy: off forces the COPY TEXT wire format on writes */
   val useBinaryCopy: Boolean = get("useBinaryCopy").forall(_.toBoolean)
+  /** staged writes (default on): tasks COPY into per-task staging
+    * tables, promoted atomically in one driver transaction — the Spark
+    * shape of the reference's single-transaction insert. Off = each
+    * task commits directly (faster, but a failed job can leave partial
+    * rows — document accordingly). */
+  val stagedWrites: Boolean = get("stagedWrites").forall(_.toBoolean)
   /** pg_array_as_varchar: read arrays as text — the mixed-dimension
     * escape hatch (ref: src/postgres_utils.cpp:84-92) */
   val arrayAsVarchar: Boolean = get("arrayAsVarchar").exists(_.toBoolean)
@@ -233,8 +239,11 @@ final class PostgresTable(
     finally t.close()
   }
 
-  override def name(): String =
-    opts.table.map(t => s"${opts.dsn}/${opts.schema}.$t").getOrElse(s"${opts.dsn}/query")
+  override def name(): String = {
+    // never leak credentials into plan output / error messages
+    val shown = graft.meta.PgDsn.redact(opts.dsn)
+    opts.table.map(t => s"$shown/${opts.schema}.$t").getOrElse(s"$shown/query")
+  }
 
   override lazy val schema: StructType =
     StructType(pgColumns.map { case (n, t) => StructField(n, PgType.toSpark(t)) })
@@ -575,39 +584,88 @@ final class PostgresWriteBuilder(table: PostgresTable, writeSchema: StructType)
   }
 }
 
+/** A committed task's staging table, promoted at driver commit. */
+final case class PgStagedCommit(stagingTable: String) extends WriterCommitMessage
+
 final class PostgresBatchWrite(
     table: PostgresTable,
     writeSchema: StructType,
     doTruncate: Boolean)
     extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val opts = table.opts
-    val tbl = opts.table.getOrElse(
-      throw new IllegalArgumentException("cannot write to a query-backed relation"))
-    if (doTruncate) {
-      val t = PgTransportFactory.open(opts.dsn)
-      try t.execute(s"""TRUNCATE ${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(tbl)}""")
-      finally t.close()
-    }
+  private val opts = table.opts
+  private val tbl = opts.table.getOrElse(
+    throw new IllegalArgumentException("cannot write to a query-backed relation"))
+  private def qname =
+    s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(tbl)}"
+  private val jobId =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  private def resolveColumns: (Seq[String], Seq[PgType]) = {
     // by-name when the incoming schema matches table columns;
     // positional otherwise (e.g. INSERT ... VALUES arrives as col1..N)
     val byName = writeSchema.fields.forall(f => table.pgColumns.exists(_._1 == f.name))
-    val (colNames, pgTypes) =
-      if (byName)
-        (writeSchema.fields.toSeq.map(_.name),
-          writeSchema.fields.toSeq.map(f => table.pgColumns.find(_._1 == f.name).get._2))
-      else {
-        require(writeSchema.fields.length == table.pgColumns.length,
-          s"positional write arity ${writeSchema.fields.length} != table ${table.pgColumns.length}")
-        (table.pgColumns.map(_._1), table.pgColumns.map(_._2))
-      }
+    if (byName)
+      (writeSchema.fields.toSeq.map(_.name),
+        writeSchema.fields.toSeq.map(f => table.pgColumns.find(_._1 == f.name).get._2))
+    else {
+      require(writeSchema.fields.length == table.pgColumns.length,
+        s"positional write arity ${writeSchema.fields.length} != table ${table.pgColumns.length}")
+      (table.pgColumns.map(_._1), table.pgColumns.map(_._2))
+    }
+  }
+  private lazy val (colNames, pgTypes) = resolveColumns
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (doTruncate && !opts.stagedWrites) {
+      // direct mode truncates up front (old behavior); staged mode
+      // defers the truncate into the atomic promote transaction so a
+      // failed job never leaves the target emptied
+      val t = PgTransportFactory.open(opts.dsn)
+      try t.execute(s"TRUNCATE $qname")
+      finally t.close()
+    }
     new PostgresWriterFactory(opts.dsn, opts.schema, tbl,
-      writeSchema, colNames, pgTypes, opts.nullByteReplacement, opts.useBinaryCopy)
+      writeSchema, colNames, pgTypes, opts.nullByteReplacement, opts.useBinaryCopy,
+      stagingPrefix = if (opts.stagedWrites) Some(s"${tbl.take(24)}_stg_$jobId") else None)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** The reference's insert runs in ONE catalog transaction
+    * (ref: src/storage/postgres_transaction.cpp:34-50). Spark's write
+    * tasks each own a connection, so job atomicity is recovered by
+    * promoting every task's committed staging table inside a single
+    * driver-side transaction: either all rows (and the truncate, for
+    * overwrite) land, or none do. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val stagings = messages.toSeq.collect { case m: PgStagedCommit => m.stagingTable }
+    if (stagings.nonEmpty) {
+      val colList = colNames.map(PgSqlGen.quoteIdent).mkString(", ")
+      val t = PgTransportFactory.open(opts.dsn)
+      try {
+        t.execute("BEGIN")
+        try {
+          if (doTruncate) t.execute(s"TRUNCATE $qname")
+          stagings.foreach { st =>
+            val q = s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(st)}"
+            t.execute(s"INSERT INTO $qname ($colList) SELECT $colList FROM $q")
+            t.execute(s"DROP TABLE $q")
+          }
+          t.execute("COMMIT")
+        } catch { case e: Throwable => t.execute("ROLLBACK"); throw e }
+      } finally t.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val stagings = messages.toSeq.collect { case m: PgStagedCommit => m.stagingTable }
+    if (stagings.nonEmpty) {
+      val t = PgTransportFactory.open(opts.dsn)
+      try stagings.foreach { st =>
+        val q = s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(st)}"
+        try t.execute(s"DROP TABLE IF EXISTS $q") catch { case _: Exception => () }
+      } finally t.close()
+    }
+  }
 }
 
 final class PostgresWriterFactory(
@@ -618,12 +676,14 @@ final class PostgresWriterFactory(
     colNames: Seq[String],
     pgTypes: Seq[PgType],
     nullByteReplacement: Option[String],
-    useBinaryCopy: Boolean = true)
+    useBinaryCopy: Boolean = true,
+    stagingPrefix: Option[String] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new PostgresDataWriter(dsn, schema, table, writeSchema, colNames, pgTypes,
-      nullByteReplacement, useBinaryCopy)
+      nullByteReplacement, useBinaryCopy,
+      stagingTable = stagingPrefix.map(p => s"${p}_${partitionId}_$taskId"))
 }
 
 final class PostgresDataWriter(
@@ -634,7 +694,8 @@ final class PostgresDataWriter(
     colNames: Seq[String],
     pgTypes: Seq[PgType],
     nullByteReplacement: Option[String],
-    useBinaryCopy: Boolean = true)
+    useBinaryCopy: Boolean = true,
+    stagingTable: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val transport = PgTransportFactory.open(dsn)
@@ -649,6 +710,21 @@ final class PostgresDataWriter(
     if (!useBinaryCopy) graft.codec.PgCopyFormat.Text
     else graft.codec.PgCopyFormat.forTypes(pgTypes)
 
+  // staged mode: this task COPYs into its own uniquely-named staging
+  // table (auto-committed CREATE so the driver's promote transaction
+  // can see it); a retried/speculative twin writes a different staging
+  // table and only the committed task's message reaches the driver
+  private val copyTarget: String = stagingTable match {
+    case Some(st) =>
+      val defs = colNames.zip(pgTypes).map { case (n, pt) =>
+        s"${PgSqlGen.quoteIdent(n)} ${PgType.typeString(pt)}"
+      }.mkString(", ")
+      transport.execute(
+        s"CREATE TABLE ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(st)} ($defs)")
+      st
+    case None => table
+  }
+
   // each task's COPY runs inside its own transaction, committed only in
   // commit(): a failed/speculative task's rows must never become
   // visible (the reference's copy is likewise transactional —
@@ -656,7 +732,7 @@ final class PostgresDataWriter(
   transport.execute("BEGIN")
 
   private val out = new java.io.DataOutputStream(transport.copyIn(
-    s"COPY ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(table)} ($colList) " +
+    s"COPY ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(copyTarget)} ($colList) " +
       s"FROM STDIN (FORMAT ${if (format == graft.codec.PgCopyFormat.Binary) "binary" else "text"})"))
 
   private val binWriter =
@@ -687,7 +763,10 @@ final class PostgresDataWriter(
       out.close() // completes the COPY, applying the buffered rows
       transport.execute("COMMIT")
     } finally transport.close()
-    new WriterCommitMessage {}
+    stagingTable match {
+      case Some(st) => PgStagedCommit(st)
+      case None => new WriterCommitMessage {}
+    }
   }
 
   /** Discard: the COPY stream is abandoned *without* completing it
@@ -696,8 +775,18 @@ final class PostgresDataWriter(
     * unfinished COPY makes the pool discard the connection rather than
     * reuse it, and the server aborts the open task transaction with it —
     * a failed/speculative task persists nothing and its retry cannot
-    * duplicate (ref: transactional copy, postgres_copy_to.cpp:102-109). */
-  override def abort(): Unit = transport.close()
+    * duplicate (ref: transactional copy, postgres_copy_to.cpp:102-109).
+    * A staged task additionally drops its own staging table. */
+  override def abort(): Unit = {
+    transport.close()
+    stagingTable.foreach { st =>
+      val t = PgTransportFactory.open(dsn)
+      try t.execute(s"DROP TABLE IF EXISTS " +
+        s"${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(st)}")
+      catch { case _: Exception => () }
+      finally t.close()
+    }
+  }
 
   override def close(): Unit = ()
 }

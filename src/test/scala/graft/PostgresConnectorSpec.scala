@@ -352,6 +352,75 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(t.liveRows == 1, "retry after abort should write exactly once")
   }
 
+  test("staged writes: task rows stay invisible until the driver promote commit") {
+    val p = InMemoryPg.forName("stagedspec")
+    p.createTable("public", "sink", Seq("id" -> PgInt8))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def row(v: Long) =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](v))
+    // two tasks write, commit their tasks — target must still be empty
+    val w0 = new graft.sources.postgres.PostgresDataWriter(
+      "mem:stagedspec", "public", "sink", schema, Seq("id"), Seq(PgInt8), None,
+      true, Some("sink_stg_j_0_1"))
+    w0.write(row(1L))
+    val m0 = w0.commit()
+    val w1 = new graft.sources.postgres.PostgresDataWriter(
+      "mem:stagedspec", "public", "sink", schema, Seq("id"), Seq(PgInt8), None,
+      true, Some("sink_stg_j_1_2"))
+    w1.write(row(2L))
+    val m1 = w1.commit()
+    assert(p.getTable("public", "sink").liveRows == 0,
+      "rows visible before the driver commit break job atomicity")
+    assert(p.getTable("public", "sink_stg_j_0_1").liveRows == 1)
+    // driver promote: both staging tables land in one transaction
+    val tbl = graft.sources.postgres.PostgresTable.discover(
+      graft.sources.postgres.PostgresOptions(Map(
+        "dsn" -> "mem:stagedspec", "table" -> "sink")))
+    p.executedStatements.clear()
+    new graft.sources.postgres.PostgresBatchWrite(tbl, schema, doTruncate = false)
+      .commit(Array(m0, m1))
+    assert(p.getTable("public", "sink").liveRows == 2)
+    assert(!p.hasTable("public", "sink_stg_j_0_1") && !p.hasTable("public", "sink_stg_j_1_2"),
+      "staging tables must be dropped after promote")
+    val stmts = p.executedStatements.toSeq
+    val begin = stmts.indexWhere(_.startsWith("BEGIN"))
+    val commit = stmts.indexWhere(_.startsWith("COMMIT"))
+    val inserts = stmts.zipWithIndex.filter(_._1.startsWith("INSERT INTO")).map(_._2)
+    assert(begin >= 0 && commit > begin && inserts.forall(i => i > begin && i < commit),
+      s"promote must run inside one transaction: $stmts")
+    // job abort: a committed task's staging table is cleaned up, target untouched
+    val w2 = new graft.sources.postgres.PostgresDataWriter(
+      "mem:stagedspec", "public", "sink", schema, Seq("id"), Seq(PgInt8), None,
+      true, Some("sink_stg_j_2_3"))
+    w2.write(row(3L))
+    val m2 = w2.commit()
+    new graft.sources.postgres.PostgresBatchWrite(tbl, schema, doTruncate = false)
+      .abort(Array(m2))
+    assert(p.getTable("public", "sink").liveRows == 2)
+    assert(!p.hasTable("public", "sink_stg_j_2_3"))
+  }
+
+  test("staged overwrite defers the truncate into the promote transaction") {
+    val p = InMemoryPg.forName("stagedow")
+    p.createTable("public", "t", Seq("id" -> PgInt8))
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("id").write.format("postgres")
+      .option("dsn", "mem:stagedow").option("table", "t").mode("append").save()
+    p.executedStatements.clear()
+    Seq(9L).toDF("id").write.format("postgres")
+      .option("dsn", "mem:stagedow").option("table", "t").mode("overwrite").save()
+    val rows = spark.read.format("postgres")
+      .option("dsn", "mem:stagedow").option("table", "t").load().collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(9L))
+    val stmts = p.executedStatements.toSeq
+    val begin = stmts.indexWhere(_.startsWith("BEGIN"))
+    val trunc = stmts.indexWhere(_.startsWith("TRUNCATE"))
+    assert(trunc > begin && begin >= 0,
+      s"overwrite truncate must happen inside the promote transaction: $stmts")
+  }
+
   test("pool resets returned transports: open txn rolled back, open copy discarded") {
     val p = InMemoryPg.forName("poolreset")
     p.createTable("public", "t", Seq("id" -> PgInt8))
@@ -405,6 +474,27 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(df.count() == 300)
     assert(graft.meta.PgSnapshotLease.activeLeases == 0,
       "completed scan left a snapshot lease holding a server transaction")
+  }
+
+  test("secret-style options assemble a DSN with libpq quoting; passwords redact") {
+    import graft.meta.PgDsn
+    assert(PgDsn.assemble(Map(
+      "host" -> "db.example.com", "port" -> "5433", "user" -> "app",
+      "password" -> "s3cr3t", "database" -> "prod")) ==
+      Some("host=db.example.com port=5433 user=app password=s3cr3t dbname=prod"))
+    // values with spaces/quotes get libpq quoting
+    assert(PgDsn.assemble(Map("host" -> "h", "password" -> "p w'd")) ==
+      Some("host=h password='p w\\'d'"))
+    assert(PgDsn.assemble(Map("table" -> "t")).isEmpty)
+    assert(PgDsn.redact("host=h password=s3cr3t dbname=d") ==
+      "host=h password=******** dbname=d")
+    assert(PgDsn.redact("host=h password='p w\\'d' dbname=d") ==
+      "host=h password=******** dbname=d")
+    // the scan's table name never leaks a password into plan output
+    val opts = graft.sources.postgres.PostgresOptions(Map(
+      "dsn" -> "mem:spec", "table" -> "people"))
+    val tbl = graft.sources.postgres.PostgresTable.discover(opts)
+    assert(!tbl.name().contains("s3cr3t"))
   }
 
   test("arrayAsVarchar reads array columns as their text literal") {
