@@ -807,6 +807,38 @@ final class InMemoryPg(val name: String) extends PgTransport {
     """DELETE FROM "([^"]+)"\."([^"]+)" WHERE ctid IN \((.*)\)""".r
   private val InsertSelectRe: Regex =
     """INSERT INTO "([^"]+)"\."([^"]+)" \(([^)]*)\) SELECT [^)]*? FROM "([^"]+)"\."([^"]+)"""".r
+  private val DeleteWhereRe: Regex =
+    """(?s)DELETE FROM "([^"]+)"\."([^"]+)" WHERE (.+)""".r
+
+  /** bind one simple predicate (comparison / IS [NOT] NULL) for the
+    * pushed-DELETE evaluator */
+  private def parseWherePred(t: MemTable, p: String): InternalRow => Boolean = {
+    val NullRe = """"?([\w]+)"?\s+IS\s+(NOT\s+)?NULL""".r
+    p match {
+      case NullRe(col, notOrNull) =>
+        val i = t.colIndex(unq(col))
+        require(i >= 0, s"DELETE column $col not found")
+        val wantNull = notOrNull == null
+        r => r.isNullAt(i) == wantNull
+      case PredRe(col, op, lit) =>
+        val i = t.colIndex(unq(col))
+        require(i >= 0, s"DELETE column $col not found")
+        val l = litValue(lit)
+        r => !r.isNullAt(i) && {
+          val c = cmpAny(r.get(i, PgType.toSpark(t.colTypes(i))), l)
+          op match {
+            case "=" => c == 0
+            case "<>" | "!=" => c != 0
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case ">=" => c >= 0
+          }
+        }
+      case other =>
+        throw new IllegalArgumentException(s"InMemoryPg: cannot bind DELETE predicate: $other")
+    }
+  }
   private val RenameTableRe: Regex =
     """ALTER TABLE "([^"]+)"\."([^"]+)" RENAME TO "([^"]+)"""".r
   private val AddColumnRe: Regex =
@@ -965,6 +997,26 @@ final class InMemoryPg(val name: String) extends PgTransport {
           TidLit.findAllMatchIn(tids).foreach { m =>
             val slot = m.group(1).toInt * RowsPerPage + (m.group(2).toInt - 1)
             if (slot >= 0 && slot < t.slots.length) t.slots(slot) = None
+          }
+        }
+      case DeleteWhereRe(sch, tbl, where) =>
+        // pushed-down SQL DELETE (SupportsDelete.deleteWhere): evaluate
+        // the conjunction of simple predicates and kill matching slots
+        val t = getTable(sch, tbl)
+        val preds: Seq[InternalRow => Boolean] =
+          if (where.trim == "TRUE") Seq(_ => true)
+          else where.split("\\) AND \\(").toSeq.map { raw =>
+            val p = raw.trim.stripPrefix("(").stripSuffix(")")
+            parseWherePred(t, p)
+          }
+        t.synchronized {
+          var slot = 0
+          while (slot < t.slots.length) {
+            t.slots(slot) match {
+              case Some(r) if preds.forall(_(r)) => t.slots(slot) = None
+              case _ =>
+            }
+            slot += 1
           }
         }
       case other =>

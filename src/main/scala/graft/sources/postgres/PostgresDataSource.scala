@@ -189,10 +189,31 @@ final class PostgresTable(
     val pages: Long,
     val serverVersion: graft.meta.PgServerVersion = graft.meta.PgServerVersion.unknown)
     extends Table with SupportsRead with SupportsWrite with SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
+    with org.apache.spark.sql.connector.catalog.index.SupportsIndex
+    with SupportsDelete with SupportsRowLevelOperations {
 
   import org.apache.spark.sql.connector.catalog.index.TableIndex
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  /** SQL DELETE fast path: when every predicate compiles to remote SQL,
+    * forward one `DELETE ... WHERE` statement instead of scanning
+    * (Spark falls back to the row-level rewrite otherwise). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => PgSqlGen.compileFilter(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val preds = filters.toSeq.flatMap(PgSqlGen.compileFilter)
+    val where = if (preds.isEmpty) "TRUE" else preds.mkString("(", ") AND (", ")")
+    val t = PgTransportFactory.open(opts.dsn)
+    try t.execute(s"DELETE FROM $qname WHERE $where")
+    finally t.close()
+  }
+
+  /** Arbitrary-predicate DELETE / UPDATE / MERGE via the delta-based
+    * row-level rewrite keyed on `_ctid` (SURVEY §7.1 module 8). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new PostgresRowLevelOperation(this, info.command())
 
   private def qname: String =
     s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(opts.table.get)}"

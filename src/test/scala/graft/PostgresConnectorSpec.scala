@@ -352,6 +352,91 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(t.liveRows == 1, "retry after abort should write exactly once")
   }
 
+  test("SQL DELETE pushes a single remote DELETE when predicates compile") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.del1")
+    spark.sql("CREATE TABLE pg.public.del1 (k BIGINT, v STRING)")
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .writeTo("pg.public.del1").append()
+    val p = InMemoryPg.forName("spec")
+    p.executedStatements.clear()
+    spark.sql("DELETE FROM pg.public.del1 WHERE k < 40")
+    val pushed = p.executedStatements.filter(s =>
+      s.startsWith("DELETE FROM") && s.contains("WHERE") && !s.contains("ctid IN"))
+    assert(pushed.nonEmpty, s"expected pushed DELETE WHERE: ${p.executedStatements}")
+    val left = spark.sql("SELECT k FROM pg.public.del1").collect().map(_.getLong(0))
+    assert(left.length == 60 && left.forall(_ >= 40))
+  }
+
+  test("SQL DELETE with non-pushable predicate falls back to ctid row-level delete") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.del2")
+    spark.sql("CREATE TABLE pg.public.del2 (k BIGINT, v STRING)")
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .writeTo("pg.public.del2").append()
+    val p = InMemoryPg.forName("spec")
+    p.executedStatements.clear()
+    // length(v) is not compilable by the filter pushdown → delta rewrite
+    spark.sql("DELETE FROM pg.public.del2 WHERE length(v) = 2")
+    val ctidDeletes = p.executedStatements.filter(_.contains("ctid IN"))
+    assert(ctidDeletes.nonEmpty,
+      s"expected ctid-based row-level delete: ${p.executedStatements}")
+    // v0..v9 have length 2 → 90 rows remain
+    val left = spark.sql("SELECT k FROM pg.public.del2").collect().map(_.getLong(0))
+    assert(left.length == 90 && left.forall(_ >= 10))
+  }
+
+  test("SQL UPDATE runs through the delta rewrite with the temp-table protocol") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.upd1")
+    spark.sql("CREATE TABLE pg.public.upd1 (k BIGINT, v STRING, amt DECIMAL(10,2))")
+    import spark.implicits._
+    (0 until 50).map(i => (i.toLong, s"v$i", BigDecimal(i).setScale(2)))
+      .toDF("k", "v", "amt").writeTo("pg.public.upd1").append()
+    val p = InMemoryPg.forName("spec")
+    p.executedStatements.clear()
+    spark.sql(
+      "UPDATE pg.public.upd1 SET amt = CAST(amt + 1000 AS DECIMAL(10,2)), v = 'x' WHERE k % 2 = 0")
+    assert(p.executedStatements.exists(_.contains("__page_id_string")),
+      s"expected temp-table update protocol: ${p.executedStatements}")
+    val rows = spark.sql("SELECT k, v, amt FROM pg.public.upd1 ORDER BY k").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      if (k % 2 == 0) {
+        assert(r.getString(1) == "x")
+        assert(r.getDecimal(2) == new java.math.BigDecimal(k + 1000).setScale(2))
+      } else {
+        assert(r.getString(1) == s"v$k")
+        assert(r.getDecimal(2) == new java.math.BigDecimal(k).setScale(2))
+      }
+    }
+  }
+
+  test("SQL MERGE updates matched rows and inserts unmatched ones") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.mrg1")
+    spark.sql("CREATE TABLE pg.public.mrg1 (k BIGINT, v STRING)")
+    import spark.implicits._
+    (0 until 10).map(i => (i.toLong, s"old$i")).toDF("k", "v")
+      .writeTo("pg.public.mrg1").append()
+    (5 until 15).map(i => (i.toLong, s"new$i")).toDF("k", "v")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO pg.public.mrg1 t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val rows = spark.sql("SELECT k, v FROM pg.public.mrg1 ORDER BY k").collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val expect = if (k < 5) s"old$k" else s"new$k"
+      assert(r.getString(1) == expect, s"k=$k got ${r.getString(1)}")
+    }
+  }
+
   test("staged writes: task rows stay invisible until the driver promote commit") {
     val p = InMemoryPg.forName("stagedspec")
     p.createTable("public", "sink", Seq("id" -> PgInt8))
