@@ -29,7 +29,8 @@ import graft.types.PgType
   * ref: src/storage/postgres_clear_cache.cpp:24-51), and DDL is
   * forwarded as SQL (ref: src/storage/postgres_table_set.cpp:292-413).
   */
-class PostgresCatalog extends TableCatalog with SupportsNamespaces {
+class PostgresCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var dsn: String = _
@@ -194,6 +195,52 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces {
     invalidateTable(oldIdent)
   }
 
+  // ---------------- atomic CTAS / RTAS ---------------- //
+
+  /** Atomic CREATE/REPLACE TABLE AS SELECT: the write lands in a
+    * staging-named table which is renamed over the target only at
+    * commit — a failed CTAS leaves neither an empty target nor staging
+    * debris (the reference plans CTAS inside its catalog transaction,
+    * ref: src/storage/postgres_insert.cpp:213-239; rename is the
+    * distributed-writer equivalent). */
+  private def stage(ident: Identifier, schema: StructType, replace: Boolean): StagedTable = {
+    val ns = nsOf(ident)
+    val stagingName = ident.name().take(24) + "__stg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val stagingIdent = Identifier.of(Array(ns), stagingName)
+    val staging = createTable(stagingIdent, schema, Array.empty[Transform],
+      java.util.Collections.emptyMap[String, String]())
+      .asInstanceOf[graft.sources.postgres.PostgresTable]
+    new PostgresStagedTable(this, ns, ident, stagingIdent, staging, replace)
+  }
+
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    stage(ident, schema, replace = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    stage(ident, schema, replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, replace = true)
+
   /** arbitrary SQL passthrough — the `postgres_execute` analogue
     * (ref: src/postgres_execute.cpp:12-57). */
   def execute(sql: String): Unit = withTransport(_.execute(sql))
@@ -201,4 +248,52 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces {
   /** ref: src/storage/postgres_catalog.cpp:91-102 */
   def databaseSize: Long =
     withTransport(_.query(PgCatalogQueries.databaseSize)).head.head.toLong
+}
+
+/** The staged side of an atomic CTAS/RTAS: a real table under a
+  * staging name; writes target it; commit renames it over the target
+  * (dropping the old table first for REPLACE) inside one transaction,
+  * abort just drops it. */
+final class PostgresStagedTable(
+    catalog: PostgresCatalog,
+    ns: String,
+    targetIdent: Identifier,
+    stagingIdent: Identifier,
+    staging: graft.sources.postgres.PostgresTable,
+    replace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+
+  override def name(): String = staging.name()
+  override def schema(): StructType = staging.schema
+  override def capabilities(): java.util.Set[TableCapability] = staging.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    staging.newWriteBuilder(info)
+
+  private def q(ident: Identifier): String =
+    s"${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())}"
+
+  override def commitStagedChanges(): Unit = {
+    val t = PgTransportFactory.open(staging.opts.dsn)
+    try {
+      t.execute("BEGIN")
+      try {
+        if (replace) t.execute(s"DROP TABLE IF EXISTS ${q(targetIdent)}")
+        t.execute(s"ALTER TABLE ${q(stagingIdent)} RENAME TO " +
+          PgSqlGen.quoteIdent(targetIdent.name()))
+        t.execute("COMMIT")
+      } catch { case e: Throwable => t.execute("ROLLBACK"); throw e }
+    } finally t.close()
+    catalog.invalidateTable(stagingIdent)
+    catalog.invalidateTable(targetIdent)
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val t = PgTransportFactory.open(staging.opts.dsn)
+    try t.execute(s"DROP TABLE IF EXISTS ${q(stagingIdent)}")
+    catch { case _: Exception => () }
+    finally t.close()
+    catalog.invalidateTable(stagingIdent)
+  }
 }

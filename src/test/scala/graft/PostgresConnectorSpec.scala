@@ -437,6 +437,33 @@ class PostgresConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS is atomic: success renames staging over target, failure leaves nothing") {
+    pg
+    spark.sql("DROP TABLE IF EXISTS pg.public.ctas1")
+    spark.sql(
+      "CREATE TABLE pg.public.ctas1 AS SELECT id AS k, CAST(id * 2 AS STRING) AS v FROM range(10)")
+    val rows = spark.sql("SELECT k, v FROM pg.public.ctas1 ORDER BY k").collect()
+    assert(rows.length == 10 && rows(3).getString(1) == "6")
+    // failed CTAS: the job throws mid-write → no target, no staging debris
+    spark.sql("DROP TABLE IF EXISTS pg.public.ctasfail")
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE pg.public.ctasfail AS
+          |SELECT CASE WHEN id > 5 THEN CAST(raise_error('boom') AS BIGINT)
+          |       ELSE id END AS k FROM range(10)""".stripMargin)
+    }
+    assert(!spark.sql("SHOW TABLES IN pg.public").collect()
+      .map(_.getString(1)).contains("ctasfail"),
+      "failed CTAS must not leave the target table")
+    val leftovers = spark.sql("SHOW TABLES IN pg.public").collect()
+      .map(_.getString(1)).filter(_.contains("__stg_"))
+    assert(leftovers.isEmpty, s"staging debris left behind: ${leftovers.toSeq}")
+    // RTAS: replace swaps content atomically
+    spark.sql("REPLACE TABLE pg.public.ctas1 AS SELECT id AS k FROM range(3)")
+    val replaced = spark.sql("SELECT k FROM pg.public.ctas1 ORDER BY k").collect()
+    assert(replaced.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("staged writes: task rows stay invisible until the driver promote commit") {
     val p = InMemoryPg.forName("stagedspec")
     p.createTable("public", "sink", Seq("id" -> PgInt8))
