@@ -166,17 +166,34 @@ object PipelineOps {
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   // ---------------------------------------------------------------- //
-  // MinHash machinery. Portable hash family: h_j(x) = md5(j || ':' || x)
-  // compared as ascii hex strings — identical in Spark and DuckDB, no
-  // engine-specific hash needed. k=16 hashes.
+  // MinHash machinery. Portable hash family built from ONE md5 per
+  // token: base = first 8 hex chars of md5(x) parsed as an int, then
+  // h_j(x) = (A_j * base + B_j) mod P with P = 2^31-1. Spark's
+  // conv(substr(md5(x),1,8),16,10) and DuckDB's
+  // ('0x'||substr(md5(x),1,8))::BIGINT parse identically, and the
+  // affine family is plain 64-bit arithmetic (products < 2^62, no
+  // overflow) — so both engines agree bit-for-bit while the k-1
+  // extra hashes cost multiply-adds instead of md5 calls. k=16.
   // ---------------------------------------------------------------- //
   private val K = 16
+  private val P = 2147483647L // 2^31 - 1
+  private def hashA(j: Int): Long = (1103515245L * (j + 1)) % P
+  private def hashB(j: Int): Long = (12345L + 1000003L * j) % P
 
-  private def minhash(shingles: Column, j: Int): Column =
-    array_min(transform(shingles, sh => md5(concat(lit(s"$j:"), sh))))
+  /** Array of base hashes (one md5 each) for an array of tokens. */
+  private def tokenHashes(arr: Column): Column =
+    transform(arr, tk =>
+      (conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % P).cast("long"))
 
-  private def minhashSqlExpr(shinglesExpr: String, j: Int): String =
-    s"list_aggregate(list_transform($shinglesExpr, s -> md5('$j:' || s)), 'min')"
+  private def tokenHashesSql(arrExpr: String): String =
+    s"list_transform($arrExpr, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $P)"
+
+  /** j-th minhash over a precomputed base-hash array. */
+  private def minhashTh(th: Column, j: Int): Column =
+    array_min(transform(th, h => (lit(hashA(j)) * h + lit(hashB(j))) % lit(P)))
+
+  private def minhashThSqlExpr(thExpr: String, j: Int): String =
+    s"list_aggregate(list_transform($thExpr, h -> (${hashA(j)} * h + ${hashB(j)}) % $P), 'min')"
 
   // ---------------------------------------------------------------- //
   // p07: MinHash signatures over 3-token shingles; 4 LSH band keys
@@ -187,27 +204,30 @@ object PipelineOps {
       .select(col("doc_id"), tokens.as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(0), size(col("tok")) - 3),
-          i => concat_ws(" ", col("tok")(i), col("tok")(i + 1), col("tok")(i + 2))))
-          .as("shingles"))
-    val hs = (0 until K).map(j => minhash(col("shingles"), j).as(s"h$j"))
+        tokenHashes(
+          array_distinct(transform(sequence(lit(0), size(col("tok")) - 3),
+            i => concat_ws(" ", col("tok")(i), col("tok")(i + 1), col("tok")(i + 2)))))
+          .as("th"))
+    val hs = (0 until K).map(j => minhashTh(col("th"), j).as(s"h$j"))
     val sig = withShingles.select(col("doc_id") +: hs: _*)
     val bands = (0 until K / 4).map { b =>
-      md5(concat((4 * b until 4 * b + 4).map(j => col(s"h$j")): _*)).as(f"band$b")
+      concat_ws(":", (4 * b until 4 * b + 4).map(j => col(s"h$j").cast("string")): _*)
+        .as(f"band$b")
     }
     sig.select(col("doc_id") +: bands: _*).orderBy(col("doc_id"))
   }
 
   val p07_sql: String = {
-    val hDefs = (0 until K).map(j => s"${minhashSqlExpr("shingles", j)} AS h$j").mkString(",\n  ")
+    val hDefs = (0 until K).map(j => s"${minhashThSqlExpr("th", j)} AS h$j").mkString(",\n  ")
     val bands = (0 until K / 4).map { b =>
-      s"md5(${(4 * b until 4 * b + 4).map(j => s"h$j").mkString(" || ")}) AS band$b"
+      s"concat_ws(':', ${(4 * b until 4 * b + 4).map(j => s"h$j::VARCHAR").mkString(", ")}) AS band$b"
     }.mkString(",\n  ")
     s"""SELECT doc_id, $bands FROM (
        |SELECT doc_id, $hDefs FROM (
        |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, len(tok)-1),
-       |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingles
+       |    ${tokenHashesSql(
+        """list_distinct(list_transform(range(1, len(tok)-1),
+          |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]))""".stripMargin)} AS th
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents)
        |  WHERE len(tok) >= 3))
        |ORDER BY doc_id""".stripMargin
@@ -216,59 +236,70 @@ object PipelineOps {
   // ---------------------------------------------------------------- //
   // p08: MinHash-LSH near-dup pairs over token sets, blocked by source.
   // k=16, r=2, b=8 bands → candidates = pairs sharing (source, band);
-  // exact jaccard >= 0.85 verifies. The band explode + join is the
-  // scale path: shuffle on (source, band_idx, band_hash), never O(n²).
+  // exact jaccard >= 0.85 verifies. Candidates come from ONE shuffle:
+  // groupBy (source, band_idx, band_hash) → per-bucket id list →
+  // in-bucket pair expansion with a higher-order transform. This halves
+  // the band-relation shuffle vs a self-join (which shuffles both
+  // sides) and never goes O(n²) across buckets. A bucket with B docs
+  // yields B(B-1)/2 pairs either way — that's inherent to LSH — but
+  // here the minhash signatures are computed exactly once.
   // ---------------------------------------------------------------- //
   def p08_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         array_sort(array_distinct(tokens)).as("tok"))
-    val hs = (0 until K).map(j => minhash(col("tok"), j))
+    val withTh = toks.withColumn("th", tokenHashes(col("tok")))
+    val hs = (0 until K).map(j => minhashTh(col("th"), j))
     val bandCols = (0 until K / 2).map { b =>
-      struct(lit(b).as("band_idx"), md5(concat(hs(2 * b), hs(2 * b + 1))).as("band_hash"))
+      struct(lit(b).as("band_idx"),
+        (hs(2 * b) * lit(P) + hs(2 * b + 1)).as("band_hash"))
     }
-    // band rows carry only (ids, band key): the candidate self-join and
-    // pair-dedup shuffle narrow rows; token arrays are re-attached
-    // afterwards by joining back on doc id. The re-attach join strategy
-    // is left to AQE — at sf0.1 it broadcasts, at 100 TB it shuffles on
-    // doc id; forcing broadcast of the full corpus token relation would
-    // OOM at scale. Either way the wide payload stays out of the hot
-    // LSH self-join shuffle — the dominant cost of LSH joins.
-    val banded = toks.select(col("doc_id"), col("source"),
+    // Band rows carry only (doc_id, band key): wide token arrays stay
+    // out of the hot shuffle and are re-attached afterwards by joining
+    // back on doc id (strategy left to AQE — broadcast at small SF,
+    // shuffle join on doc id at 100 TB).
+    val banded = withTh.select(col("doc_id"), col("source"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("source"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    val a = banded.as("a"); val b = banded.as("b")
-    val cands = a.join(b,
-        col("a.source") === col("b.source") &&
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cands = banded
+      .groupBy(col("source"), col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // ids within a bucket are distinct (each doc emits each band
+      // once); least/greatest normalizes the nondeterministic
+      // collect_list order so the cross-band dedup lines up.
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val ta = toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))
     val tb = toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
+    val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
     cands
       .join(ta, "doc_a")
       .join(tb, "doc_b")
-      .withColumn("jac",
-        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
-          size(array_union(col("tok_a"), col("tok_b"))))
+      // tok arrays are distinct, so |A ∪ B| = |A| + |B| - |A ∩ B|;
+      // avoids materializing the union array per pair.
+      .withColumn("jac", inter / (size(col("tok_a")) + size(col("tok_b")) - inter))
       .filter(col("jac") >= 0.85)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val p08_sql: String = {
-    val hDefs = (0 until K).map(j => s"${minhashSqlExpr("tok", j)} AS h$j").mkString(",\n  ")
+    val hDefs = (0 until K).map(j => s"${minhashThSqlExpr("th", j)} AS h$j").mkString(",\n  ")
     val bandRows = (0 until K / 2).map { b =>
-      s"SELECT doc_id, source, tok, $b AS band_idx, md5(h${2 * b} || h${2 * b + 1}) AS band_hash FROM sig"
+      s"SELECT doc_id, source, $b AS band_idx, h${2 * b} * $P + h${2 * b + 1} AS band_hash FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""WITH toks AS (
        |  SELECT doc_id, source,
        |    list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
        |  FROM documents),
-       |sig AS (SELECT doc_id, source, tok, $hDefs FROM toks),
+       |sig AS (SELECT doc_id, source, $hDefs
+       |        FROM (SELECT doc_id, source, ${tokenHashesSql("tok")} AS th FROM toks)),
        |banded AS ($bandRows),
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -277,10 +308,10 @@ object PipelineOps {
        |   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
-       |    len(list_distinct(list_concat(ta.tok, tb.tok))) AS jac
+       |    (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) AS jac
        |FROM cands JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
        |WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
-       |    len(list_distinct(list_concat(ta.tok, tb.tok))) >= 0.85
+       |    (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) >= 0.85
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
