@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{PgCtidPack, PgCtidText, PgCtidUnpack, VecDot}
+import graft.functions.{MinhashFunctions, MinhashSig, PgCtidPack, PgCtidText, PgCtidUnpack, VecDot}
 
 /** `--conf spark.sql.extensions=graft.GraftExtensions` — registers the
   * engine's SQL surface: the ctid pack/unpack expressions (SURVEY.md
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinhashSig(args(0), MinhashFunctions.DefaultK)))
     e.injectFunction((
       FunctionIdentifier("pg_ctid_pack"),
       new ExpressionInfo(classOf[PgCtidPack].getName, "pg_ctid_pack"),

@@ -3,6 +3,8 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.functions.MinhashFunctions
+
 /** Dev utility: stage timings for the reworked p08 candidate pipeline. */
 object P08Lab {
   def main(args: Array[String]): Unit = {
@@ -14,41 +16,41 @@ object P08Lab {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    MinhashFunctions.register(spark)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"PROF $label%-34s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      println(f"PROF $label%-34s ${(System.nanoTime() - t0) / 1e9}%.3f s  -> $r"); r
     }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     time("warm")(docs.count())
 
-    val P = 2147483647L
-    def hashA(j: Int): Long = (1103515245L * (j + 1)) % P
-    def hashB(j: Int): Long = (12345L + 1000003L * j) % P
+    val P = graft.functions.MinhashFamily.P
+    val K = 16
     val tokens = split(trim(col("text")), "\\s+")
     val toks = docs.select(col("doc_id"), col("source"),
       array_sort(array_distinct(tokens)).as("tok"))
-    val withTh = toks.withColumn("th",
-      transform(col("tok"), tk =>
-        (conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % P).cast("long")))
-    val K = 16
-    val hs = (0 until K).map(j =>
-      array_min(transform(col("th"), h => (lit(hashA(j)) * h + lit(hashB(j))) % lit(P))))
+    time("toks_forced")(toks.agg(sum(size(col("tok")))).head.getLong(0))
+    val withSig = toks.withColumn("sig", MinhashFunctions.minhash_sig(col("tok")))
+    time("sig_forced")(withSig.agg(sum(element_at(col("sig"), 1) % 97)).head.getLong(0))
+    val hs = (0 until K).map(j => col("sig")(j))
     val bandCols = (0 until K / 2).map { b =>
       struct(lit(b).as("band_idx"), (hs(2 * b) * lit(P) + hs(2 * b + 1)).as("band_hash"))
     }
-    val banded = withTh.select(col("doc_id"), col("source"),
+    val banded = withSig.select(col("doc_id"), col("source"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("source"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    time("banded")(banded.count())
-    time("banded2")(banded.count())
+    time("banded_forced")(banded.agg(sum(col("band_hash") % 97)).head.get(0))
 
-    val cands = banded
+    val grouped = banded
       .groupBy(col("source"), col("band_idx"), col("band_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
+    time("grouped")(grouped.count())
+    time("grouped_maxbucket")(grouped.agg(max(size(col("ids")))).head.get(0))
+    val cands = grouped
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y ->

@@ -175,22 +175,13 @@ object PipelineOps {
   // overflow) — so both engines agree bit-for-bit while the k-1
   // extra hashes cost multiply-adds instead of md5 calls. k=16.
   // ---------------------------------------------------------------- //
-  private val K = 16
-  private val P = 2147483647L // 2^31 - 1
-  private def hashA(j: Int): Long = (1103515245L * (j + 1)) % P
-  private def hashB(j: Int): Long = (12345L + 1000003L * j) % P
-
-  /** Array of base hashes (one md5 each) for an array of tokens. */
-  private def tokenHashes(arr: Column): Column =
-    transform(arr, tk =>
-      (conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % P).cast("long"))
+  private val K = graft.functions.MinhashFunctions.DefaultK
+  private val P = graft.functions.MinhashFamily.P
+  private def hashA(j: Int): Long = graft.functions.MinhashFamily.a(j)
+  private def hashB(j: Int): Long = graft.functions.MinhashFamily.b(j)
 
   private def tokenHashesSql(arrExpr: String): String =
     s"list_transform($arrExpr, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $P)"
-
-  /** j-th minhash over a precomputed base-hash array. */
-  private def minhashTh(th: Column, j: Int): Column =
-    array_min(transform(th, h => (lit(hashA(j)) * h + lit(hashB(j))) % lit(P)))
 
   private def minhashThSqlExpr(thExpr: String, j: Int): String =
     s"list_aggregate(list_transform($thExpr, h -> (${hashA(j)} * h + ${hashB(j)}) % $P), 'min')"
@@ -200,18 +191,20 @@ object PipelineOps {
   // (r=4, b=4) emitted as md5 of the band's minhash slice.
   // ---------------------------------------------------------------- //
   def p07_minhash_sig(s: SparkSession, dir: String): DataFrame = {
-    val withShingles = t(s, dir, "documents")
+    graft.functions.MinhashFunctions.register(s)
+    import graft.functions.MinhashFunctions.minhash_sig
+    // minhash_sig is the codegen'd one-pass signature (md5 once per
+    // shingle, all K running minima together) — see MinhashExpression.
+    val sig = t(s, dir, "documents")
       .select(col("doc_id"), tokens.as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("doc_id"),
-        tokenHashes(
+        minhash_sig(
           array_distinct(transform(sequence(lit(0), size(col("tok")) - 3),
             i => concat_ws(" ", col("tok")(i), col("tok")(i + 1), col("tok")(i + 2)))))
-          .as("th"))
-    val hs = (0 until K).map(j => minhashTh(col("th"), j).as(s"h$j"))
-    val sig = withShingles.select(col("doc_id") +: hs: _*)
+          .as("sig"))
     val bands = (0 until K / 4).map { b =>
-      concat_ws(":", (4 * b until 4 * b + 4).map(j => col(s"h$j").cast("string")): _*)
+      concat_ws(":", (4 * b until 4 * b + 4).map(j => col("sig")(j).cast("string")): _*)
         .as(f"band$b")
     }
     sig.select(col("doc_id") +: bands: _*).orderBy(col("doc_id"))
@@ -248,8 +241,10 @@ object PipelineOps {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         array_sort(array_distinct(tokens)).as("tok"))
-    val withTh = toks.withColumn("th", tokenHashes(col("tok")))
-    val hs = (0 until K).map(j => minhashTh(col("th"), j))
+    graft.functions.MinhashFunctions.register(s)
+    val withSig = toks.withColumn("sig",
+      graft.functions.MinhashFunctions.minhash_sig(col("tok")))
+    val hs = (0 until K).map(j => col("sig")(j))
     val bandCols = (0 until K / 2).map { b =>
       struct(lit(b).as("band_idx"),
         (hs(2 * b) * lit(P) + hs(2 * b + 1)).as("band_hash"))
@@ -258,7 +253,7 @@ object PipelineOps {
     // out of the hot shuffle and are re-attached afterwards by joining
     // back on doc id (strategy left to AQE — broadcast at small SF,
     // shuffle join on doc id at 100 TB).
-    val banded = withTh.select(col("doc_id"), col("source"),
+    val banded = withSig.select(col("doc_id"), col("source"),
       explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("source"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
