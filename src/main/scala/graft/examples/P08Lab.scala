@@ -35,29 +35,33 @@ object P08Lab {
     val withSig = toks.withColumn("sig", MinhashFunctions.minhash_sig(col("tok")))
     time("sig_forced")(withSig.agg(sum(element_at(col("sig"), 1) % 97)).head.getLong(0))
     val hs = (0 until K).map(j => col("sig")(j))
-    val bandCols = (0 until K / 2).map { b =>
-      struct(lit(b).as("band_idx"), (hs(2 * b) * lit(P) + hs(2 * b + 1)).as("band_hash"))
-    }
-    val banded = withSig.select(col("doc_id"), col("source"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("source"),
-        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val bhsC = array((0 until K / 2).map(b => (hs(2 * b) * lit(P) + hs(2 * b + 1))): _*)
+    val banded = withSig
+      .select(col("doc_id"), col("source"), size(col("tok")).as("sz"), bhsC.as("bhs"))
+      .select(col("doc_id"), col("source"), col("sz"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
     time("banded_forced")(banded.agg(sum(col("band_hash") % 97)).head.get(0))
 
     val grouped = banded
+      .repartition(32, col("source"), col("band_idx"), col("band_hash"))
       .groupBy(col("source"), col("band_idx"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(collect_list(struct(col("doc_id"), col("bhs"), col("sz"))).as("members"))
+      .filter(size(col("members")) > 1)
     time("grouped")(grouped.count())
-    time("grouped_maxbucket")(grouped.agg(max(size(col("ids")))).head.get(0))
     val cands = grouped
       .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y ->
-          |    struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))""".stripMargin)).as("p"))
+        """flatten(transform(members, (x, i) ->
+          |  transform(
+          |    filter(slice(members, i + 2, size(members)), y ->
+          |      least(x.sz, y.sz) >= 0.84 * greatest(x.sz, y.sz)
+          |      AND NOT exists(
+          |        zip_with(slice(x.bhs, 1, band_idx), slice(y.bhs, 1, band_idx),
+          |          (ha, hb) -> ha = hb), c -> c)),
+          |    y -> struct(least(x.doc_id, y.doc_id) AS doc_a,
+          |                greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     time("cands_raw")(cands.count())
-    val dd = cands.dropDuplicates("doc_a", "doc_b")
+    val dd = cands
     time("cands_dedup")(dd.count())
 
     val ta = toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))

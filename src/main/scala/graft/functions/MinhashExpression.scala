@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * under 2^62 — plain 64-bit arithmetic, bit-identical across engines.
   * One md5 per token; the k-1 extra hash functions are multiply-adds.
   */
-object MinhashFamily {
+object MinhashFamily extends Serializable {
   val P: Long = 2147483647L // 2^31 - 1
   def a(j: Int): Long = (1103515245L * (j + 1)) % P
   def b(j: Int): Long = (12345L + 1000003L * j) % P

@@ -245,31 +245,49 @@ object PipelineOps {
     val withSig = toks.withColumn("sig",
       graft.functions.MinhashFunctions.minhash_sig(col("tok")))
     val hs = (0 until K).map(j => col("sig")(j))
-    val bandCols = (0 until K / 2).map { b =>
-      struct(lit(b).as("band_idx"),
-        (hs(2 * b) * lit(P) + hs(2 * b + 1)).as("band_hash"))
-    }
-    // Band rows carry only (doc_id, band key): wide token arrays stay
-    // out of the hot shuffle and are re-attached afterwards by joining
-    // back on doc id (strategy left to AQE — broadcast at small SF,
-    // shuffle join on doc id at 100 TB).
-    val banded = withSig.select(col("doc_id"), col("source"),
-      explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("source"),
-        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    // All 8 band hashes as one array: band b collides iff bhs[b] match.
+    val bhs = array((0 until K / 2).map(b => hs(2 * b) * lit(P) + hs(2 * b + 1)): _*)
+    // Band rows carry (doc_id, all band hashes, token count) — narrow
+    // fixed-size payload (~80 B/row); the wide token arrays stay out of
+    // the hot shuffle and are re-attached afterwards by joining back on
+    // doc id (strategy left to AQE — broadcast at small SF, shuffle
+    // join on doc id at 100 TB).
+    val banded = withSig
+      .select(col("doc_id"), col("source"), size(col("tok")).as("sz"), bhs.as("bhs"))
+      .select(col("doc_id"), col("source"), col("sz"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+    // One shuffle total for candidate generation: group per bucket and
+    // expand in-bucket pairs. A pair sharing several bands is emitted
+    // only at its FIRST colliding band (the zip_with/exists check), so
+    // candidates arrive already distinct — no second dedup shuffle over
+    // the pair blow-up, which at dup-heavy corpora is the largest
+    // intermediate of the whole query. The size-ratio prefilter is
+    // conservative: jaccard >= 0.85 implies min(|A|,|B|)/max >= 0.85,
+    // checked with 0.84 slack so float rounding can never drop a true
+    // pair; it prunes exact-verify work, never results.
+    // Explicit width for the bucket shuffle: the stage after it is
+    // compute-dense but byte-light (in-bucket pair expansion + exact
+    // jaccard ~ O(sum bucket²) work over a few MB of rows), so AQE's
+    // size-based coalescing would collapse it to one task. A
+    // user-specified repartition pins the width to the cluster's
+    // parallelism instead.
     val cands = banded
+      .repartition(s.sparkContext.defaultParallelism,
+        col("source"), col("band_idx"), col("band_hash"))
       .groupBy(col("source"), col("band_idx"), col("band_hash"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      // ids within a bucket are distinct (each doc emits each band
-      // once); least/greatest normalizes the nondeterministic
-      // collect_list order so the cross-band dedup lines up.
+      .agg(collect_list(struct(col("doc_id"), col("bhs"), col("sz"))).as("members"))
+      .filter(size(col("members")) > 1)
       .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y ->
-          |    struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))""".stripMargin)).as("p"))
+        """flatten(transform(members, (x, i) ->
+          |  transform(
+          |    filter(slice(members, i + 2, size(members)), y ->
+          |      least(x.sz, y.sz) >= 0.84 * greatest(x.sz, y.sz)
+          |      AND NOT exists(
+          |        zip_with(slice(x.bhs, 1, band_idx), slice(y.bhs, 1, band_idx),
+          |          (ha, hb) -> ha = hb), c -> c)),
+          |    y -> struct(least(x.doc_id, y.doc_id) AS doc_a,
+          |                greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
     val ta = toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))
     val tb = toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
     val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
@@ -471,7 +489,7 @@ object PipelineOps {
     // partitions stay low — per-partition store setup is the fixed cost
     val ckpt = s"/dev/shm/graft_ckpt_$name"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val q = try {
       stream.writeStream.outputMode("complete")
         .format("memory").queryName(name)
@@ -539,7 +557,7 @@ object PipelineOps {
     val name = s"st02_out_${System.nanoTime()}"
     val ckpt = s"/dev/shm/graft_ckpt_$name"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val q = try {
       sessions.writeStream.outputMode("append")
         .format("memory").queryName(name)
