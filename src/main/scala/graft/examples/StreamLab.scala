@@ -47,18 +47,19 @@ object StreamLab {
           .option("checkpointLocation", ckpt)
           .trigger(if (once) Trigger.Once() else Trigger.AvailableNow()).start()
         q.awaitTermination()
+        q.recentProgress.foreach(pr => println(s"PROG batch=${pr.batchId} ${pr.durationMs}"))
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
 
-    run("warm_cold", 8, agg = true)
-    run("avail2_a", 2, agg = true)
-    run("once2_a", 2, agg = true, once = true)
-    run("avail2_b", 2, agg = true)
-    run("once2_b", 2, agg = true, once = true)
-    run("once1", 1, agg = true, once = true)
-    run("noop_once", 1, agg = false, once = true)
+    run("warm_cold", 2, agg = true)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    run("mpb4m_p2_a", 2, agg = true)
+    run("mpb4m_p2_b", 2, agg = true)
+    run("mpb4m_p4", 4, agg = true)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    run("back128_p2", 2, agg = true)
 
     spark.stop()
   }

@@ -112,11 +112,15 @@ object Ann {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // topk_by instead of a row_number window: partial k-element heaps
+    // per partition mean the final exchange carries ≤ k rows per query
+    // rather than every scored candidate (see TopKAggregate).
+    graft.functions.TopKFunctions.register(queries.sparkSession)
     candidates.withColumn("cos", vec_cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKFunctions.topk_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos"))
   }
 }

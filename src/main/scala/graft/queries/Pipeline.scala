@@ -376,21 +376,34 @@ object PipelineOps {
     fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   def s01_ann_brute(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.TopKFunctions.register(s)
+    import graft.functions.VectorFunctions.vec_dot
+    import graft.functions.TopKFunctions.topk_by
     val emb = t(s, dir, "embeddings")
+    // Norms are per-vector, not per-pair: compute each side's norm once
+    // (|Q| + n sqrt-folds) instead of re-deriving both inside every one
+    // of the |Q|·n scored pairs. Identical doubles — same fold, same
+    // order — so the oracle (which writes the textbook per-pair form)
+    // still hash-matches.
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", sqrt(vec_dot(col("qv"), col("qv"))))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cn", sqrt(vec_dot(col("cv"), col("cv"))))
     val scored = corpus.join(broadcast(queries),
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cos_sim"))
+      .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    // topk_by replaces the row_number window: the window form shuffles
+    // and sorts the whole |Q|·n scored relation; the aggregate reduces
+    // each map partition to ≤ k rows per query before the exchange.
+    // Selection and order (cos desc, id asc) are identical.
+    scored.groupBy(col("query_id"))
+      .agg(topk_by(col("cos"), col("neighbor_id"), 10).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rank"),
+        round(col("p.score"), 6).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
   }
 
