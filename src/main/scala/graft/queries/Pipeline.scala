@@ -682,6 +682,100 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------- //
+  // s03: IVF-style ANN — the other classic scale path beside LSH.
+  // Index build: every corpus vector is assigned to its nearest
+  // "centroid" (deterministic centroid set = the first C corpus
+  // vectors, so the oracle can reproduce it; a production build would
+  // run k-means and persist the assignment, bucketed by cell id).
+  // Query path: each query probes its nprobe closest cells and
+  // exact-reranks only vectors in those cells — touching ~nprobe/C of
+  // the corpus instead of all of it. Assignments and probes both ride
+  // the topk_by bounded-heap aggregate; every fold is the shared
+  // deterministic vec_dot, so the whole thing is SQL-expressible and
+  // fully oracle-checked (unlike s02, whose hyperplanes live
+  // engine-side).
+  // ---------------------------------------------------------------- //
+  def s03_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.TopKFunctions.register(s)
+    import graft.functions.VectorFunctions.vec_dot
+    import graft.functions.TopKFunctions.topk_by
+    val C = 32; val nprobe = 4; val k = 10
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvc"))
+      .withColumn("cnc", sqrt(vec_dot(col("cvc"), col("cvc"))))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", sqrt(vec_dot(col("qv"), col("qv"))))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cn", sqrt(vec_dot(col("cv"), col("cv"))))
+    // Index build: nearest centroid per vector. The aggregate input is
+    // the NARROW (neighbor_id, csim, cid) relation — the embedding
+    // itself never enters the assignment shuffle; topk_by's map-side
+    // heaps reduce it to one row per vector before the exchange.
+    val assign = corpus.crossJoin(broadcast(cent))
+      .withColumn("csim", vec_dot(col("cv"), col("cvc")) / (col("cn") * col("cnc")))
+      .groupBy(col("neighbor_id"))
+      .agg(topk_by(col("csim"), col("cid"), 1).as("best"))
+      .select(col("neighbor_id"), element_at(col("best"), 1).getField("id").as("cid"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("qsim", vec_dot(col("qv"), col("cvc")) / (col("qn") * col("cnc")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("qsim"), col("cid"), nprobe).as("pr"))
+      .select(col("query_id"), explode(col("pr").getField("id")).as("cid"))
+    // Probe: only vectors in the probed cells are exact-scored.
+    val cands = probes.join(assign, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    cands
+      .join(broadcast(queries), "query_id")
+      .join(corpus, "neighbor_id")
+      .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rank"),
+        round(col("p.score"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s03_sql: String = {
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def normE(v: String) = s"sqrt(${dotE(v, v)})"
+    val csim = s"${dotE("c.cv", "cent.cvc")} / (${normE("c.cv")} * ${normE("cent.cvc")})"
+    val qsim = s"${dotE("q.qv", "cent.cvc")} / (${normE("q.qv")} * ${normE("cent.cvc")})"
+    val cos = s"${dotE("q.qv", "c.cv")} / (${normE("q.qv")} * ${normE("c.cv")})"
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvc FROM embeddings WHERE vec_id < 32),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |assign AS (
+       |  SELECT neighbor_id, cid FROM (
+       |    SELECT c.neighbor_id, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY $csim DESC, cent.cid ASC) AS rn
+       |    FROM c CROSS JOIN cent) WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY $qsim DESC, cent.cid ASC) AS rn
+       |    FROM q CROSS JOIN cent) WHERE rn <= 4),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM probes JOIN assign USING (cid)
+       |  WHERE query_id <> neighbor_id),
+       |scored AS (
+       |  SELECT cands.query_id, cands.neighbor_id, $cos AS cos
+       |  FROM cands JOIN q ON q.query_id = cands.query_id
+       |  JOIN c ON c.neighbor_id = cands.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
   // m01: multimodal feature extraction — binary payload + typed
   // metadata through the partition-wise decode pipeline (stubbed
   // decoder, real plumbing; see operators.Multimodal). The
@@ -744,6 +838,7 @@ object PipelineOps {
     "q30_asof_join" -> ((q30_asof_join _, Some(q30_sql))),
     "p10_embedding_dedup" -> ((p10_embedding_dedup _, Some(p10_sql))),
     "s02_ann_lsh" -> ((s02_ann_lsh _, None)),
+    "s03_ann_ivf" -> ((s03_ann_ivf _, Some(s03_sql))),
     "m01_multimodal" -> ((m01_multimodal _, Some(m01_sql))),
     "p01_token_count" -> ((p01_token_count _, Some(p01_sql))),
     "p02_quality" -> ((p02_quality _, Some(p02_sql))),
