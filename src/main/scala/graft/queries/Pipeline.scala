@@ -682,6 +682,76 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------- //
+  // p11: BPE-ish subtoken counting — the second tokenizer from the
+  // pipeline inventory (whitespace = p01). Splits into letter runs,
+  // digit runs, and punctuation runs via one regex that means the same
+  // thing under Java regex (Spark) and RE2 (DuckDB), so the oracle
+  // reproduces it exactly.
+  // ---------------------------------------------------------------- //
+  private val SubtokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def p11_subtoken_count(s: SparkSession, dir: String): DataFrame = {
+    val sub = regexp_extract_all(col("text"), lit(SubtokenRe), lit(0))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(sub).as("n_subtokens"),
+        size(array_distinct(sub)).as("n_distinct_subtokens"),
+        (aggregate(sub, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          greatest(size(sub), lit(1)).cast("double")).as("avg_subtoken_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p11_sql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(sub) AS INT) AS n_subtokens,
+       |  CAST(length(list_distinct(sub)) AS INT) AS n_distinct_subtokens,
+       |  CAST(list_sum(list_transform(sub, x -> length(x))) * 1.0 AS DOUBLE)
+       |    / greatest(length(sub), 1) AS avg_subtoken_len
+       |FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+') AS sub
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p12: character n-gram fingerprints, mod-sampled (winnowing-style
+  // document sketch). Every 8-char gram of the normalized text is
+  // hashed with the portable md5-prefix hash; grams whose hash is
+  // ≡ 0 (mod 64) form the document's fingerprint set (Broder mod-p
+  // sampling — position-independent, so near-identical docs share
+  // most fingerprints). O(doc length) work per doc, one narrow row
+  // out — at 100 TB the sketch relation is ~1/64th of a gram index.
+  // ---------------------------------------------------------------- //
+  def p12_ngram_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .select(col("doc_id"),
+        expr(
+          """array_distinct(filter(
+            |  transform(sequence(1, greatest(length(norm) - 7, 0)),
+            |    i -> cast(conv(substring(md5(substring(norm, i, 8)), 1, 8), 16, 10) as bigint)),
+            |  h -> h % 64 = 0))""".stripMargin).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p12_sql: String =
+    """SELECT doc_id,
+      |  CAST(length(fps) AS INT) AS n_fingerprints,
+      |  list_aggregate(fps, 'min') AS fp_min,
+      |  list_aggregate(fps, 'max') AS fp_max
+      |FROM (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    list_transform(range(1, greatest(length(norm) - 7, 0) + 1),
+      |      i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::BIGINT),
+      |    h -> h % 64 = 0)) AS fps
+      |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // s03: IVF-style ANN — the other classic scale path beside LSH.
   // Index build: every corpus vector is assigned to its nearest
   // "centroid" (deterministic centroid set = the first C corpus
@@ -837,6 +907,8 @@ object PipelineOps {
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q30_asof_join" -> ((q30_asof_join _, Some(q30_sql))),
     "p10_embedding_dedup" -> ((p10_embedding_dedup _, Some(p10_sql))),
+    "p11_subtoken_count" -> ((p11_subtoken_count _, Some(p11_sql))),
+    "p12_ngram_fingerprint" -> ((p12_ngram_fingerprint _, Some(p12_sql))),
     "s02_ann_lsh" -> ((s02_ann_lsh _, None)),
     "s03_ann_ivf" -> ((s03_ann_ivf _, Some(s03_sql))),
     "m01_multimodal" -> ((m01_multimodal _, Some(m01_sql))),
