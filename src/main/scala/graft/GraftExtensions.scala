@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{MinhashFunctions, MinhashSig, PgCtidPack, PgCtidText, PgCtidUnpack, VecDot}
+import graft.functions.{LshBuckets, MinhashFunctions, MinhashSig, PgCtidPack, PgCtidText, PgCtidUnpack, TopKBy, VecDot}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 
 /** `--conf spark.sql.extensions=graft.GraftExtensions` — registers the
   * engine's SQL surface: the ctid pack/unpack expressions (SURVEY.md
@@ -23,6 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinhashSig(args(0), MinhashFunctions.DefaultK)))
+    e.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (args: Seq[Expression]) => LshBuckets(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, i, Literal(k: Int, IntegerType)) => TopKBy(s, i, k)
+        case _ => throw new IllegalArgumentException(
+          "topk_by(score double, id bigint, k int-literal)")
+      }))
     e.injectFunction((
       FunctionIdentifier("pg_ctid_pack"),
       new ExpressionInfo(classOf[PgCtidPack].getName, "pg_ctid_pack"),

@@ -62,20 +62,15 @@ object Ann {
   /** Hash every row of `df` into its L bucket codes:
     * output = input columns + (table INT, bucket INT). */
   def bucketize(df: DataFrame, vecCol: String, planes: Seq[Seq[Seq[Double]]]): DataFrame = {
-    VectorFunctions.register(df.sparkSession)
-    val bits = planes.head.length
+    VectorFunctions.register(df.sparkSession) // callers compose with vec_dot/vec_cosine
+    graft.functions.LshFunctions.register(df.sparkSession)
     val planesLit = typedlit(planes) // array<array<array<double>>>
-    // per table t: bucket = Σ_i [dot(v, plane_i) > 0] · 2^i
-    val tb = transform(planesLit, (tablePlanes, t) =>
-      struct(
-        t.cast("int").as("table"),
-        aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, i) =>
-          acc + when(vec_dot(col(vecCol), element_at(tablePlanes, i + 1)) > 0,
-            pow(lit(2.0), i).cast("int")).otherwise(lit(0))).as("bucket")))
-    df.withColumn("tb", explode(tb))
-      .withColumn("table", col("tb.table"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
+    // per table t: bucket = Σ_i [dot(v, plane_i) > 0] · 2^i — the whole
+    // L×B×dim loop runs in the codegen'd lsh_buckets expression (one
+    // call per row) instead of L interpreted aggregate/vec_dot lambdas
+    df.select(col("*"),
+      posexplode(graft.functions.LshFunctions.lsh_buckets(col(vecCol), planesLit))
+        .as(Seq("table", "bucket")))
   }
 
   /** All Hamming-1 probe buckets for a code (multiprobe). */

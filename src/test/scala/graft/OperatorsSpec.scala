@@ -107,4 +107,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.count() > 0)
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
   }
+
+  test("lsh_buckets matches the composed vec_dot bit-fold exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.vec_dot
+    val ps = Ann.planes(dim = 64, tables = 3, bits = 6, seed = 7L)
+    val bits = ps.head.length
+    val planesLit = typedlit(ps)
+    val df = emb.limit(500).select(col("vec_id"), col("embedding"))
+    graft.functions.LshFunctions.register(spark)
+    graft.functions.VectorFunctions.register(spark)
+    // the pre-round-3 composed form this expression replaces
+    val composed = transform(planesLit, (tablePlanes, t) =>
+      struct(t.cast("int").as("table"),
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, i) =>
+          acc + when(vec_dot(col("embedding"), element_at(tablePlanes, i + 1)) > 0,
+            pow(lit(2.0), i).cast("int")).otherwise(lit(0))).as("bucket")))
+    val rows = df.select(col("vec_id"),
+        graft.functions.LshFunctions.lsh_buckets(col("embedding"), planesLit).as("fast"),
+        transform(composed, s => s.getField("bucket")).as("slow"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec ${r.get(0)}"))
+  }
 }
