@@ -23,9 +23,15 @@ final class TopKBuffer(val k: Int) {
   private[functions] val scores = new Array[Double](k)
   private[functions] val ids = new Array[Long](k)
 
-  /** true if (s1, id1) is worse (evicted earlier) than (s2, id2) */
-  private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && id1 > id2)
+  /** true if (s1, id1) is worse (evicted earlier) than (s2, id2).
+    * Double.compare ordering, so NaN ranks above +Inf and -0.0 below
+    * 0.0 — exactly Spark's sort semantics for DoubleType, keeping this
+    * aggregate interchangeable with a row_number window even on
+    * pathological scores. */
+  private def worse(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && id1 > id2)
+  }
 
   def insert(score: Double, id: Long): Unit = {
     if (size < k) {
@@ -68,7 +74,8 @@ final class TopKBuffer(val k: Int) {
   def sorted: Array[(Double, Long)] = {
     val out = (0 until size).map(i => (scores(i), ids(i))).toArray
     out.sortInPlace()(Ordering.fromLessThan[(Double, Long)] { case ((s1, i1), (s2, i2)) =>
-      s1 > s2 || (s1 == s2 && i1 < i2)
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
     })
     out
   }

@@ -80,4 +80,19 @@ class TopKSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(12L, 10L))
   }
+
+  test("topk_by orders NaN like Spark's window sort (NaN ranks first)") {
+    import spark.implicits._
+    val df = Seq((1, 10L, 1.0), (1, 11L, Double.NaN), (1, 12L, 2.0), (1, 13L, Double.NaN))
+      .toDF("g", "id", "score")
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val expected = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3).orderBy($"rank")
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    val got = df.groupBy($"g")
+      .agg(TopKFunctions.topk_by($"score", $"id", 3).as("top"))
+      .select(explode($"top.id").as("id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
 }
