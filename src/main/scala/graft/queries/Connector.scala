@@ -193,6 +193,71 @@ object ConnectorOps {
       |FROM customer WHERE c_acctbal > 500.0
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // c08/c09: SQL DML through the connector catalog — DELETE compiles
+  // to one remote statement when the predicate pushes down; UPDATE
+  // runs the DSv2 delta rewrite (temp table + UPDATE … FROM ctid).
+  // Each entry re-seeds its working table (truncate-overwrite) so
+  // warmup + timed + verify reruns all see the same initial state,
+  // then mutates through spark.sql and reads back through the scan;
+  // the oracle recomputes the post-DML state from parquet.
+  // ---------------------------------------------------------------- //
+  private def catalogFor(s: SparkSession, dir: String): String = {
+    val name = "pgc_" + dsnName(dir)
+    if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$name", "graft.catalog.PostgresCatalog")
+      s.conf.set(s"spark.sql.catalog.$name.dsn", dsn(dir))
+    }
+    name
+  }
+
+  private def seedWork(s: SparkSession, dir: String, table: String, df: DataFrame): Unit = {
+    val d = ensureSeeded(s, dir)
+    val colDefs = df.schema.fields.map { f =>
+      s"${PgSqlGen.quoteIdent(f.name)} ${PgType.typeString(PgType.fromSpark(f.dataType))}"
+    }.mkString(", ")
+    val t = PgTransportFactory.open(d)
+    try t.execute(s"""CREATE TABLE IF NOT EXISTS "public".${PgSqlGen.quoteIdent(table)} ($colDefs)""")
+    finally t.close()
+    df.write.format("postgres")
+      .option("dsn", d).option("table", table)
+      .mode("overwrite").save()
+  }
+
+  def c08_pg_delete(s: SparkSession, dir: String): DataFrame = {
+    seedWork(s, dir, "c08_work",
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")))
+    val cat = catalogFor(s, dir)
+    s.sql(s"DELETE FROM $cat.public.c08_work WHERE c_acctbal < 3000.0")
+    s.read.format("postgres")
+      .option("dsn", dsn(dir)).option("table", "c08_work")
+      .option("pagesPerTask", PagesPerTask).load()
+      .orderBy(col("c_custkey"))
+  }
+
+  val c08_sql: String =
+    """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      |WHERE NOT (c_acctbal < 3000.0) ORDER BY c_custkey""".stripMargin
+
+  def c09_pg_update(s: SparkSession, dir: String): DataFrame = {
+    seedWork(s, dir, "c09_work",
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val cat = catalogFor(s, dir)
+    s.sql(s"UPDATE $cat.public.c09_work SET n_name = 'redacted' WHERE n_regionkey % 2 = 0")
+    s.read.format("postgres")
+      .option("dsn", dsn(dir)).option("table", "c09_work")
+      .option("pagesPerTask", PagesPerTask).load()
+      .orderBy(col("n_nationkey"))
+  }
+
+  val c09_sql: String =
+    """SELECT n_nationkey,
+      |  CASE WHEN n_regionkey % 2 = 0 THEN 'redacted' ELSE n_name END AS n_name,
+      |  n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -202,5 +267,7 @@ object ConnectorOps {
     "c05_pg_write_roundtrip" -> ((c05_pg_write_roundtrip _, Some(c05_sql))),
     "c06_pg_query" -> ((c06_pg_query _, Some(c06_sql))),
     "c07_pg_query_agg" -> ((c07_pg_query_agg _, Some(c07_sql))),
+    "c08_pg_delete" -> ((c08_pg_delete _, Some(c08_sql))),
+    "c09_pg_update" -> ((c09_pg_update _, Some(c09_sql))),
   )
 }
