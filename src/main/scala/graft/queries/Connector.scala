@@ -258,6 +258,46 @@ object ConnectorOps {
       |  n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // c10: SQL MERGE through the connector — matched rows take the
+  // delta-UPDATE path, unmatched rows the COPY-insert path, in one
+  // group-based row-level operation.
+  // ---------------------------------------------------------------- //
+  def c10_pg_merge(s: SparkSession, dir: String): DataFrame = {
+    seedWork(s, dir, "c10_work",
+      Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val cat = catalogFor(s, dir)
+    Tables.load(s, dir, "nation").createOrReplaceTempView("c10_nation_src")
+    s.sql(
+      s"""MERGE INTO $cat.public.c10_work t
+         |USING (
+         |  SELECT n_nationkey AS k, 'merged' AS nm, n_regionkey AS rk
+         |  FROM c10_nation_src WHERE n_nationkey < 10
+         |  UNION ALL
+         |  SELECT n_nationkey + 100, 'inserted', n_regionkey
+         |  FROM c10_nation_src WHERE n_nationkey < 5) src
+         |ON t.n_nationkey = src.k
+         |WHEN MATCHED THEN UPDATE SET n_name = src.nm
+         |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+         |  VALUES (src.k, src.nm, src.rk)""".stripMargin)
+    s.read.format("postgres")
+      .option("dsn", dsn(dir)).option("table", "c10_work")
+      .option("pagesPerTask", PagesPerTask).load()
+      .orderBy(col("n_nationkey"))
+  }
+
+  val c10_sql: String =
+    """SELECT n_nationkey,
+      |  CASE WHEN n_nationkey < 10 THEN 'merged' ELSE n_name END AS n_name,
+      |  n_regionkey
+      |FROM nation
+      |UNION ALL
+      |SELECT CAST(n_nationkey + 100 AS INT) AS n_nationkey,
+      |  'inserted' AS n_name, n_regionkey
+      |FROM nation WHERE n_nationkey < 5
+      |ORDER BY n_nationkey""".stripMargin
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -269,5 +309,6 @@ object ConnectorOps {
     "c07_pg_query_agg" -> ((c07_pg_query_agg _, Some(c07_sql))),
     "c08_pg_delete" -> ((c08_pg_delete _, Some(c08_sql))),
     "c09_pg_update" -> ((c09_pg_update _, Some(c09_sql))),
+    "c10_pg_merge" -> ((c10_pg_merge _, Some(c10_sql))),
   )
 }
