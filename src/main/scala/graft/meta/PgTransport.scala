@@ -81,9 +81,10 @@ object PgTransportFactory {
   private[meta] def openRaw(dsn: String): PgTransport = {
     val t =
       if (dsn.startsWith("mem:")) InMemoryPg.forName(dsn.stripPrefix("mem:"))
+      else if (dsn.startsWith("tcp:")) PgWireTransport.fromDsn(dsn)
       else throw new IllegalArgumentException(
-        s"unsupported dsn '$dsn': only mem: endpoints are available in this " +
-          "offline build; a live server needs the socket transport")
+        s"unsupported dsn '$dsn': use mem:<name> (in-process) or " +
+          "tcp:host:port/db[?user=u] (socket, frontend/backend protocol v3)")
     // pin the quoting assumption PgSqlGen.quoteString relies on rather
     // than inheriting it from server/pooler config: with scs=off a
     // pushed string literal ending in a backslash would swallow its

@@ -1,0 +1,265 @@
+package graft.meta
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.types.PgType
+
+/** A PostgreSQL-wire-protocol (v3) loopback server that fronts any
+  * [[PgTransport]] backend — in this offline build, [[InMemoryPg]].
+  *
+  * Purpose: prove the `tcp:` [[PgWireTransport]] end to end. The
+  * integration tests serve an `InMemoryPg` over a real TCP socket and
+  * run the whole connector stack (discovery, parallel COPY-OUT scans,
+  * COPY-IN writes, Parse/Describe binding) through actual protocol
+  * bytes rather than in-process calls — the same framing a live
+  * PostgreSQL would exchange. Trust auth only; one thread per
+  * connection (connection counts are capped by the connector's own
+  * 64-permit pool, so blocking IO is fine).
+  */
+final class PgWireServer(backend: PgTransport) extends AutoCloseable {
+
+  import PgWireProtocol._
+
+  private val server = new ServerSocket(0) // ephemeral port
+  private val running = new AtomicBoolean(true)
+
+  def port: Int = server.getLocalPort
+  def dsn(db: String = "graft"): String = s"tcp:127.0.0.1:$port/$db"
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"pgwire-conn-${sock.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => // closed
+        case _: Throwable if !running.get() =>
+      }
+    }
+  }, "pgwire-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = if (running.compareAndSet(true, false)) {
+    try server.close() catch { case _: Throwable => }
+  }
+
+  // ------------------------------------------------------------------ //
+
+  private def serve(sock: Socket): Unit = {
+    sock.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    try {
+      if (!startup(in, out)) return
+      var open = true
+      var parsedSql = "" // unnamed prepared statement from Parse
+      while (open) {
+        val m = read(in)
+        m.tag.toChar match {
+          case 'Q' => simpleQuery(readCstr(m.in), in, out)
+          case 'P' =>
+            val mi = m.in
+            readCstr(mi) // statement name (unnamed)
+            parsedSql = readCstr(mi)
+            send(out, '1', Array.emptyByteArray) // ParseComplete
+          case 'D' =>
+            val mi = m.in
+            mi.read() // 'S' | 'P'
+            readCstr(mi)
+            describe(parsedSql, out)
+          case 'S' =>
+            readyForQuery(out)
+          case 'X' => open = false
+          case 'H' => out.flush() // Flush
+          case other =>
+            sendError(out, s"unsupported frontend message '$other'")
+            readyForQuery(out)
+        }
+      }
+    } catch {
+      case _: java.io.EOFException =>
+      case _: SocketException =>
+      case e: Throwable =>
+        try {
+          sendError(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          readyForQuery(out)
+        } catch { case _: Throwable => }
+    } finally {
+      try sock.close() catch { case _: Throwable => }
+    }
+  }
+
+  /** StartupMessage (length-prefixed, untagged) → AuthenticationOk +
+    * ReadyForQuery. SSLRequest is answered 'N' (not supported). */
+  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+    var len = in.readInt() - 4
+    var code = in.readInt()
+    if (code == 80877103) { // SSLRequest
+      out.writeByte('N'); out.flush()
+      len = in.readInt() - 4
+      code = in.readInt()
+    }
+    if (code != ProtocolV3) {
+      sendError(out, s"unsupported protocol version $code")
+      return false
+    }
+    val rest = new Array[Byte](len - 4)
+    in.readFully(rest) // user/database pairs — single-tenant, ignored
+    // AuthenticationOk
+    val auth = new ByteArrayOutputStream()
+    new DataOutputStream(auth).writeInt(0)
+    send(out, 'R', auth.toByteArray)
+    paramStatus(out, "server_version", "16.0 (graft InMemoryPg)")
+    paramStatus(out, "standard_conforming_strings", "on")
+    readyForQuery(out)
+    true
+  }
+
+  private def paramStatus(out: DataOutputStream, k: String, v: String): Unit = {
+    val b = new ByteArrayOutputStream()
+    b.write(cstr(k)); b.write(cstr(v))
+    send(out, 'S', b.toByteArray)
+  }
+
+  private def readyForQuery(out: DataOutputStream): Unit = {
+    send(out, 'Z', Array[Byte]('I'))
+    out.flush()
+  }
+
+  private def sendError(out: DataOutputStream, message: String): Unit =
+    send(out, 'E', errorBody("ERROR", "XX000", message))
+
+  private def commandComplete(out: DataOutputStream, tag: String): Unit =
+    send(out, 'C', cstr(tag))
+
+  // ------------------------------------------------------------------ //
+
+  private def simpleQuery(sql: String, in: DataInputStream, out: DataOutputStream): Unit = {
+    val upper = sql.trim.toUpperCase
+    try {
+      if (upper.startsWith("COPY") && upper.contains("TO STDOUT")) copyOut(sql, out)
+      else if (upper.startsWith("COPY") && upper.contains("FROM STDIN")) copyIn(sql, in, out)
+      else if (upper.startsWith("SELECT") || upper.startsWith("WITH") ||
+        upper.startsWith("SHOW") || upper.startsWith("VALUES")) select(sql, out)
+      else {
+        backend.execute(sql)
+        commandComplete(out, firstWord(sql))
+      }
+    } catch {
+      case e: Throwable =>
+        sendError(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    readyForQuery(out)
+  }
+
+  private def firstWord(sql: String): String =
+    sql.trim.split("\\s+").headOption.map(_.toUpperCase).getOrElse("OK")
+
+  /** Text-format result set: RowDescription (generic `text` columns —
+    * the discovery layer consumes values positionally) + DataRows. */
+  private def select(sql: String, out: DataOutputStream): Unit = {
+    val rows = backend.query(sql)
+    val ncols = rows.headOption.map(_.length).getOrElse(1)
+    val desc = new ByteArrayOutputStream()
+    val d = new DataOutputStream(desc)
+    d.writeShort(ncols)
+    (1 to ncols).foreach { i =>
+      d.write(cstr(s"c$i"))
+      d.writeInt(0); d.writeShort(0)
+      d.writeInt(PgType.PgText.oid)
+      d.writeShort(-1); d.writeInt(-1); d.writeShort(0)
+    }
+    send(out, 'T', desc.toByteArray)
+    rows.foreach { row =>
+      val body = new ByteArrayOutputStream()
+      val rb = new DataOutputStream(body)
+      rb.writeShort(row.length)
+      row.foreach {
+        case null => rb.writeInt(-1)
+        case v =>
+          val b = v.getBytes(UTF_8)
+          rb.writeInt(b.length); rb.write(b)
+      }
+      send(out, 'D', body.toByteArray)
+    }
+    commandComplete(out, s"SELECT ${rows.length}")
+  }
+
+  /** Parse/Describe → ParameterDescription + RowDescription with real
+    * type OIDs/typmods, via the backend's Describe handshake. */
+  private def describe(sql: String, out: DataOutputStream): Unit = {
+    try {
+      val cols = backend.describe(sql)
+      send(out, 't', Array[Byte](0, 0)) // ParameterDescription: none
+      val desc = new ByteArrayOutputStream()
+      val d = new DataOutputStream(desc)
+      d.writeShort(cols.length)
+      cols.foreach { case (name, t) =>
+        d.write(cstr(name))
+        d.writeInt(0); d.writeShort(0)
+        d.writeInt(PgType.wireOid(t))
+        d.writeShort(-1)
+        d.writeInt(PgType.wireTypmod(t))
+        d.writeShort(0)
+      }
+      send(out, 'T', desc.toByteArray)
+    } catch {
+      case e: Throwable =>
+        sendError(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  private def copyOut(sql: String, out: DataOutputStream): Unit = {
+    val stream = backend.copyOut(sql)
+    try {
+      val fmt: Byte = if (sql.toLowerCase.contains("binary")) 1 else 0
+      // CopyOutResponse; per-column formats omitted (count 0) — the
+      // copy payload itself carries the real structure
+      send(out, 'H', Array[Byte](fmt, 0, 0))
+      val buf = new Array[Byte](1 << 16)
+      var n = stream.read(buf)
+      while (n > 0) {
+        out.writeByte('d')
+        out.writeInt(n + 4)
+        out.write(buf, 0, n)
+        n = stream.read(buf)
+      }
+      send(out, 'c', Array.emptyByteArray) // CopyDone
+      commandComplete(out, "COPY")
+    } finally stream.close()
+  }
+
+  private def copyIn(sql: String, in: DataInputStream, out: DataOutputStream): Unit = {
+    val fmt: Byte = if (sql.toLowerCase.contains("binary")) 1 else 0
+    send(out, 'G', Array[Byte](fmt, 0, 0)) // CopyInResponse
+    out.flush()
+    val sink = backend.copyIn(sql)
+    var failed: Option[String] = None
+    var done = false
+    while (!done) {
+      val m = read(in)
+      m.tag.toChar match {
+        case 'd' => if (failed.isEmpty) sink.write(m.body)
+        case 'c' => done = true
+        case 'f' => failed = Some(readCstr(m.in)); done = true
+        case 'S' | 'H' => // Sync/Flush between copy messages: ignore
+        case other =>
+          failed = Some(s"unexpected message '$other' during COPY IN"); done = true
+      }
+    }
+    failed match {
+      case None =>
+        sink.close()
+        commandComplete(out, "COPY")
+      case Some(msg) =>
+        try sink.close() catch { case _: Throwable => }
+        sendError(out, s"COPY failed: $msg")
+    }
+  }
+}

@@ -1,0 +1,352 @@
+package graft.meta
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.types.PgType
+
+/** Frontend/backend protocol v3 framing shared by the socket client
+  * ([[PgWireTransport]]) and the loopback server ([[PgWireServer]]).
+  * Message formats are the public PostgreSQL protocol documentation's;
+  * the reference reaches the same wire through libpq
+  * (ref: src/postgres_connection.cpp:16-60).
+  */
+private[meta] object PgWireProtocol {
+  val ProtocolV3 = 196608 // 3 << 16
+
+  def cstr(s: String): Array[Byte] = {
+    val b = s.getBytes(UTF_8)
+    val out = new Array[Byte](b.length + 1)
+    System.arraycopy(b, 0, out, 0, b.length)
+    out
+  }
+
+  /** One typed message: tag byte + int32 length (length includes
+    * itself, not the tag). */
+  def send(out: DataOutputStream, tag: Byte, body: Array[Byte]): Unit = {
+    out.writeByte(tag)
+    out.writeInt(body.length + 4)
+    out.write(body)
+  }
+
+  def sendFlush(out: DataOutputStream, tag: Byte, body: Array[Byte]): Unit = {
+    send(out, tag, body); out.flush()
+  }
+
+  final case class Msg(tag: Byte, body: Array[Byte]) {
+    def in: DataInputStream =
+      new DataInputStream(new java.io.ByteArrayInputStream(body))
+  }
+
+  def read(in: DataInputStream): Msg = {
+    val tag = in.readByte()
+    val len = in.readInt() - 4
+    if (len < 0) throw new EOFException(s"negative message length for tag $tag")
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    Msg(tag, body)
+  }
+
+  def readCstr(in: DataInputStream): String = {
+    val buf = new ByteArrayOutputStream()
+    var b = in.read()
+    while (b > 0) { buf.write(b); b = in.read() }
+    new String(buf.toByteArray, UTF_8)
+  }
+
+  def errorFields(m: Msg): Map[Char, String] = {
+    val in = m.in
+    val fields = Map.newBuilder[Char, String]
+    var code = in.read()
+    while (code > 0) {
+      fields += code.toChar -> readCstr(in)
+      code = in.read()
+    }
+    fields.result()
+  }
+
+  def errorBody(severity: String, sqlState: String, message: String): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    def field(c: Char, v: String): Unit = { buf.write(c); buf.write(cstr(v)) }
+    field('S', severity); field('C', sqlState); field('M', message)
+    buf.write(0)
+    buf.toByteArray
+  }
+}
+
+/** Socket implementation of [[PgTransport]] speaking the PostgreSQL
+  * frontend protocol — the live-server counterpart of [[InMemoryPg]].
+  * DSN form: `tcp:host:port/dbname[?user=name]` (trust auth; password
+  * methods would slot into the startup exchange).
+  *
+  * One instance per scan partition / write task, exactly like the
+  * reference's one-libpq-connection-per-task model
+  * (ref: src/postgres_scanner.cpp:354-383); pooling, health checks and
+  * reset-on-return happen a layer up in [[PgConnectionPool]].
+  */
+final class PgWireTransport(host: String, port: Int, database: String, user: String)
+    extends PgTransport {
+
+  import PgWireProtocol._
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
+  private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
+  private var closed = false
+
+  // ---- startup: StartupMessage → AuthenticationOk → ReadyForQuery ----
+  locally {
+    val body = new ByteArrayOutputStream()
+    val d = new DataOutputStream(body)
+    d.writeInt(0) // placeholder for length
+    d.writeInt(ProtocolV3)
+    d.write(cstr("user")); d.write(cstr(user))
+    d.write(cstr("database")); d.write(cstr(database))
+    d.write(0)
+    val bytes = body.toByteArray
+    val len = bytes.length
+    bytes(0) = (len >>> 24).toByte; bytes(1) = (len >>> 16).toByte
+    bytes(2) = (len >>> 8).toByte; bytes(3) = len.toByte
+    out.write(bytes); out.flush()
+    var ready = false
+    while (!ready) {
+      val m = read(in)
+      m.tag.toChar match {
+        case 'R' =>
+          val code = m.in.readInt()
+          if (code != 0) throw new IllegalStateException(
+            s"unsupported authentication method $code (only trust is implemented)")
+        case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
+        case 'Z' => ready = true
+        case 'E' => throw serverError(m)
+        case other => throw new IllegalStateException(s"unexpected startup message '$other'")
+      }
+    }
+  }
+
+  private def serverError(m: Msg): RuntimeException = {
+    val f = errorFields(m)
+    new RuntimeException(
+      s"server error ${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "unknown")}")
+  }
+
+  /** Consume messages until ReadyForQuery; rethrow any ErrorResponse. */
+  private def drainToReady(firstError: Option[RuntimeException] = None): Unit = {
+    var err = firstError
+    var done = false
+    while (!done) {
+      val m = read(in)
+      m.tag.toChar match {
+        case 'Z' => done = true
+        case 'E' => if (err.isEmpty) err = Some(serverError(m))
+        case _ => // data / status for a caller that doesn't need it
+      }
+    }
+    err.foreach(throw _)
+  }
+
+  override def execute(sql: String): Unit = {
+    PgTransportFactory.debug(sql)
+    sendFlush(out, 'Q', cstr(sql))
+    drainToReady()
+  }
+
+  override def query(sql: String): Seq[Seq[String]] = {
+    PgTransportFactory.debug(sql)
+    sendFlush(out, 'Q', cstr(sql))
+    val rows = ArrayBuffer.empty[Seq[String]]
+    var err: Option[RuntimeException] = None
+    var done = false
+    while (!done) {
+      val m = read(in)
+      m.tag.toChar match {
+        case 'D' =>
+          val mi = m.in
+          val n = mi.readShort()
+          rows += Seq.tabulate(n) { _ =>
+            val len = mi.readInt()
+            if (len < 0) null
+            else {
+              val b = new Array[Byte](len); mi.readFully(b); new String(b, UTF_8)
+            }
+          }
+        case 'E' => if (err.isEmpty) err = Some(serverError(m))
+        case 'Z' => done = true
+        case _ => // RowDescription / CommandComplete / notices
+      }
+    }
+    err.foreach(throw _)
+    rows.toSeq
+  }
+
+  override def describe(sql: String): Seq[(String, PgType)] = {
+    PgTransportFactory.debug(s"DESCRIBE: $sql")
+    // Parse (unnamed statement) + Describe + Sync — PQprepare/
+    // PQdescribePrepared without execution
+    val parseBody = new ByteArrayOutputStream()
+    parseBody.write(cstr("")); parseBody.write(cstr(sql))
+    parseBody.write(0); parseBody.write(0) // int16 nParamTypes = 0
+    send(out, 'P', parseBody.toByteArray)
+    val descBody = new ByteArrayOutputStream()
+    descBody.write('S'); descBody.write(cstr(""))
+    send(out, 'D', descBody.toByteArray)
+    sendFlush(out, 'S', Array.emptyByteArray)
+    var cols = Seq.empty[(String, PgType)]
+    var err: Option[RuntimeException] = None
+    var done = false
+    while (!done) {
+      val m = read(in)
+      m.tag.toChar match {
+        case 'T' =>
+          val mi = m.in
+          val n = mi.readShort()
+          cols = Seq.fill(n) {
+            val name = readCstr(mi)
+            mi.readInt(); mi.readShort() // table oid, attnum
+            val typeOid = mi.readInt()
+            mi.readShort() // typlen
+            val typmod = mi.readInt()
+            mi.readShort() // format code
+            name -> PgType.fromOid(typeOid, typmod)
+          }
+        case 'E' => if (err.isEmpty) err = Some(serverError(m))
+        case 'Z' => done = true
+        case _ => // ParseComplete / ParameterDescription / NoData
+      }
+    }
+    err.foreach(throw _)
+    cols
+  }
+
+  override def copyOut(sql: String): InputStream = {
+    PgTransportFactory.debug(sql)
+    sendFlush(out, 'Q', cstr(sql))
+    // expect CopyOutResponse (or an immediate error)
+    var started = false
+    while (!started) {
+      val m = read(in)
+      m.tag.toChar match {
+        case 'H' => started = true
+        case 'E' => drainToReady(Some(serverError(m)))
+        case 'N' | 'S' =>
+        case other =>
+          drainToReady(Some(new IllegalStateException(
+            s"expected CopyOutResponse, got '$other'")))
+      }
+    }
+    new InputStream {
+      private var current: Array[Byte] = Array.emptyByteArray
+      private var pos = 0
+      private var eof = false
+
+      private def refill(): Boolean = {
+        while (!eof && pos >= current.length) {
+          val m = PgWireProtocol.read(in)
+          m.tag.toChar match {
+            case 'd' => current = m.body; pos = 0
+            case 'c' => drainToReady(); eof = true
+            case 'E' => eof = true; drainToReady(Some(serverError(m)))
+            case _ => // CopyOutResponse duplicates / notices
+          }
+        }
+        !eof
+      }
+
+      override def read(): Int =
+        if (!refill()) -1
+        else { val b = current(pos) & 0xff; pos += 1; b }
+
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        if (!refill()) -1
+        else {
+          val n = math.min(len, current.length - pos)
+          System.arraycopy(current, pos, b, off, n)
+          pos += n
+          n
+        }
+
+      override def close(): Unit = {
+        // finish the COPY so the connection returns to command-ready;
+        // early-terminated scans are discarded at the pool layer, which
+        // bounds this drain (see PooledTransport)
+        while (!eof) { if (refill()) { pos = current.length } }
+      }
+    }
+  }
+
+  override def copyIn(sql: String): OutputStream = {
+    PgTransportFactory.debug(sql)
+    sendFlush(out, 'Q', cstr(sql))
+    var started = false
+    while (!started) {
+      val m = read(in)
+      m.tag.toChar match {
+        case 'G' => started = true
+        case 'E' => drainToReady(Some(serverError(m)))
+        case 'N' | 'S' =>
+        case other =>
+          drainToReady(Some(new IllegalStateException(
+            s"expected CopyInResponse, got '$other'")))
+      }
+    }
+    new OutputStream {
+      private val buf = new ByteArrayOutputStream(1 << 16)
+      private var done = false
+
+      override def write(b: Int): Unit = { buf.write(b); maybeFlush() }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        buf.write(b, off, len); maybeFlush()
+      }
+      private def maybeFlush(): Unit =
+        if (buf.size() >= (1 << 16)) flushChunk()
+      private def flushChunk(): Unit = if (buf.size() > 0) {
+        send(out, 'd', buf.toByteArray)
+        buf.reset()
+      }
+
+      override def close(): Unit = if (!done) {
+        done = true
+        flushChunk()
+        sendFlush(out, 'c', Array.emptyByteArray) // CopyDone
+        drainToReady()
+      }
+    }
+  }
+
+  override def close(): Unit = if (!closed) {
+    closed = true
+    try {
+      sendFlush(out, 'X', Array.emptyByteArray) // Terminate
+    } catch { case _: Throwable => }
+    try socket.close() catch { case _: Throwable => }
+  }
+}
+
+object PgWireTransport {
+  /** `tcp:host:port/dbname[?user=name]` */
+  def fromDsn(dsn: String): PgWireTransport = {
+    val spec = dsn.stripPrefix("tcp:")
+    val (hostPortDb, params) = spec.indexOf('?') match {
+      case -1 => (spec, Map.empty[String, String])
+      case i =>
+        val kv = spec.substring(i + 1).split('&').toSeq
+          .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        (spec.substring(0, i), kv)
+    }
+    val slash = hostPortDb.lastIndexOf('/')
+    require(slash > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
+    val db = hostPortDb.substring(slash + 1)
+    val hostPort = hostPortDb.substring(0, slash)
+    val colon = hostPort.lastIndexOf(':')
+    require(colon > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
+    new PgWireTransport(
+      hostPort.substring(0, colon),
+      hostPort.substring(colon + 1).toInt,
+      db,
+      params.getOrElse("user", "spark"))
+  }
+}

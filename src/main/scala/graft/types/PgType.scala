@@ -244,4 +244,51 @@ object PgType {
   }
 
   def quoteIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
+  private val scalarByOid: Map[Int, PgType] = Seq(
+    PgBool, PgInt2, PgInt4, PgInt8, PgOid, PgFloat4, PgFloat8, PgText,
+    PgVarchar, PgJson, PgJsonb, PgDate, PgTime, PgTimeTz, PgTimestamp,
+    PgTimestampTz, PgInterval, PgUuid, PgBytea, PgBit, PgCtid, PgPoint,
+    PgLine, PgLseg, PgBox, PgPath, PgPolygon, PgCircle,
+  ).map(t => t.oid -> t).toMap
+
+  /** Standard `pg_type` array OIDs for the common element types —
+    * what a server reports in RowDescription for `elem[]` columns. */
+  val arrayOidByElemOid: Map[Int, Int] = Map(
+    PgBool.oid -> 1000, PgInt2.oid -> 1005, PgInt4.oid -> 1007,
+    PgInt8.oid -> 1016, PgFloat4.oid -> 1021, PgFloat8.oid -> 1022,
+    PgText.oid -> 1009, PgVarchar.oid -> 1015, 1700 -> 1231,
+    PgDate.oid -> 1182, PgTimestamp.oid -> 1115, PgTimestampTz.oid -> 1185,
+    PgBytea.oid -> 1001, PgJsonb.oid -> 3807, PgJson.oid -> 199,
+    PgUuid.oid -> 2951, PgBpchar(1).oid -> 1014,
+  )
+  private val elemOidByArrayOid: Map[Int, Int] =
+    arrayOidByElemOid.map(_.swap)
+
+  /** Resolve a wire type OID (+ typmod) as reported in a
+    * RowDescription message — the client half of the `PQprepare`/
+    * `PQdescribePrepared` handshake over the socket transport. */
+  def fromOid(oid: Int, typmod: Int = -1): PgType = oid match {
+    case 1700 =>
+      if (typmod < 0) PgNumeric(0, 0)
+      else { val m = typmod - 4; PgNumeric((m >> 16) & 0xffff, m & 0xffff) }
+    case 1042 => PgBpchar(if (typmod >= 4) typmod - 4 else 1)
+    case o if scalarByOid.contains(o) => scalarByOid(o)
+    case o if elemOidByArrayOid.contains(o) =>
+      PgArray(fromOid(elemOidByArrayOid(o), typmod), 1, elemOidByArrayOid(o))
+    case o => PgUnknown(s"oid_$o")
+  }
+
+  /** The OID a server would report for `t` in RowDescription. */
+  def wireOid(t: PgType): Int = t match {
+    case PgArray(elem, _, _) => arrayOidByElemOid.getOrElse(wireOid(elem), 0)
+    case other => other.oid
+  }
+
+  /** The typmod a server would report for `t` (-1 when unused). */
+  def wireTypmod(t: PgType): Int = t match {
+    case PgNumeric(p, s) if p > 0 => ((p << 16) | s) + 4
+    case PgBpchar(n) => n + 4
+    case _ => -1
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.meta.{InMemoryPg, PgTransportFactory, PgWireServer}
+
+/** End-to-end tests of the socket transport: an [[InMemoryPg]] served
+  * over real TCP via the frontend/backend protocol v3, consumed by the
+  * full connector stack through a `tcp:` DSN. Everything that normally
+  * travels in-process (discovery SQL, snapshot export, parallel COPY
+  * OUT, COPY IN, Parse/Describe binding) crosses actual protocol
+  * bytes here. */
+class PgWireSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val memName = "wire_backing"
+  private lazy val server = new PgWireServer(InMemoryPg.forName(memName))
+  private lazy val tcpDsn = { server; server.dsn() }
+
+  private def seed(): Unit = {
+    val t = PgTransportFactory.open(s"mem:$memName")
+    try {
+      t.execute("""CREATE TABLE IF NOT EXISTS "public"."wt" ("k" INTEGER, "v" VARCHAR, "amt" DECIMAL(10,2))""")
+    } finally t.close()
+    val pg = InMemoryPg.forName(memName)
+    if (pg.hasTable("public", "wt")) {
+      import spark.implicits._
+      val df = (1 to 500).map(i => (i, s"row_$i", BigDecimal(i) + BigDecimal("0.25")))
+        .toDF("k", "v", "amt")
+        .select($"k", $"v", $"amt".cast("decimal(10,2)"))
+      df.write.format("postgres")
+        .option("dsn", s"mem:$memName").option("table", "wt")
+        .mode("overwrite").save()
+    }
+  }
+
+  test("scan through tcp: matches the in-process mem: scan") {
+    seed()
+    def readVia(dsn: String) = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "wt")
+      .option("pagesPerTask", "2") // force several parallel COPY tasks
+      .load().orderBy(col("k")).collect().toSeq
+    val viaTcp = readVia(tcpDsn)
+    val viaMem = readVia(s"mem:$memName")
+    assert(viaTcp.size == 500)
+    assert(viaTcp == viaMem)
+  }
+
+  test("filter pushdown travels the socket and returns correct rows") {
+    seed()
+    val rows = spark.read.format("postgres")
+      .option("dsn", tcpDsn).option("table", "wt")
+      .load()
+      .filter(col("k") <= 10 && col("v").startsWith("row_"))
+      .select(col("k"), col("amt"))
+      .orderBy(col("k"))
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(rows.head.get(1).toString == "1.25")
+  }
+
+  test("write path: COPY FROM STDIN over the socket, read back") {
+    seed()
+    import spark.implicits._
+    val t = graft.meta.PgTransportFactory.open(tcpDsn)
+    try t.execute("""CREATE TABLE IF NOT EXISTS "public"."wt_sink" ("k" INTEGER, "v" VARCHAR)""")
+    finally t.close()
+    Seq((1, "a"), (2, null.asInstanceOf[String]), (3, "c")).toDF("k", "v")
+      .write.format("postgres")
+      .option("dsn", tcpDsn).option("table", "wt_sink")
+      .mode("overwrite").save()
+    val back = spark.read.format("postgres")
+      .option("dsn", tcpDsn).option("table", "wt_sink")
+      .load().orderBy(col("k"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(back == Seq((1, "a"), (2, null), (3, "c")))
+  }
+
+  test("postgres_query binds an aggregate shape via Parse/Describe over the socket") {
+    seed()
+    val df = graft.functions.PgFunctions.postgresQuery(spark, tcpDsn,
+      """SELECT "v", count(*) AS n, sum("k") AS sk FROM "public"."wt" WHERE "k" <= 20 GROUP BY "v"""")
+    val rows = df.orderBy(col("v")).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(1)).forall(_ == 1L))
+  }
+
+  test("transport errors surface as readable failures, connection survives") {
+    seed()
+    val t = graft.meta.PgTransportFactory.open(tcpDsn)
+    try {
+      val e = intercept[RuntimeException](t.execute("GARBAGE STATEMENT"))
+      assert(e.getMessage.contains("server error") || e.getMessage.nonEmpty)
+      // connection still usable after the error round-trip
+      t.execute("SET standard_conforming_strings = on")
+    } finally t.close()
+  }
+}
