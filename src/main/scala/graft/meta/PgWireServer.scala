@@ -258,7 +258,9 @@ final class PgWireServer(backend: PgTransport) extends AutoCloseable {
         sink.close()
         commandComplete(out, "COPY")
       case Some(msg) =>
-        try sink.close() catch { case _: Throwable => }
+        // deliberately NOT closed: closing the sink would commit the
+        // partial copy; a failed COPY must discard it (PG aborts the
+        // transaction on CopyFail)
         sendError(out, s"COPY failed: $msg")
     }
   }
