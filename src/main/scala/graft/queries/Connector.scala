@@ -298,6 +298,37 @@ object ConnectorOps {
       |FROM nation WHERE n_nationkey < 5
       |ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // c11: the socket transport under the oracle — the same parallel
+  // ctid scan as c01, but through a `tcp:` DSN served by the loopback
+  // PG-wire server (PgWireServer fronting the seeded InMemoryPg), so
+  // discovery, snapshot export, and every COPY frame cross real
+  // protocol-v3 bytes before the hash compare.
+  // ---------------------------------------------------------------- //
+  private val wireServers =
+    scala.collection.mutable.Map.empty[String, graft.meta.PgWireServer]
+
+  private def tcpDsn(s: SparkSession, dir: String): String = synchronized {
+    ensureSeeded(s, dir)
+    val srv = wireServers.getOrElseUpdate(dsnName(dir),
+      new graft.meta.PgWireServer(InMemoryPg.forName(dsnName(dir))))
+    srv.dsn("graft")
+  }
+
+  def c11_tcp_scan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("postgres")
+      .option("dsn", tcpDsn(s, dir))
+      .option("table", "customer")
+      .option("pagesPerTask", PagesPerTask)
+      .load()
+      .filter(col("c_acctbal") > 2000.0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  val c11_sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_acctbal > 2000.0 ORDER BY c_custkey""".stripMargin
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -310,5 +341,6 @@ object ConnectorOps {
     "c08_pg_delete" -> ((c08_pg_delete _, Some(c08_sql))),
     "c09_pg_update" -> ((c09_pg_update _, Some(c09_sql))),
     "c10_pg_merge" -> ((c10_pg_merge _, Some(c10_sql))),
+    "c11_tcp_scan" -> ((c11_tcp_scan _, Some(c11_sql))),
   )
 }
