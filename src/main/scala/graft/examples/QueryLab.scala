@@ -45,6 +45,12 @@ object QueryLab {
       Thread.sleep(200) // let listener events drain
       println(f"LAB $name rep=$r time=$dt%.3f s rows=$n jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
     }
+    // driver-side phase split for one fresh plan of the same query
+    val qe = fn(spark, dir).queryExecution
+    qe.executedPlan
+    qe.tracker.phases.foreach { case (ph, t) =>
+      println(f"PHASE $ph ${(t.endTimeMs - t.startTimeMs)}%d ms")
+    }
     spark.stop()
   }
 }

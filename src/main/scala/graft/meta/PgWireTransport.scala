@@ -99,7 +99,7 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
   private var closed = false
 
   // ---- startup: StartupMessage → AuthenticationOk → ReadyForQuery ----
-  locally {
+  try {
     val body = new ByteArrayOutputStream()
     val d = new DataOutputStream(body)
     d.writeInt(0) // placeholder for length
@@ -126,6 +126,10 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
         case other => throw new IllegalStateException(s"unexpected startup message '$other'")
       }
     }
+  } catch {
+    case e: Throwable =>
+      try socket.close() catch { case _: Throwable => }
+      throw e
   }
 
   private def serverError(m: Msg): RuntimeException = {
