@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{LshBuckets, MinhashFunctions, MinhashSig, PgCtidPack, PgCtidText, PgCtidUnpack, TopKBy, VecDot}
+import graft.functions.{LshBuckets, MinhashFunctions, MinhashSig, PgCtidPack, PgCtidText, PgCtidUnpack, SortedIntersectSize, TopKBy, VecDot}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinhashSig(args(0), MinhashFunctions.DefaultK)))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
     e.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),

@@ -288,9 +288,14 @@ object PipelineOps {
           |    y -> struct(least(x.doc_id, y.doc_id) AS doc_a,
           |                greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    graft.functions.SortedIntersectFunctions.register(s)
     val ta = toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))
     val tb = toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
-    val inter = size(array_intersect(col("tok_a"), col("tok_b"))).cast("double")
+    // tok is array_sort(array_distinct(...)) upstream, so the exact
+    // verify is a codegen'd linear merge (no hash set / output array
+    // per pair) — see SortedIntersectSize
+    val inter = graft.functions.SortedIntersectFunctions
+      .sorted_intersect_size(col("tok_a"), col("tok_b")).cast("double")
     cands
       .join(ta, "doc_a")
       .join(tb, "doc_b")

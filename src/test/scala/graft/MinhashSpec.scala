@@ -89,4 +89,24 @@ class MinhashSpec extends AnyFunSuite {
       .map(_.getSeq[Long](0))
     assert(s1.zip(s2).forall { case (a, b) => b <= a })
   }
+
+  test("sorted_intersect_size matches size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    graft.functions.SortedIntersectFunctions.register(spark)
+    val word = Gen.oneOf("a", "b", "cc", "dd", "e", "ff", "g", "hh", "i", "jj",
+      "kappa", "lambda", "", "\u00e9\u00e9")
+    val gen = for { xs <- Gen.listOf(word); ys <- Gen.listOf(word) } yield (xs, ys)
+    val samples = (0 until 60).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(1000L + i)))
+    val df = samples.zipWithIndex
+      .map { case ((xs, ys), i) => (i, xs.distinct.sorted, ys.distinct.sorted) }
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+        graft.functions.SortedIntersectFunctions
+          .sorted_intersect_size(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2), s"row ${r.getInt(0)}"))
+  }
 }
