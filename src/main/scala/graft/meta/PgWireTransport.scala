@@ -14,7 +14,7 @@ import graft.types.PgType
   * the reference reaches the same wire through libpq
   * (ref: src/postgres_connection.cpp:16-60).
   */
-private[meta] object PgWireProtocol {
+private[graft] object PgWireProtocol {
   val ProtocolV3 = 196608 // 3 << 16
 
   def cstr(s: String): Array[Byte] = {

@@ -107,4 +107,34 @@ class PgWireSpec extends AnyFunSuite {
       t.execute("SET standard_conforming_strings = on")
     } finally t.close()
   }
+
+  test("protocol framing round-trips arbitrary message bodies") {
+    import java.io._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.meta.PgWireProtocol
+    val gen = for {
+      tag <- Gen.oneOf('Q'.toByte, 'd'.toByte, 'E'.toByte, 'Z'.toByte, 'X'.toByte)
+      body <- Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (tag, body)
+    val samples = (0 until 200).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    samples.foreach { case (t, b) => PgWireProtocol.send(out, t, b) }
+    out.flush()
+    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    samples.foreach { case (t, b) =>
+      val m = PgWireProtocol.read(in)
+      assert(m.tag == t)
+      assert(java.util.Arrays.equals(m.body, b))
+    }
+    assert(in.available() == 0)
+  }
+
+  test("error fields encode and decode") {
+    import graft.meta.PgWireProtocol
+    val body = PgWireProtocol.errorBody("ERROR", "42P01", "relation \"x\" does not exist")
+    val f = PgWireProtocol.errorFields(PgWireProtocol.Msg('E'.toByte, body))
+    assert(f('S') == "ERROR" && f('C') == "42P01" && f('M').contains("does not exist"))
+  }
 }
