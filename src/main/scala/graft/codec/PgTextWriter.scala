@@ -18,9 +18,25 @@ import graft.types.PgType._
   * for control characters; arrays as `{a,b,NULL}` literals with
   * element quoting, composites as `(x,y)` record literals.
   */
-final class PgTextWriter(types: Seq[PgType], sources: Seq[DataType]) {
+final class PgTextWriter(
+    types: Seq[PgType],
+    sources: Seq[DataType],
+    nullByteReplacement: Option[String]) {
 
-  def this(types: Seq[PgType]) = this(types, types.map(PgType.toSpark))
+  def this(types: Seq[PgType], sources: Seq[DataType]) = this(types, sources, None)
+  def this(types: Seq[PgType]) = this(types, types.map(PgType.toSpark), None)
+
+  /** PG text types reject NUL bytes; substituted when the option is
+    * set, an error otherwise — identical to the binary writer and to
+    * the reference's text path (ref: src/include/
+    * postgres_text_writer.hpp:65-74). */
+  private def cleanText(s: String): String =
+    if (s.indexOf('\u0000') < 0) s
+    else nullByteReplacement match {
+      case Some(rep) => s.replace("\u0000", rep)
+      case None => throw new IllegalArgumentException(
+        "string contains a NUL byte; set nullByteReplacement to substitute it")
+    }
 
   /** Render one row as a COPY TEXT line (without the trailing \n). */
   def rowText(row: InternalRow): String = {
@@ -57,7 +73,7 @@ final class PgTextWriter(types: Seq[PgType], sources: Seq[DataType]) {
       case _ => v.toString
     }
     case PgText | PgVarchar | _: PgBpchar | PgJson | PgJsonb | _: PgEnum |
-      _: PgUnknown | PgBit | PgUuid => v.toString
+      _: PgUnknown | PgBit | PgUuid => cleanText(v.toString)
     case PgBytea =>
       "\\x" + v.asInstanceOf[Array[Byte]].map(b => f"$b%02x").mkString
     case PgDate =>

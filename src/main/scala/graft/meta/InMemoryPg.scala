@@ -789,8 +789,77 @@ final class InMemoryPg(val name: String) extends PgTransport {
     case PgTimestamp | PgTimestampTz =>
       val ldt = java.time.LocalDateTime.parse(f.replace(' ', 'T'))
       ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+    case a: PgArray => parseArrayLiteral(f, a)
+    case c: PgComposite => parseRecordLiteral(f, c)
     case _ => // text family incl. enum/unknown/bit/uuid/json
       org.apache.spark.unsafe.types.UTF8String.fromString(f)
+  }
+
+  /** Split `inner` on top-level commas, honoring double-quoted elements
+    * (with backslash escapes) and nested `open`/`close` groups. Returns
+    * (text, wasQuoted) so an unquoted NULL can be told apart from the
+    * quoted string "NULL". */
+  private def splitTopLevel(inner: String, open: Char, close: Char): Seq[(String, Boolean)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    val sb = new StringBuilder
+    var depth = 0; var inQ = false; var sawQ = false; var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (inQ) c match {
+        case '\\' => sb.append(inner.charAt(i + 1)); i += 1
+        case '"' if i + 1 < inner.length && inner.charAt(i + 1) == '"' =>
+          sb.append('"'); i += 1 // doubled-quote escape
+        case '"' => inQ = false
+        case other => sb.append(other)
+      } else c match {
+        case '"' => inQ = true; sawQ = true
+        case `open` => depth += 1; sb.append(c)
+        case `close` => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => parts += ((sb.toString, sawQ)); sb.clear(); sawQ = false
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    parts += ((sb.toString, sawQ))
+    parts.toSeq
+  }
+
+  /** PG array input literal `{a,"b c",NULL,{...}}` → ArrayData (the
+    * inverse of PgTextWriter.arrayLiteral; a live server parses the
+    * same syntax on text COPY input). */
+  private def parseArrayLiteral(f: String, a: PgArray): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val trimmed = f.trim
+    require(trimmed.startsWith("{") && trimmed.endsWith("}"), s"bad array literal: $f")
+    val inner = trimmed.substring(1, trimmed.length - 1)
+    if (inner.trim.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val vals = splitTopLevel(inner, '{', '}').map { case (txt, quoted) =>
+      if (!quoted && txt.trim == "NULL") null
+      else a.elem match {
+        case inner2: PgArray => parseArrayLiteral(txt, inner2)
+        case _ if a.ndims > 1 => parseArrayLiteral(txt, a.copy(ndims = a.ndims - 1))
+        case e => parseTextValue(txt.trim match {
+          case t if !quoted => t
+          case _ => txt
+        }, e)
+      }
+    }.toArray[Any]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(vals)
+  }
+
+  /** PG record input literal `(x,,"a b")` → InternalRow (empty field =
+    * NULL, matching PgTextWriter's composite rendering). */
+  private def parseRecordLiteral(f: String, c: PgComposite): GenericInternalRow = {
+    val trimmed = f.trim
+    require(trimmed.startsWith("(") && trimmed.endsWith(")"), s"bad record literal: $f")
+    val inner = trimmed.substring(1, trimmed.length - 1)
+    val parts = splitTopLevel(inner, '(', ')')
+    require(parts.length == c.fields.length,
+      s"record arity ${parts.length} != ${c.fields.length}")
+    val vals = parts.zip(c.fields).map { case ((txt, quoted), (_, ft)) =>
+      if (!quoted && txt.isEmpty) null else parseTextValue(txt, ft)
+    }.toArray[Any]
+    new GenericInternalRow(vals)
   }
 
   // ---------------------------------------------------------------- //
@@ -1052,8 +1121,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
     val registered = userTypes.get(bare)
     if (registered != null) return registered
     val upper = s.toUpperCase
-    val NumRe = """NUMERIC\((\d+),(\d+)\)""".r
+    val NumRe = """(?:NUMERIC|DECIMAL)\((\d+),(\d+)\)""".r
     val CharRe = """CHAR\((\d+)\)""".r
+    val VarcharRe = """(?:VARCHAR|CHARACTER VARYING)\((\d+)\)""".r
     if (upper.endsWith("[]")) {
       var base = s; var nd = 0
       while (base.endsWith("[]")) { base = base.dropRight(2); nd += 1 }
@@ -1066,9 +1136,10 @@ final class InMemoryPg(val name: String) extends PgTransport {
       case "REAL" => PgFloat4
       case "DOUBLE PRECISION" => PgFloat8
       case NumRe(p, sc) => PgNumeric(p.toInt, sc.toInt)
-      case "NUMERIC" => PgNumeric(0, 0)
+      case "NUMERIC" | "DECIMAL" => PgNumeric(0, 0)
       case "TEXT" => PgText
-      case "VARCHAR" => PgVarchar
+      case "VARCHAR" | "CHARACTER VARYING" => PgVarchar
+      case VarcharRe(_) => PgVarchar // length limit not modeled
       case CharRe(n) => PgBpchar(n.toInt)
       case "JSON" => PgJson
       case "JSONB" => PgJsonb

@@ -25,14 +25,18 @@ final class PgWireServer(backend: PgTransport) extends AutoCloseable {
 
   private val server = new ServerSocket(0) // ephemeral port
   private val running = new AtomicBoolean(true)
+  private val accepted = new java.util.concurrent.atomic.AtomicInteger
 
   def port: Int = server.getLocalPort
   def dsn(db: String = "graft"): String = s"tcp:127.0.0.1:$port/$db"
+  /** Total connections accepted — lets tests observe pooling/reuse. */
+  def connectionsAccepted: Int = accepted.get()
 
   private val acceptor = new Thread(() => {
     while (running.get()) {
       try {
         val sock = server.accept()
+        accepted.incrementAndGet()
         val t = new Thread(() => serve(sock), s"pgwire-conn-${sock.getPort}")
         t.setDaemon(true)
         t.start()

@@ -762,7 +762,7 @@ final class PostgresDataWriter(
     else None
   private val textWriter =
     if (format == graft.codec.PgCopyFormat.Text)
-      Some(new graft.codec.PgTextWriter(pgTypes, sparkTypes))
+      Some(new graft.codec.PgTextWriter(pgTypes, sparkTypes, nullByteReplacement))
     else None
 
   binWriter.foreach(_.writeHeader(out))

@@ -137,4 +137,61 @@ class PgWireSpec extends AnyFunSuite {
     val f = PgWireProtocol.errorFields(PgWireProtocol.Msg('E'.toByte, body))
     assert(f('S') == "ERROR" && f('C') == "42P01" && f('M').contains("does not exist"))
   }
+
+  test("varied type payloads round-trip identically over tcp and mem") {
+    seed()
+    import spark.implicits._
+    val t = graft.meta.PgTransportFactory.open(tcpDsn)
+    try t.execute(
+      """CREATE TABLE IF NOT EXISTS "public"."wt_types" (
+        |  "b" BOOLEAN, "s" SMALLINT, "i" INTEGER, "l" BIGINT,
+        |  "f" REAL, "d" DOUBLE PRECISION, "de" DECIMAL(10,2),
+        |  "st" VARCHAR, "bin" BYTEA, "dt" DATE, "ts" TIMESTAMP,
+        |  "a" BIGINT[])""".stripMargin)
+    finally t.close()
+    val df = spark.sql(
+      """SELECT true AS b, 1S AS s, 2 AS i, 3L AS l, CAST(1.5 AS FLOAT) AS f,
+        |  2.5D AS d, CAST(12.34 AS DECIMAL(10,2)) AS de,
+        |  'héllo\u0000wörld' AS st, X'0102FF' AS bin, DATE'2020-02-29' AS dt,
+        |  TIMESTAMP_NTZ'2020-02-29 12:34:56.789' AS ts, array(1L, NULL, 3L) AS a
+        |UNION ALL
+        |SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL""".stripMargin)
+    df.write.format("postgres")
+      .option("dsn", tcpDsn).option("table", "wt_types")
+      .option("nullByteReplacement", " ")
+      .mode("overwrite").save()
+    def readBack(dsn: String) = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "wt_types")
+      .load().orderBy(col("b").desc_nulls_last).collect().toSeq
+    val viaTcp = readBack(tcpDsn)
+    val viaMem = readBack(s"mem:$memName")
+    assert(viaTcp.length == 2)
+    assert(viaTcp == viaMem)
+    // NULL-byte replacement applied on write (PG cannot store \u0000)
+    assert(viaTcp.head.getAs[String]("st").contains("héllo"))
+  }
+
+  test("connection pool reuses one socket when the cache is on, not when off") {
+    // dedicated server: the shared one already has pooled connections
+    val server = new graft.meta.PgWireServer(InMemoryPg.forName("wire_pool"))
+    val tcpDsn = server.dsn()
+    val before = server.connectionsAccepted
+    val t1 = graft.meta.PgTransportFactory.open(tcpDsn)
+    t1.execute("SET standard_conforming_strings = on"); t1.close()
+    val t2 = graft.meta.PgTransportFactory.open(tcpDsn)
+    t2.execute("SET standard_conforming_strings = on"); t2.close()
+    val cached = server.connectionsAccepted - before
+    assert(cached == 1, s"expected one physical connection with cache on, got $cached")
+    graft.meta.PgTransportFactory.connectionCacheEnabled = false
+    try {
+      // first open may still drain the connection cached while the
+      // cache was on; after that every cycle must dial fresh
+      (1 to 3).foreach { _ =>
+        val t = graft.meta.PgTransportFactory.open(tcpDsn)
+        t.execute("SET standard_conforming_strings = on"); t.close()
+      }
+      val uncached = server.connectionsAccepted - before - cached
+      assert(uncached >= 2, s"expected fresh connections with cache off, got $uncached")
+    } finally graft.meta.PgTransportFactory.connectionCacheEnabled = true
+  }
 }
