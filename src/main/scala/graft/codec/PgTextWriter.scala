@@ -114,13 +114,21 @@ final class PgTextWriter(
 
   private def arrayLiteral(arr: ArrayData, a: PgArray, source: DataType): String = {
     val et = source.asInstanceOf[ArrayType].elementType
+    // element type of one dimension down: either a nested PgArray, or —
+    // when dimensionality is tracked via ndims on a scalar elem — the
+    // same PgArray with one fewer dimension
+    val innerArray: Option[PgArray] = a.elem match {
+      case inner: PgArray => Some(inner)
+      case _ if a.ndims > 1 => Some(a.copy(ndims = a.ndims - 1))
+      case _ => None
+    }
     (0 until arr.numElements()).map { i =>
       if (arr.isNullAt(i)) "NULL"
       else {
         val e = arr.get(i, et)
-        a.elem match {
-          case inner: PgArray => arrayLiteral(e.asInstanceOf[ArrayData], inner, et)
-          case _ => quoteInArray(valueText(e, a.elem, et))
+        innerArray match {
+          case Some(inner) => arrayLiteral(e.asInstanceOf[ArrayData], inner, et)
+          case None => quoteInArray(valueText(e, a.elem, et))
         }
       }
     }.mkString("{", ",", "}")

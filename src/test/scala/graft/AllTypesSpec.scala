@@ -157,4 +157,44 @@ class AllTypesSpec extends AnyFunSuite {
     val p1 = back(1).getStruct(1)
     assert(p1.getDouble(0) == -0.5 && p1.getString(1) == "b")
   }
+
+  test("multi-dimensional and enum arrays round-trip (text COPY path)") {
+    val pg = InMemoryPg.forName("types")
+    pg.execute("""CREATE TABLE "public"."mdarr" ("id" BIGINT, "m" BIGINT[][], "e" "mood"[])""")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Seq(
+      (1L, Seq(Seq(1L, 2L), Seq(3L, 4L)), Seq("happy", "sad")),
+      (2L, Seq(Seq(9L)), Seq[String]()),
+      (3L, null.asInstanceOf[Seq[Seq[Long]]], null.asInstanceOf[Seq[String]]),
+    ).toDF("id", "m", "e")
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "mdarr").mode("append").save()
+    val back = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "mdarr").load()
+      .orderBy("id").collect()
+    assert(back(0).getSeq[scala.collection.Seq[Long]](1).map(_.toSeq) ==
+      Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    assert(back(0).getSeq[String](2) == Seq("happy", "sad"))
+    assert(back(1).getSeq[scala.collection.Seq[Long]](1).map(_.toSeq) == Seq(Seq(9L)))
+    assert(back(1).getSeq[String](2) == Seq())
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+  }
+
+  test("array elements with quoting hazards round-trip via text COPY") {
+    val pg = InMemoryPg.forName("types")
+    pg.execute("""CREATE TABLE "public"."qarr" ("id" BIGINT, "a" VARCHAR[], "u" "mood")""")
+    import spark.implicits._
+    // the mood column forces the text format for the whole table, so
+    // the varchar array crosses the array-literal quoting path
+    val tricky = Seq("plain", "has space", "has,comma", "has\"quote", "has\\back",
+      "{braces}", "NULL", "")
+    Seq((1L, tricky, "ok")).toDF("id", "a", "u")
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "qarr").mode("append").save()
+    val back = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "qarr").load()
+      .orderBy("id").collect()
+    assert(back(0).getSeq[String](1) == tricky)
+  }
 }
