@@ -359,6 +359,12 @@ final class PgBinaryWriter(
         o.write(cleanText(v.asInstanceOf[UTF8String]))
       case PgDate => o.writeInt(v.asInstanceOf[Int] - PgWire.DateEpochShiftDays)
       case PgTime => o.writeLong(v.asInstanceOf[Long])
+      case PgTimeTz =>
+        // inverse of the reader's canonical text form (Spark has no
+        // TIMETZ type, so the column travels as its text literal)
+        val (micros, offSec) = parseTimeTz(v.asInstanceOf[UTF8String].toString)
+        o.writeLong(micros)
+        o.writeInt(offSec)
       case PgTimestamp | PgTimestampTz =>
         o.writeLong(v.asInstanceOf[Long] - PgWire.TsEpochShiftMicros)
       case PgInterval =>
@@ -402,6 +408,23 @@ final class PgBinaryWriter(
     }
     o.flush()
     bos.toByteArray
+  }
+
+  private val TimeTzRe =
+    """(\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?([+-])(\d{2})(?::(\d{2}))?(?::(\d{2}))?""".r
+
+  /** `HH:MM:SS[.ffffff](+|-)OH[:OM[:OS]]` → (µs since midnight,
+    * seconds WEST of UTC) — the wire encoding. */
+  private def parseTimeTz(s: String): (Long, Int) = s match {
+    case TimeTzRe(hh, mm, ss, frac, sign, oh, om, os) =>
+      val us = if (frac == null) 0L else (frac + "0" * (6 - frac.length)).toLong
+      val micros = (hh.toLong * 3600 + mm.toLong * 60 + ss.toLong) * 1000000L + us
+      val east = (oh.toInt * 3600 +
+        (if (om == null) 0 else om.toInt) * 60 +
+        (if (os == null) 0 else os.toInt)) * (if (sign == "+") 1 else -1)
+      (micros, -east) // text is east-positive, wire west-positive
+    case other =>
+      throw new IllegalArgumentException(s"bad timetz literal: $other")
   }
 
   /** base-10000 numeric encoding (ref: binary_writer.hpp:141-201). */

@@ -81,6 +81,7 @@ final class PgTextWriter(
     case PgTime =>
       val us = v.asInstanceOf[Long]
       java.time.LocalTime.ofNanoOfDay(us * 1000).toString
+    case PgTimeTz => v.toString // already the canonical PG text literal
     case PgTimestamp | PgTimestampTz =>
       val us = v.asInstanceOf[Long]
       val secs = Math.floorDiv(us, 1000000L)

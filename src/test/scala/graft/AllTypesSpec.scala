@@ -197,4 +197,18 @@ class AllTypesSpec extends AnyFunSuite {
       .orderBy("id").collect()
     assert(back(0).getSeq[String](1) == tricky)
   }
+
+  test("timetz columns round-trip as canonical text literals") {
+    val pg = InMemoryPg.forName("types")
+    pg.execute("""CREATE TABLE "public"."ttz" ("id" BIGINT, "t" TIME WITH TIME ZONE)""")
+    import spark.implicits._
+    val vals = Seq("12:34:56.123456+05:30", "00:00:00+00", "23:59:59-08")
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "t")
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "ttz").mode("append").save()
+    val back = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "ttz").load()
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(back == vals)
+  }
 }
