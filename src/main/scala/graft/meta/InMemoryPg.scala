@@ -791,8 +791,21 @@ final class InMemoryPg(val name: String) extends PgTransport {
       ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
     case a: PgArray => parseArrayLiteral(f, a)
     case c: PgComposite => parseRecordLiteral(f, c)
+    case PgPoint =>
+      val ds = parseParenDoubles(f)
+      new GenericInternalRow(Array[Any](ds(0), ds(1)))
+    case PgLine | PgLseg | PgBox | PgCircle | PgPath | PgPolygon =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        parseParenDoubles(f).asInstanceOf[Array[Any]])
     case _ => // text family incl. enum/unknown/bit/uuid/json
       org.apache.spark.unsafe.types.UTF8String.fromString(f)
+  }
+
+  /** `(d1,d2,…)` — the flat geometry text form PgTextWriter emits. */
+  private def parseParenDoubles(f: String): Array[Any] = {
+    val t = f.trim
+    require(t.startsWith("(") && t.endsWith(")"), s"bad geometry literal: $f")
+    t.substring(1, t.length - 1).split(',').map(s => s.trim.toDouble: Any)
   }
 
   /** Split `inner` on top-level commas, honoring double-quoted elements

@@ -211,4 +211,22 @@ class AllTypesSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getString(1)).toSeq
     assert(back == vals)
   }
+
+  test("geometry survives the forced-text path when mixed with an enum") {
+    val pg = InMemoryPg.forName("types")
+    pg.execute("""CREATE TABLE "public"."geo" ("id" BIGINT, "p" POINT, "m" "mood")""")
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    import spark.implicits._
+    Seq((1L, 2.5, -0.5, "ok"), (2L, 0.0, 9.25, "sad")).toDF("id", "x", "y", "m")
+      .select(col("id"), struct(col("x").as("x"), col("y").as("y")).as("p"), col("m"))
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "geo").mode("append").save()
+    val back = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "geo").load()
+      .orderBy("id").collect()
+    val p0 = back(0).getStruct(1)
+    assert(p0.getDouble(0) == 2.5 && p0.getDouble(1) == -0.5)
+    assert(back(1).getStruct(1).getDouble(1) == 9.25)
+    assert(back(1).getString(2) == "sad")
+  }
 }
