@@ -27,18 +27,26 @@ object PgFunctions {
       spark: SparkSession,
       dsn: String,
       sourceSchema: String = "public",
-      overwrite: Boolean = false): Seq[String] = {
+      sinkSchema: Option[String] = None,
+      overwrite: Boolean = false,
+      filterPushdown: Boolean = true): Seq[String] = {
     val t = PgTransportFactory.open(dsn)
     val tables =
       try t.query(PgCatalogQueries.listTables(sourceSchema)).map(_.head)
       finally t.close()
-    tables.foreach { tbl =>
+    val created = tables.map { tbl =>
       val df = spark.read.format("postgres")
         .option("dsn", dsn).option("schema", sourceSchema).option("table", tbl)
+        .option("filterPushdown", filterPushdown.toString)
         .load()
-      if (overwrite) df.createOrReplaceTempView(tbl) else df.createTempView(tbl)
+      // the reference's sink_schema targets a DuckDB schema; Spark temp
+      // views are flat, so the sink schema becomes a name prefix
+      val viewName = sinkSchema.map(s => s"${s}_$tbl").getOrElse(tbl)
+      if (overwrite) df.createOrReplaceTempView(viewName)
+      else df.createTempView(viewName)
+      viewName
     }
-    tables
+    created
   }
 
   /** UPDATE by row id, using the reference's update-sink protocol

@@ -86,6 +86,13 @@ final case class PostgresOptions(all: Map[String, String]) {
   /** pg_array_as_varchar: read arrays as text — the mixed-dimension
     * escape hatch (ref: src/postgres_utils.cpp:84-92) */
   val arrayAsVarchar: Boolean = get("arrayAsVarchar").exists(_.toBoolean)
+  /** pg_experimental_filter_pushdown analogue: off = no remote WHERE is
+    * generated at all (every filter stays a Spark-side residual). The
+    * reference defaults this OFF because its pushdown is experimental;
+    * here pushdown is exact-and-re-checked, so the default is on and
+    * the toggle is the escape hatch (ref: src/postgres_extension.cpp:
+    * 176-178). */
+  val filterPushdown: Boolean = get("filterPushdown").forall(_.toBoolean)
   /** pg_connection_cache / pg_debug_show_queries are global settings in
     * the reference; setting the option applies them globally here too */
   val connectionCache: Option[Boolean] = get("connectionCache").map(_.toBoolean)
@@ -324,12 +331,15 @@ final class PostgresScanBuilder(table: PostgresTable)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sql, _) = PgSqlGen.splitFilters(filters.toSeq)
-    pushedSql = sql
-    pushed = filters.filter(f => PgSqlGen.compileFilter(f).isDefined)
+    if (table.opts.filterPushdown) {
+      val (sql, _) = PgSqlGen.splitFilters(filters.toSeq)
+      pushedSql = sql
+      pushed = filters.filter(f => PgSqlGen.compileFilter(f).isDefined)
+    }
     // return ALL filters as residuals: Spark re-evaluates them, the
     // remote WHERE is purely a bandwidth optimization (reference
-    // behavior — host always re-filters)
+    // behavior — host always re-filters; with the filterPushdown
+    // toggle off nothing is pushed at all)
     filters
   }
 

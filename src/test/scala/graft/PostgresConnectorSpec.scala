@@ -729,4 +729,40 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(after == before, "lease must not draw from the pooled permit budget")
     lease.release()
   }
+
+  test("filterPushdown=false suppresses the remote WHERE entirely") {
+    pg
+    def scanWheres(pushdown: Boolean): Seq[String] = {
+      pg.copyOutStatements.clear()
+      spark.read.format("postgres")
+        .option("dsn", dsn).option("table", "people")
+        .option("filterPushdown", pushdown.toString)
+        .load()
+        .filter(col("id") < 10L)
+        .collect()
+      pg.copyOutStatements.toSeq.filter(_.contains("\"id\" <"))
+    }
+    assert(scanWheres(pushdown = true).nonEmpty,
+      "default: the predicate must reach the remote WHERE")
+    assert(scanWheres(pushdown = false).isEmpty,
+      "with the toggle off no predicate may reach the remote SQL")
+    // results identical either way: Spark re-filters residuals
+    val n = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("filterPushdown", "false")
+      .load().filter(col("id") < 10L).count()
+    assert(n == 10)
+  }
+
+  test("attachViews honors sinkSchema prefix and filterPushdown toggle") {
+    pg
+    val created = PgFunctions.attachViews(spark, dsn,
+      sourceSchema = "public", sinkSchema = Some("pgv"),
+      overwrite = true, filterPushdown = false)
+    assert(created.contains("pgv_people"))
+    pg.copyOutStatements.clear()
+    val n = spark.sql("SELECT count(*) AS n FROM pgv_people WHERE id < 20").head.getLong(0)
+    assert(n == 20)
+    assert(pg.copyOutStatements.forall(!_.contains("\"id\" <")))
+  }
 }
