@@ -178,7 +178,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val ColSelRe: Regex =
     """"?([\w]+)"?(?:\s+(?:AS\s+)?"?([\w]+)"?)?""".r
   private val PredRe: Regex =
-    """"?([\w]+)"?\s*(=|<>|!=|<=|>=|<|>)\s*(.+)""".r
+    """(?s)"?([\w]+)"?\s*(=|<>|!=|<=|>=|<|>)\s*(.+)""".r
 
   private def parseSelect(sql: String): MiniQuery = sql match {
     case SelectRe(items, schOrNull, tbl, whereOrNull, gbOrNull, obOrNull, limOrNull) =>
@@ -358,11 +358,11 @@ final class InMemoryPg(val name: String) extends PgTransport {
   // COPY OUT: serve PGCOPY binary for the connector-generated scan SQL
   // ---------------------------------------------------------------- //
   private val CopyOutAggRe: Regex =
-    """COPY \(SELECT (.+) FROM "([^"]+)"\."([^"]+)"(?: WHERE (.*?))?(?: GROUP BY (.+))?\) TO STDOUT \(FORMAT binary\)""".r
+    """(?s)COPY \(SELECT (.+) FROM "([^"]+)"\."([^"]+)"(?: WHERE (.*?))?(?: GROUP BY (.+))?\) TO STDOUT \(FORMAT binary\)""".r
   private val CopyOutRe: Regex =
-    """COPY \(SELECT (.+) FROM "([^"]+)"\."([^"]+)"(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
+    """(?s)COPY \(SELECT (.+) FROM "([^"]+)"\."([^"]+)"(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
   private val CopyOutSubqueryRe: Regex =
-    """COPY \(SELECT (.+) FROM \(SELECT \* FROM "?([\w]+)"?\."?([\w]+)"?\) AS __unnamed_subquery(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
+    """(?s)COPY \(SELECT (.+) FROM \(SELECT \* FROM "?([\w]+)"?\."?([\w]+)"?\) AS __unnamed_subquery(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
   private val CopyOutAnySubqueryRe: Regex =
     """(?s)COPY \(SELECT (.+) FROM \((.+)\) AS __unnamed_subquery(?: WHERE (.*))?\) TO STDOUT \(FORMAT binary\)""".r
   private val CtidRangeRe: Regex =

@@ -765,4 +765,31 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(n == 20)
     assert(pg.copyOutStatements.forall(!_.contains("\"id\" <")))
   }
+
+  test("pushed string equality round-trips quoting hazards end to end") {
+    import spark.implicits._
+    val nasty = Seq(
+      "plain", "O'Brien", "back\\slash", "two''quotes", "ends\\",
+      "'leading", "trailing'", "tab\there", "new\nline", "per%cent",
+      "under_score", "\u00e9\u00fc\u00f1 unicode", "semi;colon", "da$$sh--comment",
+      "quote\"double", "mixed'\\\"all")
+    val t = graft.meta.PgTransportFactory.open(dsn)
+    try t.execute("""CREATE TABLE IF NOT EXISTS "public"."quoted" ("id" INTEGER, "v" VARCHAR)""")
+    finally t.close()
+    nasty.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+      .write.format("postgres")
+      .option("dsn", dsn).option("table", "quoted").mode("overwrite").save()
+    nasty.zipWithIndex.foreach { case (v, i) =>
+      // equality on the hazard string must travel the remote WHERE and
+      // still match exactly one row (Spark re-checks the residual, so a
+      // broken quote would usually surface as 0 rows or a parse error)
+      pg.copyOutStatements.clear()
+      val got = spark.read.format("postgres")
+        .option("dsn", dsn).option("table", "quoted").load()
+        .filter(col("v") === v).collect()
+      assert(got.length == 1 && got.head.getInt(0) == i, s"value <$v>")
+      assert(pg.copyOutStatements.exists(_.contains("WHERE")),
+        s"predicate for <$v> was not pushed")
+    }
+  }
 }
