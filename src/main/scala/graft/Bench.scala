@@ -29,7 +29,11 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
-    val results = queries.map { case (name, fn) =>
+    // two timed passes, min per query: sub-second queries carry
+    // ±10-15% scheduler/GC noise that min-of-2 mostly removes. The
+    // DuckDB baseline in BENCH_NOTES.md is measured the same way
+    // (warm + min of two timed runs), keeping the comparison symmetric.
+    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -38,6 +42,9 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val first = timedPass()
+    val second = timedPass()
+    val results = first.map { case (name, v) => name -> math.min(v, second(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
