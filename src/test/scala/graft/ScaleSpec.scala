@@ -79,4 +79,15 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .select(countDistinct(col("_salt"))).head.getLong(0)
     assert(spread >= 6, s"hot key only spread over $spread salts")
   }
+
+  test("battery scans keep parquet filter pushdown and column pruning") {
+    val df = graft.queries.Relational.q02_filter_pushdown(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") && !plan.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"expected non-empty PushedFilters in:\n$plan")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("l_comment")),
+      "projection pruning must drop unused wide columns from the scan")
+  }
 }
