@@ -289,19 +289,23 @@ object PipelineOps {
           |                greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     graft.functions.SortedIntersectFunctions.register(s)
-    val ta = toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a"))
-    val tb = toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
+    // Both re-attach probes join the SAME (doc_id, tok) relation on the
+    // same build-side key, so the two broadcast exchanges canonicalize
+    // identically and Spark reuses one build (ReusedExchange) — the
+    // tokenize+sort work for the verify stage runs once, not twice.
+    val tx = toks.select(col("doc_id"), col("tok"))
     // tok is array_sort(array_distinct(...)) upstream, so the exact
     // verify is a codegen'd linear merge (no hash set / output array
     // per pair) — see SortedIntersectSize
     val inter = graft.functions.SortedIntersectFunctions
-      .sorted_intersect_size(col("tok_a"), col("tok_b")).cast("double")
+      .sorted_intersect_size(col("ta.tok"), col("tb.tok")).cast("double")
     cands
-      .join(ta, "doc_a")
-      .join(tb, "doc_b")
+      .join(tx.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tx.as("tb"), col("doc_b") === col("tb.doc_id"))
       // tok arrays are distinct, so |A ∪ B| = |A| + |B| - |A ∩ B|;
       // avoids materializing the union array per pair.
-      .withColumn("jac", inter / (size(col("tok_a")) + size(col("tok_b")) - inter))
+      .withColumn("jac",
+        inter / (size(col("ta.tok")) + size(col("tb.tok")) - inter))
       .filter(col("jac") >= 0.85)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
