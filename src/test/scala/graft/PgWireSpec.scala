@@ -194,4 +194,23 @@ class PgWireSpec extends AnyFunSuite {
       assert(uncached >= 2, s"expected fresh connections with cache off, got $uncached")
     } finally graft.meta.PgTransportFactory.connectionCacheEnabled = true
   }
+
+  test("connection budget merges scan ranges and caps live sockets") {
+    // fresh server+DSN → fresh pool bucket, so the accept counter only
+    // sees this scan's connections
+    val srv = new graft.meta.PgWireServer(InMemoryPg.forName(memName))
+    seed()
+    val before = srv.connectionsAccepted
+    val n = spark.read.format("postgres")
+      .option("dsn", srv.dsn()).option("table", "wt")
+      .option("pagesPerTask", "1") // 8 pages → 8 ranges, merged to ≤ 2
+      .option("connectionLimit", "2")
+      .load().count()
+    assert(n == 500)
+    val used = srv.connectionsAccepted - before
+    // ≤ 2 scan connections + 1 discovery + 1 unpooled snapshot lease;
+    // without the range merge this would be 8 scan connections
+    assert(used >= 2 && used <= 4,
+      s"scan opened $used sockets, budget is 2 scan (+1 discovery, +1 lease)")
+  }
 }
