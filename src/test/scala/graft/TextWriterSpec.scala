@@ -54,4 +54,35 @@ class TextWriterSpec extends AnyFunSuite {
     assert(forTypes(Seq(PgArray(PgUnknown("xml")))) == Text)
     assert(forTypes(Seq(PgBit)) == Text)
   }
+
+  test("random string arrays survive writer -> endpoint parse -> writer (fixpoint)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // The text array literal has two codecs in this repo: PgTextWriter
+    // renders, InMemoryPg parses on COPY IN. Rendering a parsed render
+    // must be a fixpoint, or a text-format write would corrupt data on
+    // its way into storage. Driven through a real table round trip.
+    val pg = graft.meta.InMemoryPg.forName("textprop")
+    pg.execute("""CREATE TABLE IF NOT EXISTS "public"."tp" ("id" INTEGER, "a" TEXT[])""")
+    val t = pg.getTable("public", "tp")
+    val w = new PgTextWriter(t.colTypes)
+    val charGen = Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('"', '\\', ',', '{', '}',
+      ' ', '\t', '\u00e9', '(', ')'))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val arrGen = Gen.listOf(strGen)
+    val samples = (0 until 80).flatMap(i => arrGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    samples.zipWithIndex.foreach { case (arr, i) =>
+      val row = new GenericInternalRow(Array[Any](i,
+        new GenericArrayData(arr.map(UTF8String.fromString).toArray[Any])))
+      val line = w.rowText(row)
+      // feed through the endpoint's text COPY input path
+      val out = pg.copyIn("""COPY "public"."tp" ("id", "a") FROM STDIN (FORMAT text)""")
+      out.write((line + "\n").getBytes("UTF-8")); out.close()
+      val stored = t.slots.last.get
+      val back = stored.getArray(1)
+      val got = (0 until back.numElements()).map(j =>
+        if (back.isNullAt(j)) null else back.getUTF8String(j).toString)
+      assert(got == arr, s"sample $i: wrote <$line>")
+    }
+  }
 }
