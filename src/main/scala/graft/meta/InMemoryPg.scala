@@ -789,6 +789,15 @@ final class InMemoryPg(val name: String) extends PgTransport {
     case PgTimestamp | PgTimestampTz =>
       val ldt = java.time.LocalDateTime.parse(f.replace(' ', 'T'))
       ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+    case PgInterval =>
+      // the ISO-8601 form PgTextWriter emits: P<months>M<days>DT<secs>S
+      val IsoRe = """P(-?\d+)M(-?\d+)DT(-?[0-9.]+)S""".r
+      f.trim match {
+        case IsoRe(m, d, sec) =>
+          new org.apache.spark.unsafe.types.CalendarInterval(
+            m.toInt, d.toInt, math.round(sec.toDouble * 1e6))
+        case other => throw new IllegalArgumentException(s"bad interval literal: $other")
+      }
     case a: PgArray => parseArrayLiteral(f, a)
     case c: PgComposite => parseRecordLiteral(f, c)
     case PgPoint =>

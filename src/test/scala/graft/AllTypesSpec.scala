@@ -229,4 +229,28 @@ class AllTypesSpec extends AnyFunSuite {
     assert(back(1).getStruct(1).getDouble(1) == 9.25)
     assert(back(1).getString(2) == "sad")
   }
+
+  test("interval text literals round-trip through the endpoint's COPY text path") {
+    // Spark refuses CalendarIntervalType in DSv2 write schemas, so the
+    // DataFrame writer can never reach this path — but the endpoint's
+    // own text renderer serves intervals for ::VARCHAR casts, and its
+    // COPY-text input must parse the same form back (symmetry check).
+    val pg = InMemoryPg.forName("types")
+    pg.execute("""CREATE TABLE "public"."iv" ("id" BIGINT, "dur" INTERVAL)""")
+    val t = pg.getTable("public", "iv")
+    val w = new graft.codec.PgTextWriter(t.colTypes)
+    val durs = Seq(
+      new CalendarInterval(2, 3, 4500000L),
+      new CalendarInterval(-1, 0, 90061000001L),
+      new CalendarInterval(0, 0, 0L))
+    durs.zipWithIndex.foreach { case (d, i) =>
+      val row = new GenericInternalRow(Array[Any](i.toLong, d))
+      val out = pg.copyIn("""COPY "public"."iv" ("id", "dur") FROM STDIN (FORMAT text)""")
+      out.write((w.rowText(row) + "\n").getBytes("UTF-8")); out.close()
+      val stored = t.slots.last.get
+        .get(1, org.apache.spark.sql.types.CalendarIntervalType)
+        .asInstanceOf[CalendarInterval]
+      assert(stored == d, s"interval $d came back as $stored")
+    }
+  }
 }
