@@ -237,7 +237,14 @@ object PipelineOps {
   // yields B(B-1)/2 pairs either way — that's inherent to LSH — but
   // here the minhash signatures are computed exactly once.
   // ---------------------------------------------------------------- //
-  def p08_lsh_pairs(s: SparkSession, dir: String): DataFrame = {
+  def p08_lsh_pairs(s: SparkSession, dir: String): DataFrame =
+    lshNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Verified near-dup pairs (doc_a < doc_b, jaccard >= 0.85), unsorted.
+    * The full LSH candidate + exact-verify pipeline shared by p08 (which
+    * just adds the presentation ordering) and p13 (which builds duplicate
+    * clusters on top of the pair graph). */
+  private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         array_sort(array_distinct(tokens)).as("tok"))
@@ -308,15 +315,15 @@ object PipelineOps {
         inter / (size(col("ta.tok")) + size(col("tb.tok")) - inter))
       .filter(col("jac") >= 0.85)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val p08_sql: String = {
+  /** The toks/sig/banded/cands CTE chain shared by p08_sql / p13_sql. */
+  private val lshCtesSql: String = {
     val hDefs = (0 until K).map(j => s"${minhashThSqlExpr("th", j)} AS h$j").mkString(",\n  ")
     val bandRows = (0 until K / 2).map { b =>
       s"SELECT doc_id, source, $b AS band_idx, h${2 * b} * $P + h${2 * b + 1} AS band_hash FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, source,
        |    list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
        |  FROM documents),
@@ -327,7 +334,11 @@ object PipelineOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.source = b.source AND a.band_idx = b.band_idx
-       |   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |   AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val p08_sql: String =
+    s"""WITH $lshCtesSql
        |SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
        |    (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) AS jac
@@ -335,7 +346,74 @@ object PipelineOps {
        |WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
        |    (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) >= 0.85
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p13: duplicate-cluster resolution — connected components over the
+  // p08 near-dup pair graph. Each document in any verified pair gets
+  // the minimum doc_id of its component as cluster_id; the canonical
+  // (kept) document is the one equal to its cluster_id. This is the
+  // step that turns pairwise near-dup evidence into an actual "drop
+  // these rows" decision in a dedup pipeline.
+  //
+  // 100 TB design: iterative min-label propagation over the edge list —
+  // per round one shuffle join (edges ⋈ labels on src) plus a groupBy
+  // min. Rounds = component diameter; near-dup clusters are
+  // shallow (dups of one origin doc link within 1-2 hops), so this
+  // converges in a handful of rounds where a generic graph would want
+  // the O(log n) large-star/small-star variant. Each round is
+  // localCheckpoint'd: the plan stays O(1) deep instead of doubling per
+  // iteration (lineage blow-up is the classic failure of iterative
+  // Spark graph jobs), and the pair graph itself is materialized once
+  // and reused by every round. The convergence probe is a count()
+  // aggregate — no driver-side data collection.
+  // ---------------------------------------------------------------- //
+  def p13_dup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = lshNearDupPairs(s, dir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var moved = 1L
+    var rounds = 0
+    while (moved > 0 && rounds < 64) {
+      val prop = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease; fixpoint = no strict decrease left
+      moved = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
+
+  val p13_sql: String =
+    s"""WITH RECURSIVE $lshCtesSql,
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cands JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE) /
+       |      (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) >= 0.85),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst)
+       |SELECT node AS doc_id, MIN(lab) AS cluster_id,
+       |  node = MIN(lab) AS is_canonical
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
   // p09: SimHash — 16-bit signature from per-token md5 nibbles.
@@ -761,6 +839,127 @@ object PipelineOps {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // p14: intra-document repetition signals (Gopher-style quality
+  // filters): fraction of tokens taken by the single most frequent
+  // token, and the duplicate fraction of 2-grams / 3-grams. All three
+  // are per-row array folds over the token list — embarrassingly
+  // parallel, no shuffle, O(doc length²) worst case bounded by short
+  // doc lengths (the top-token scan is distinct×n; both are linear in
+  // corpus size).
+  // ---------------------------------------------------------------- //
+  def p14_repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), tokens.as("tok"))
+      .filter(size(col("tok")) >= 3)
+    val n = size(col("tok")).cast("double")
+    val grams2 = transform(sequence(lit(0), size(col("tok")) - 2),
+      i => concat_ws(" ", col("tok")(i), col("tok")(i + 1)))
+    val grams3 = transform(sequence(lit(0), size(col("tok")) - 3),
+      i => concat_ws(" ", col("tok")(i), col("tok")(i + 1), col("tok")(i + 2)))
+    def dupFrac(g: Column): Column =
+      (size(g) - size(array_distinct(g))).cast("double") / size(g)
+    val topCount = array_max(transform(array_distinct(col("tok")),
+      d => size(filter(col("tok"), x => x === d))))
+    base.select(col("doc_id"),
+        size(col("tok")).as("n_tokens"),
+        (topCount.cast("double") / n).as("top_token_frac"),
+        dupFrac(grams2).as("dup_2gram_frac"),
+        dupFrac(grams3).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p14_sql: String =
+    """SELECT doc_id,
+      |  CAST(len(tok) AS INT) AS n_tokens,
+      |  CAST(list_max(list_transform(list_distinct(tok),
+      |    d -> len(list_filter(tok, x -> x = d)))) AS DOUBLE) / len(tok) AS top_token_frac,
+      |  CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac,
+      |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac
+      |FROM (
+      |  SELECT doc_id, tok,
+      |    list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1]) AS g2,
+      |    list_transform(range(1, len(tok)-1), i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS g3
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)
+      |  WHERE len(tok) >= 3)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p15: deterministic train/val/test split + per-split corpus stats.
+  // The split is a pure function of doc_id (md5-prefix hash mod 100 →
+  // 80/10/10), so it is reproducible across engines, runs, and
+  // repartitionings — the property a training pipeline needs so that
+  // re-running ingestion never migrates a document across splits. At
+  // scale this is a map + partial aggregate: no shuffle wider than the
+  // (source × split) group count.
+  // ---------------------------------------------------------------- //
+  def p15_sample_split(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise(lit("test"))
+    t(s, dir, "documents")
+      .select(col("source"), split.as("split"), col("n_chars"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val p15_sql: String =
+    """SELECT source,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT source, n_chars,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p16: eval-set decontamination — flag training documents sharing
+  // 5-token shingles with a held-out eval set (doc_id ≡ 0 mod 97
+  // stands in for a benchmark corpus). The eval shingle set is tiny
+  // relative to the corpus, so the overlap probe is a broadcast join
+  // against it: the 100 TB-scale shape where the training side
+  // streams map-only and never shuffles (the classic alternative — a
+  // bloom filter of eval shingles — trades exactness for size; the
+  // exact broadcast set is right while eval shingles fit in memory,
+  // which benchmark suites do by orders of magnitude).
+  // ---------------------------------------------------------------- //
+  def p16_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), tokens.as("tok"))
+      .filter(size(col("tok")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("tok")) - 5),
+          i => concat_ws(" ", col("tok")(i), col("tok")(i + 1), col("tok")(i + 2),
+            col("tok")(i + 3), col("tok")(i + 4))))).as("sh"))
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh")).distinct().withColumn("hit", lit(1))
+    val trainSh = sh.filter(col("doc_id") % 97 =!= 0)
+    trainSh.join(broadcast(evalSh), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("contamination_frac",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p16_sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tok)-3),
+      |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4]))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)
+      |  WHERE len(tok) >= 5),
+      |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS contamination_frac
+      |FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) tr LEFT JOIN ev USING (sh)
+      |GROUP BY doc_id
+      |HAVING SUM(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // s03: IVF-style ANN — the other classic scale path beside LSH.
   // Index build: every corpus vector is assigned to its nearest
   // "centroid" (deterministic centroid set = the first C corpus
@@ -918,6 +1117,10 @@ object PipelineOps {
     "p10_embedding_dedup" -> ((p10_embedding_dedup _, Some(p10_sql))),
     "p11_subtoken_count" -> ((p11_subtoken_count _, Some(p11_sql))),
     "p12_ngram_fingerprint" -> ((p12_ngram_fingerprint _, Some(p12_sql))),
+    "p13_dup_clusters" -> ((p13_dup_clusters _, Some(p13_sql))),
+    "p14_repetition" -> ((p14_repetition _, Some(p14_sql))),
+    "p15_sample_split" -> ((p15_sample_split _, Some(p15_sql))),
+    "p16_decontaminate" -> ((p16_decontaminate _, Some(p16_sql))),
     "s02_ann_lsh" -> ((s02_ann_lsh _, None)),
     "s03_ann_ivf" -> ((s03_ann_ivf _, Some(s03_sql))),
     "m01_multimodal" -> ((m01_multimodal _, Some(m01_sql))),

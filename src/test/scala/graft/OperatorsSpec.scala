@@ -76,6 +76,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"unexpected join hints: $hints")
   }
 
+  test("p13 duplicate clusters agree with the pair graph") {
+    val dir = "/root/testdata/sf0.01"
+    val pairs = graft.queries.PipelineOps.p08_lsh_pairs(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val clusters = graft.queries.PipelineOps.p13_dup_clusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every paired doc is labeled, both ends share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the minimum member; exactly that member is canonical
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      assert(members.count(_._2._2) == 1 && members(cid)._2)
+    }
+  }
+
+  test("p14 repetition signals stay inside their bounds") {
+    val rows = graft.queries.PipelineOps.p14_repetition(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, top, d2, d3) = (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(top >= 1.0 / n && top <= 1.0)
+      assert(d2 >= 0.0 && d2 <= 1.0)
+      assert(d3 >= 0.0 && d3 <= d2 + 1e-9, "3-gram dups cannot exceed 2-gram dups")
+    }
+  }
+
+  test("p15 split is deterministic and partitions the corpus 80/10/10-ish") {
+    val dir = "/root/testdata/sf0.01"
+    val a = graft.queries.PipelineOps.p15_sample_split(spark, dir).collect()
+    val b = graft.queries.PipelineOps.p15_sample_split(spark, dir).collect()
+    assert(a.sameElements(b), "split must be reproducible")
+    val bySplit = a.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train").toDouble / total > 0.6, s"train share off: $bySplit")
+  }
+
+  test("p16 never flags eval docs and reports sane fractions") {
+    val rows = graft.queries.PipelineOps.p16_decontaminate(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, "eval docs must not appear in the train report")
+      val frac = r.getDouble(3)
+      assert(frac > 0.0 && frac <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
   test("multimodal pipeline: decode features partition-wise with error rows") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.asMedia(docs)
