@@ -373,8 +373,32 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
   override def copyOut(sql: String): InputStream = {
     copyOutStatements += sql
-    copyOut0(sql)
+    val (base, orderBy, limit) = stripScanTail(sql)
+    copyOut0(base, orderBy, limit)
   }
+
+  /** One pushed sort key: (column, ascending, nullsFirst). */
+  private type OrderKey = (String, Boolean, Boolean)
+
+  // the exact ORDER BY/LIMIT tail shape PgSqlGen generates for pushed
+  // (partial) top-N scans; anything else passes through untouched
+  private val ScanTailRe: Regex =
+    ("""(?s)^(.*?)""" +
+      """((?: ORDER BY "[^"]*" (?:ASC|DESC) NULLS (?:FIRST|LAST)""" +
+      """(?:, "[^"]*" (?:ASC|DESC) NULLS (?:FIRST|LAST))*)?)""" +
+      """((?: LIMIT \d+)?)\) TO STDOUT \(FORMAT binary\)$""").r
+
+  private def stripScanTail(sql: String): (String, Seq[OrderKey], Option[Int]) =
+    sql match {
+      case ScanTailRe(prefix, ob, lim) if ob.nonEmpty || lim.nonEmpty =>
+        val OrdItem = """"([^"]*)" (ASC|DESC) NULLS (FIRST|LAST)""".r
+        val orders = OrdItem.findAllMatchIn(ob).map(m =>
+          (m.group(1).replace("\"\"", "\""), m.group(2) == "ASC",
+            m.group(3) == "FIRST")).toSeq
+        val limit = """\d+""".r.findFirstIn(lim).map(_.toInt)
+        (prefix + ") TO STDOUT (FORMAT binary)", orders, limit)
+      case _ => (sql, Nil, None)
+    }
 
   /** split a projection on top-level commas (not inside parens) */
   private def splitTop(proj: String): Seq[String] = {
@@ -393,7 +417,10 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val AggItemRe: Regex =
     """(count|min|max|sum)\((\*|"[^"]+")\)(?:::([A-Z() ,0-9]+))?""".r
 
-  private def copyOut0(sql: String): InputStream = sql match {
+  private def copyOut0(
+      sql: String,
+      orderBy: Seq[OrderKey] = Nil,
+      limit: Option[Int] = None): InputStream = sql match {
     case CopyOutAggRe(proj, sch, tbl, whereOrNull, groupByOrNull) if
         splitTop(proj).exists(AggItemRe.pattern.matcher(_).matches()) =>
       serveAggregate(sch, tbl, proj, Option(whereOrNull), Option(groupByOrNull))
@@ -459,7 +486,13 @@ final class InMemoryPg(val name: String) extends PgTransport {
       // filters beyond the ctid range are an optimization on a live
       // server; the connector re-applies them post-scan (the reference
       // does the same — host always re-filters, SURVEY §2.2), so the
-      // fake may ignore them without affecting correctness.
+      // fake may ignore them without affecting correctness. BUT: a
+      // pushed LIMIT on top of an *ignored* WHERE would cut rows the
+      // real server's WHERE would have kept — so the tail is honored
+      // only when the WHERE carries nothing beyond the ctid range
+      // (serving extra rows is always safe; Spark re-limits).
+      val hasExtraWhere = Option(whereOrNull)
+        .exists(w => CtidRangeRe.replaceAllIn(w, "").exists(_.isLetter))
       val projCols: Seq[(String, Boolean)] =
         if (proj.trim == "NULL") Nil
         else proj.split(",").map(_.trim).toSeq.map {
@@ -470,7 +503,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
             .stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\""),
             c.contains("::"))
         }
-      serveRows(t, projCols, pageRange)
+      serveRows(t, projCols, pageRange,
+        if (hasExtraWhere) Nil else orderBy,
+        if (hasExtraWhere) None else limit)
     case other =>
       throw new IllegalArgumentException(s"InMemoryPg: unsupported COPY OUT: $other")
   }
@@ -478,7 +513,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private def serveRows(
       t: MemTable,
       projCols: Seq[(String, Boolean)],
-      pageRange: Option[(Long, Long)]): InputStream = {
+      pageRange: Option[(Long, Long)],
+      orderBy: Seq[OrderKey] = Nil,
+      limit: Option[Int] = None): InputStream = {
     // a ::VARCHAR cast on a non-text column means the server renders
     // the value as its text literal (the CAST_TO_VARCHAR trick for
     // unknown types / pg_array_as_varchar)
@@ -506,33 +543,58 @@ final class InMemoryPg(val name: String) extends PgTransport {
     val out = new DataOutputStream(bos)
     writer.writeHeader(out)
     val (loPage, hiPage) = pageRange.getOrElse((0L, Long.MaxValue))
-    var slot = 0
-    while (slot < t.slots.length) {
+    // '(hi,0)' has row id 0 < any live row id, so page hi itself is
+    // excluded — matching PG BETWEEN semantics on tids
+    val inRange: Seq[(Int, InternalRow)] = t.slots.indices.flatMap { slot =>
       val page = slot / RowsPerPage
-      // '(hi,0)' has row id 0 < any live row id, so page hi itself is
-      // excluded — matching PG BETWEEN semantics on tids
-      if (page >= loPage && page < hiPage) {
-        t.slots(slot) match {
-          case Some(row) =>
-            val vals: Array[Any] =
-              if (projCols.isEmpty) Array[Any](null)
-              else idx.map { case (ci, render) =>
-                if (ci == -1) (page.toLong << 16) | (slot % RowsPerPage + 1).toLong
-                else if (row.isNullAt(ci)) null
-                else {
-                  val v = row.get(ci, PgType.toSpark(t.columns(ci)._2))
-                  if (render)
-                    org.apache.spark.unsafe.types.UTF8String.fromString(
-                      textRenderer.valueText(v, t.colTypes(ci),
-                        PgType.toSpark(t.colTypes(ci))))
-                  else v
-                }
-              }.toArray
-            writer.writeRow(out, new GenericInternalRow(vals))
-          case None =>
+      if (page >= loPage && page < hiPage) t.slots(slot).map(slot -> _) else None
+    }
+    // pushed (partial) top-N: honor the generated ORDER BY ... LIMIT
+    // exactly like a live server — sort the base rows by the key
+    // columns, then cut
+    val sorted =
+      if (orderBy.isEmpty) inRange
+      else {
+        val keys = orderBy.toIndexedSeq
+        inRange.sortWith { case ((_, ra), (_, rb)) =>
+          var verdict = 0
+          var k = 0
+          while (verdict == 0 && k < keys.length) {
+            val (c, asc, nullsFirst) = keys(k)
+            val ci = t.colIndex(c)
+            require(ci >= 0, s"ORDER BY column $c not found")
+            val va = if (ra.isNullAt(ci)) null else ra.get(ci, PgType.toSpark(t.colTypes(ci)))
+            val vb = if (rb.isNullAt(ci)) null else rb.get(ci, PgType.toSpark(t.colTypes(ci)))
+            val cmp = (va, vb) match {
+              case (null, null) => 0
+              case (null, _) => if (nullsFirst) -1 else 1
+              case (_, null) => if (nullsFirst) 1 else -1
+              case (x, y) => cmpAny(x, y)
+            }
+            verdict = if (asc) cmp else -cmp
+            k += 1
+          }
+          verdict < 0
         }
       }
-      slot += 1
+    val served = limit.map(sorted.take).getOrElse(sorted)
+    served.foreach { case (slot, row) =>
+      val page = slot / RowsPerPage
+      val vals: Array[Any] =
+        if (projCols.isEmpty) Array[Any](null)
+        else idx.map { case (ci, render) =>
+          if (ci == -1) (page.toLong << 16) | (slot % RowsPerPage + 1).toLong
+          else if (row.isNullAt(ci)) null
+          else {
+            val v = row.get(ci, PgType.toSpark(t.columns(ci)._2))
+            if (render)
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                textRenderer.valueText(v, t.colTypes(ci),
+                  PgType.toSpark(t.colTypes(ci))))
+            else v
+          }
+        }.toArray
+      writer.writeRow(out, new GenericInternalRow(vals))
     }
     writer.writeTrailer(out)
     out.flush()

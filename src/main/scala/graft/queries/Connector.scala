@@ -329,6 +329,37 @@ object ConnectorOps {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE c_acctbal > 2000.0 ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // c12: LIMIT pushdown — each ctid task's COPY carries `LIMIT 50`, so
+  // a probe query moves partitions×50 rows instead of the table. The
+  // count on top makes the result deterministic (any 50 rows count the
+  // same) while the plan still exercises the pushed-limit scan.
+  // ---------------------------------------------------------------- //
+  def c12_pg_limit(s: SparkSession, dir: String): DataFrame =
+    pgRead(s, dir, "customer")
+      .select(col("c_custkey"))
+      .limit(50)
+      .agg(count(lit(1)).as("n"))
+
+  val c12_sql: String =
+    "SELECT count(*) AS n FROM (SELECT c_custkey FROM customer LIMIT 50)"
+
+  // ---------------------------------------------------------------- //
+  // c13: top-N pushdown — ORDER BY + LIMIT compile into every task's
+  // COPY (partial top-N; Spark re-runs the ordered take over the ≤N
+  // rows per task). Sort keys are numeric — text keys are never pushed
+  // (collation) — and the custkey tiebreak makes the result total.
+  // ---------------------------------------------------------------- //
+  def c13_pg_topn(s: SparkSession, dir: String): DataFrame =
+    pgRead(s, dir, "customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  val c13_sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -342,5 +373,7 @@ object ConnectorOps {
     "c09_pg_update" -> ((c09_pg_update _, Some(c09_sql))),
     "c10_pg_merge" -> ((c10_pg_merge _, Some(c10_sql))),
     "c11_tcp_scan" -> ((c11_tcp_scan _, Some(c11_sql))),
+    "c12_pg_limit" -> ((c12_pg_limit _, Some(c12_sql))),
+    "c13_pg_topn" -> ((c13_pg_topn _, Some(c13_sql))),
   )
 }

@@ -300,12 +300,69 @@ final class PostgresScanBuilder(table: PostgresTable)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+
+  import org.apache.spark.sql.connector.expressions.{
+    NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
 
   private var required: StructType = table.schema
   private var pushedSql: Seq[String] = Nil
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[PushedAggregation] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedOrderSql: Seq[String] = Nil
+
+  /** LIMIT/top-N pushdown (beyond the reference, which never limits
+    * its COPY scans): each parallel task returns at most `limit` rows
+    * of its ctid range, and Spark re-applies the global limit / ordered
+    * take — `isPartiallyPushed` stays true. Like the pushed WHERE, this
+    * only cuts bytes on the wire; at 100 TB it turns a "LIMIT 100" probe
+    * from a full-table COPY into `partitions × 100` rows. Never combined
+    * with a pushed aggregate: a remote LIMIT under a partial aggregate
+    * could drop groups that Spark's final merge still needs. */
+  override def pushLimit(limit: Int): Boolean =
+    pushedAgg.isEmpty && { pushedLimit = Some(limit); true }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
+    val sqls = orders.toSeq.map(sortOrderSql)
+    if (sqls.isEmpty || sqls.exists(_.isEmpty)) false
+    else {
+      pushedOrderSql = sqls.flatten
+      pushedLimit = Some(limit)
+      true
+    }
+  }
+
+  /** A sort key is pushed only when its remote ordering provably
+    * matches Spark's: integers, decimals, dates, times, timestamps.
+    * Text sorts diverge under server collations and floats diverge on
+    * NaN placement — those stay host-side (the scan then pushes the
+    * plain LIMIT-free form and Spark does the whole top-N). */
+  private def sortOrderSql(o: V2SortOrder): Option[String] = o.expression() match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      val name = nr.fieldNames.head
+      table.pgColumns.find(_._1 == name).map(_._2).filter(topNOrderable).map { _ =>
+        val dir = if (o.direction() == SortDirection.ASCENDING) "ASC" else "DESC"
+        val nulls =
+          if (o.nullOrdering() == NullOrdering.NULLS_FIRST) "NULLS FIRST" else "NULLS LAST"
+        s"${PgSqlGen.quoteIdent(name)} $dir $nulls"
+      }
+    case _ => None
+  }
+
+  private def topNOrderable(t: graft.types.PgType): Boolean = t match {
+    case graft.types.PgType.PgInt2 | graft.types.PgType.PgInt4 |
+      graft.types.PgType.PgInt8 | graft.types.PgType.PgDate |
+      graft.types.PgType.PgTime | graft.types.PgType.PgTimestamp |
+      graft.types.PgType.PgTimestampTz => true
+    case _: graft.types.PgType.PgNumeric => true
+    case _ => false
+  }
 
   /** Aggregate pushdown (SURVEY.md §4.1 "optional upgrade" of the
     * reference's count(*)-only optimization): COUNT(*)/COUNT/MIN/MAX/
@@ -349,7 +406,7 @@ final class PostgresScanBuilder(table: PostgresTable)
     // with a pushed (partial) aggregate the scan's output schema IS the
     // aggregate schema: group columns followed by partial agg values
     val schema = pushedAgg.map(_.schema).getOrElse(required)
-    new PostgresScan(table, schema, pushedSql, pushedAgg)
+    new PostgresScan(table, schema, pushedSql, pushedAgg, pushedOrderSql, pushedLimit)
   }
 }
 
@@ -439,7 +496,9 @@ final class PostgresScan(
     table: PostgresTable,
     required: StructType,
     pushedSql: Seq[String],
-    pushedAgg: Option[PushedAggregation] = None)
+    pushedAgg: Option[PushedAggregation] = None,
+    pushedOrderSql: Seq[String] = Nil,
+    pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -469,7 +528,8 @@ final class PostgresScan(
       case Some(q) =>
         // single-threaded streaming scan over the subquery form
         Array(PostgresInputPartition(opts.dsn,
-          PgSqlGen.copyQuerySql(q, scanColumns, pushedSql), None))
+          PgSqlGen.copyQuerySql(q, scanColumns, pushedSql, pushedOrderSql, pushedLimit),
+          None))
       case None =>
         val ranges =
           if (!opts.useCtidScan || table.pages <= 0)
@@ -505,7 +565,8 @@ final class PostgresScan(
           PostgresInputPartition(opts.dsn,
             PgSqlGen.copyTableSql(opts.schema, opts.table.get, scanColumns,
               if (useRange) Some((r.minPage, r.maxPage)) else None, pushedSql,
-              pushedAgg.map(_.groupBySql).getOrElse(Nil)),
+              pushedAgg.map(_.groupBySql).getOrElse(Nil),
+              pushedOrderSql, pushedLimit),
             snapshot)
             : InputPartition
         }.toArray

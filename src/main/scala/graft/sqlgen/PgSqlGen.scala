@@ -38,27 +38,42 @@ object PgSqlGen {
   def ctidRange(minPage: Long, maxPage: Long): String =
     s"ctid BETWEEN '($minPage,0)'::tid AND '($maxPage,0)'::tid"
 
-  /** Full per-task COPY statement over a base table. */
+  /** Full per-task COPY statement over a base table. `orderBy`/`limit`
+    * carry a pushed (partial) top-N: each task returns at most `limit`
+    * rows of its ctid range and Spark re-applies the global sort+limit,
+    * so the per-task clause is a bandwidth optimization exactly like
+    * the pushed WHERE. */
   def copyTableSql(
       schema: String,
       table: String,
       cols: Seq[ScanColumn],
       pageRange: Option[(Long, Long)],
       filters: Seq[String],
-      groupBy: Seq[String] = Nil): String = {
+      groupBy: Seq[String] = Nil,
+      orderBy: Seq[String] = Nil,
+      limit: Option[Int] = None): String = {
     val preds = pageRange.map { case (lo, hi) => ctidRange(lo, hi) }.toSeq ++ filters
     val where = if (preds.isEmpty) "" else preds.mkString(" WHERE (", ") AND (", ")")
     val grp = if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ", ", "")
+    val ord = if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
+    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
     s"COPY (SELECT ${projection(cols)} FROM " +
-      s"${quoteIdent(schema)}.${quoteIdent(table)}$where$grp) TO STDOUT (FORMAT binary)"
+      s"${quoteIdent(schema)}.${quoteIdent(table)}$where$grp$ord$lim) TO STDOUT (FORMAT binary)"
   }
 
   /** Subquery form for postgres_query-style ad-hoc SQL
     * (ref: src/postgres_scanner.cpp:248-255). */
-  def copyQuerySql(sql: String, cols: Seq[ScanColumn], filters: Seq[String]): String = {
+  def copyQuerySql(
+      sql: String,
+      cols: Seq[ScanColumn],
+      filters: Seq[String],
+      orderBy: Seq[String] = Nil,
+      limit: Option[Int] = None): String = {
     val where = if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
+    val ord = if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
+    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
     val inner = sql.trim.stripSuffix(";")
-    s"COPY (SELECT ${projection(cols)} FROM ($inner) AS __unnamed_subquery$where) " +
+    s"COPY (SELECT ${projection(cols)} FROM ($inner) AS __unnamed_subquery$where$ord$lim) " +
       "TO STDOUT (FORMAT binary)"
   }
 

@@ -464,6 +464,48 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(replaced.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("limit pushdown reaches each task's COPY and bounds served rows") {
+    pg
+    pg.copyOutStatements.clear()
+    val n = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load()
+      .select("id").limit(7).count()
+    assert(n == 7)
+    val scans = pg.copyOutStatements.filter(_.contains("\"people\""))
+    assert(scans.nonEmpty && scans.forall(_.contains("LIMIT 7")),
+      s"expected LIMIT 7 in every task scan: $scans")
+  }
+
+  test("top-N pushdown orders remotely; text sort keys stay host-side") {
+    pg
+    pg.copyOutStatements.clear()
+    val top = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load()
+      .orderBy(col("score").desc, col("id")).limit(5)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // highest scores are the highest ids (score = id/10)
+    assert(top == Seq(299L, 298L, 297L, 296L, 295L))
+    val scans = pg.copyOutStatements.filter(_.contains("\"people\""))
+    assert(scans.nonEmpty && scans.forall(
+      _.contains("ORDER BY \"score\" DESC NULLS LAST, \"id\" ASC NULLS FIRST LIMIT 5")),
+      s"expected pushed top-N in every task scan: $scans")
+
+    // a varchar sort key must NOT be pushed (collation divergence):
+    // the scan carries neither ORDER BY nor LIMIT and Spark sorts
+    pg.copyOutStatements.clear()
+    val byName = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people").load()
+      .orderBy(col("name")).limit(3)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(byName == Seq("name_0", "name_1", "name_10"))
+    val nameScans = pg.copyOutStatements.filter(_.contains("\"people\""))
+    assert(nameScans.nonEmpty && nameScans.forall(s =>
+      !s.contains("ORDER BY") && !s.contains("LIMIT")),
+      s"text top-N must not push: $nameScans")
+  }
+
   test("staged writes: task rows stay invisible until the driver promote commit") {
     val p = InMemoryPg.forName("stagedspec")
     p.createTable("public", "sink", Seq("id" -> PgInt8))
