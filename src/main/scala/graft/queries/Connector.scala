@@ -360,6 +360,35 @@ object ConnectorOps {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // c14: runtime (dynamic-pruning) filter — a selective dimension join
+  // whose build-side key set Spark hands to the fact scan before
+  // execution, turning every task's COPY into `c_nationkey IN (...)`.
+  // The result is identical with or without the runtime filter (it is
+  // a semi-join condition); the connector spec asserts the IN actually
+  // reaches the generated SQL.
+  // ---------------------------------------------------------------- //
+  def c14_pg_runtime_filter(s: SparkSession, dir: String): DataFrame = {
+    val cust = pgRead(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val nat = pgRead(s, dir, "nation")
+      .filter(col("n_regionkey") === 1)
+      .select(col("n_nationkey"), col("n_name"))
+    cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("acctbal_sum"))
+      .orderBy(col("n_name"))
+  }
+
+  val c14_sql: String =
+    """SELECT n_name, count(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_regionkey = 1
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -375,5 +404,6 @@ object ConnectorOps {
     "c11_tcp_scan" -> ((c11_tcp_scan _, Some(c11_sql))),
     "c12_pg_limit" -> ((c12_pg_limit _, Some(c12_sql))),
     "c13_pg_topn" -> ((c13_pg_topn _, Some(c13_sql))),
+    "c14_pg_runtime_filter" -> ((c14_pg_runtime_filter _, Some(c14_sql))),
   )
 }

@@ -499,7 +499,44 @@ final class PostgresScan(
     pushedAgg: Option[PushedAggregation] = None,
     pushedOrderSql: Seq[String] = Nil,
     pushedLimit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  /** Runtime filter pushdown (beyond the reference): when this scan
+    * probes a join whose build side turns out small, Spark hands the
+    * build-side key set here before execution and the per-task COPY
+    * gains `key IN (...)` — at 100 TB this is the difference between
+    * shipping a whole fact table and shipping the rows that can join.
+    * Join-generated runtime filters are semi-join conditions, so
+    * best-effort remote application is always safe: rows a skipped
+    * filter lets through are eliminated by the join itself. Giant IN
+    * sets stay host-side (shipping a million-literal WHERE costs more
+    * than it saves); the cap mirrors the reference's preference for
+    * bounded generated SQL (its DELETE batches flush at 3000 chars). */
+  private val RuntimeInMax = 1000
+
+  @volatile private var runtimeSql: Seq[String] = Nil
+
+  override def filterAttributes(): Array[NamedReference] =
+    // only columns surviving in this scan's (pruned) output — Spark
+    // resolves these against the scan relation and fails on anything
+    // it can't find; an aggregate-pushed scan exposes none (its output
+    // rows are partial states a row filter must not drop)
+    if (pushedAgg.isDefined) Array.empty
+    else required.fields.collect {
+      case f if table.pgColumns.exists(_._1 == f.name) => Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeSql = filters.toSeq.flatMap {
+      case in: org.apache.spark.sql.sources.In if in.values.length > RuntimeInMax =>
+        None
+      case f => PgSqlGen.compileFilter(f)
+    }
+
+  private def allPushedSql: Seq[String] = pushedSql ++ runtimeSql
 
   override def readSchema(): StructType = required
 
@@ -528,7 +565,7 @@ final class PostgresScan(
       case Some(q) =>
         // single-threaded streaming scan over the subquery form
         Array(PostgresInputPartition(opts.dsn,
-          PgSqlGen.copyQuerySql(q, scanColumns, pushedSql, pushedOrderSql, pushedLimit),
+          PgSqlGen.copyQuerySql(q, scanColumns, allPushedSql, pushedOrderSql, pushedLimit),
           None))
       case None =>
         val ranges =
@@ -564,7 +601,7 @@ final class PostgresScan(
           val useRange = opts.useCtidScan && table.pages > 0
           PostgresInputPartition(opts.dsn,
             PgSqlGen.copyTableSql(opts.schema, opts.table.get, scanColumns,
-              if (useRange) Some((r.minPage, r.maxPage)) else None, pushedSql,
+              if (useRange) Some((r.minPage, r.maxPage)) else None, allPushedSql,
               pushedAgg.map(_.groupBySql).getOrElse(Nil),
               pushedOrderSql, pushedLimit),
             snapshot)

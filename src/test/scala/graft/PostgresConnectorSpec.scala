@@ -506,6 +506,45 @@ class PostgresConnectorSpec extends AnyFunSuite {
       s"text top-N must not push: $nameScans")
   }
 
+  test("runtime join filter from dynamic pruning reaches the remote WHERE") {
+    pg
+    // build side must survive as a real plan (a LocalRelation folds its
+    // Filter away before the pruning rule runs), so derive it from Range
+    val dim = spark.range(0, 1000).toDF("id")
+      .filter(pmod(col("id"), lit(100)) === 7)
+    val fact = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load()
+      .withColumn("id", col("id"))
+    pg.copyOutStatements.clear()
+    val n = fact.join(dim, "id").count()
+    assert(n == 3) // ids 7, 107, 207 exist among people 0..299
+    val scans = pg.copyOutStatements.filter(_.contains("\"people\""))
+    assert(scans.nonEmpty && scans.forall(_.contains(""""id" IN (""")),
+      s"expected the runtime IN in every task scan: $scans")
+  }
+
+  test("oversized runtime IN sets stay host-side") {
+    pg
+    import org.apache.spark.sql.sources.In
+    val tbl = graft.sources.postgres.PostgresTable.discover(
+      graft.sources.postgres.PostgresOptions(Map("dsn" -> dsn, "table" -> "people")))
+    val scan = tbl.newScanBuilder(
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .build().asInstanceOf[graft.sources.postgres.PostgresScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("id", (0 to 1000).map(i => i.toLong: Any).toArray)))
+    val sqls = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.postgres.PostgresInputPartition].sql)
+    assert(sqls.nonEmpty && sqls.forall(!_.contains(" IN (")),
+      s"a 1001-value IN must not ship: ${sqls.head.take(200)}")
+    // a small one does ship
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("id", Array(1L, 2L))))
+    val sqls2 = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.postgres.PostgresInputPartition].sql)
+    assert(sqls2.forall(_.contains(""""id" IN (1, 2)""")), sqls2.head)
+  }
+
   test("staged writes: task rows stay invisible until the driver promote commit") {
     val p = InMemoryPg.forName("stagedspec")
     p.createTable("public", "sink", Seq("id" -> PgInt8))
