@@ -355,47 +355,114 @@ object PipelineOps {
   // step that turns pairwise near-dup evidence into an actual "drop
   // these rows" decision in a dedup pipeline.
   //
-  // 100 TB design: iterative min-label propagation over the edge list —
-  // per round one shuffle join (edges ⋈ labels on src) plus a groupBy
-  // min. Rounds = component diameter; near-dup clusters are
-  // shallow (dups of one origin doc link within 1-2 hops), so this
-  // converges in a handful of rounds where a generic graph would want
-  // the O(log n) large-star/small-star variant. Each round is
+  // 100 TB design — two regimes, picked by the measured edge count.
+  // The pair graph is orders of magnitude smaller than the corpus
+  // (only near-dup evidence survives p08's banding + exact verify), so
+  // the common case even at large scale is a graph that fits ONE task:
+  // solve it there with union-find (path compression + union-by-min) —
+  // no iteration, no per-round scheduling. Past the single-task budget
+  // (`graft.p13.unionFindMaxEdges`, default 5M edges ≈ 100 MB of task
+  // state), fall back to distributed min-label propagation: per round
+  // one shuffle join (edges ⋈ labels on src) + groupBy min + a
+  // pointer-jump (label := label's own label, path halving), so a
+  // chain of diameter d converges in O(log d) rounds. Each round is
   // localCheckpoint'd: the plan stays O(1) deep instead of doubling per
   // iteration (lineage blow-up is the classic failure of iterative
   // Spark graph jobs), and the pair graph itself is materialized once
-  // and reused by every round. The convergence probe is a count()
-  // aggregate — no driver-side data collection.
+  // and reused by every round. Two costs are sized to the GRAPH, not
+  // the session: (a) parallelism — the rounds run at edges/100k
+  // partitions with both sides hash-partitioned on the join key once,
+  // up front (localCheckpoint preserves the partitioning, so no round
+  // re-shuffles the edge list); (b) the convergence probe — labels
+  // only ever decrease, so the exact decimal SUM(label) strictly
+  // decreases until fixpoint: one cheap aggregate per round instead of
+  // a join against the previous labels.
   // ---------------------------------------------------------------- //
+  /** Single-task regime: the whole (small) pair graph lands in one
+    * partition and a classic union-find labels every node with its
+    * component minimum — semantically identical to the propagation
+    * fixpoint, with zero iteration overhead. */
+  private def unionFindClusters(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val labeled = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by min: the surviving root is the component minimum
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keys.toArray.sorted.iterator.map(k => (k, find(k)))
+      }
+      .toDF("doc_id", "cluster_id")
+    labeled.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   def p13_dup_clusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = lshNearDupPairs(s, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = pairs
+    val unionFindMax =
+      sys.props.get("graft.p13.unionFindMaxEdges").map(_.toLong).getOrElse(5000000L)
+    if (pairs.count() <= unionFindMax / 2) return unionFindClusters(s, pairs)
+    val edges0 = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
-    var moved = 1L
-    var rounds = 0
-    while (moved > 0 && rounds < 64) {
-      val prop = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      // labels only ever decrease; fixpoint = no strict decrease left
-      moved = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .count()
-      labels = next
-      rounds += 1
-    }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        (col("id") === col("label")).as("is_canonical"))
-      .orderBy(col("doc_id"))
+    val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (edges0.count() / 100000L).toInt))
+    // run the whole iteration at graph-sized parallelism (the st01
+    // pattern): every exchange in the loop produces `parts` partitions,
+    // so checkpointed rounds stay co-partitioned without a per-round
+    // repartition shuffle
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val edges = edges0.repartition(parts, col("src")).localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")).localCheckpoint()
+      def checksum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      var prevSum = checksum(labels)
+      var moved = true
+      var rounds = 0
+      while (moved && rounds < 64) {
+        val prop = edges
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .select(col("dst").as("id"), col("label"))
+        val step = labels.union(prop)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+        // path halving: every label is itself a node id present in
+        // `step` (labels start as the node set and min() only ever picks
+        // existing ids), so following one hop of the label chain is an
+        // inner self-join — label chains collapse geometrically; the
+        // build side is the same plan, so the shuffle is reused
+        val next = step
+          .join(step.select(col("id").as("label"), col("label").as("jump")),
+            Seq("label"))
+          .select(col("id"), col("jump").as("label"))
+          .localCheckpoint()
+        val nextSum = checksum(next)
+        moved = nextSum.compareTo(prevSum) < 0
+        prevSum = nextSum
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   val p13_sql: String =

@@ -94,6 +94,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("p13 distributed propagation matches the single-task union-find") {
+    val dir = "/root/testdata/sf0.01"
+    val uf = graft.queries.PipelineOps.p13_dup_clusters(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    System.setProperty("graft.p13.unionFindMaxEdges", "0") // force distributed
+    try {
+      val prop = graft.queries.PipelineOps.p13_dup_clusters(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(uf == prop, "the two component regimes must agree exactly")
+    } finally System.clearProperty("graft.p13.unionFindMaxEdges")
+  }
+
   test("p14 repetition signals stay inside their bounds") {
     val rows = graft.queries.PipelineOps.p14_repetition(spark, "/root/testdata/sf0.001")
       .collect()
