@@ -479,20 +479,24 @@ final class InMemoryPg(val name: String) extends PgTransport {
       new ByteArrayInputStream(bos.toByteArray)
     case CopyOutRe(proj, sch, tbl, whereOrNull) =>
       val t = getTable(sch, tbl)
-      val pageRange = Option(whereOrNull).flatMap {
-        case CtidRangeRe(lo, hi) => Some((lo.toLong, hi.toLong))
-        case _ => None
+      // bind what the simple-predicate evaluator understands (ctid
+      // ranges + comparisons / IS [NOT] NULL) and APPLY it — the
+      // streaming source's key-range scans rely on the WHERE actually
+      // filtering. Conjuncts beyond the binder (LIKE, IN, OR trees)
+      // are ignored like before: the connector re-applies every pushed
+      // filter, so serving extra rows is always safe. BUT: a pushed
+      // LIMIT/ORDER BY on top of an *ignored* conjunct would cut rows
+      // the real server's WHERE would have kept — the tail is honored
+      // only when every conjunct was bound.
+      var pageRange: Option[(Long, Long)] = None
+      val preds = mutable.ArrayBuffer.empty[InternalRow => Boolean]
+      var unbound = false
+      Option(whereOrNull).toSeq.flatMap(splitConjuncts).foreach {
+        case CtidRangeRe(lo, hi) => pageRange = Some((lo.toLong, hi.toLong))
+        case p =>
+          try preds += parseWherePred(t, p)
+          catch { case _: IllegalArgumentException | _: MatchError => unbound = true }
       }
-      // filters beyond the ctid range are an optimization on a live
-      // server; the connector re-applies them post-scan (the reference
-      // does the same — host always re-filters, SURVEY §2.2), so the
-      // fake may ignore them without affecting correctness. BUT: a
-      // pushed LIMIT on top of an *ignored* WHERE would cut rows the
-      // real server's WHERE would have kept — so the tail is honored
-      // only when the WHERE carries nothing beyond the ctid range
-      // (serving extra rows is always safe; Spark re-limits).
-      val hasExtraWhere = Option(whereOrNull)
-        .exists(w => CtidRangeRe.replaceAllIn(w, "").exists(_.isLetter))
       val projCols: Seq[(String, Boolean)] =
         if (proj.trim == "NULL") Nil
         else proj.split(",").map(_.trim).toSeq.map {
@@ -504,10 +508,64 @@ final class InMemoryPg(val name: String) extends PgTransport {
             c.contains("::"))
         }
       serveRows(t, projCols, pageRange,
-        if (hasExtraWhere) Nil else orderBy,
-        if (hasExtraWhere) None else limit)
+        if (unbound) Nil else orderBy,
+        if (unbound) None else limit,
+        preds.toSeq)
     case other =>
       throw new IllegalArgumentException(s"InMemoryPg: unsupported COPY OUT: $other")
+  }
+
+  /** split a WHERE clause into top-level AND conjuncts, stripping the
+    * parens PgSqlGen wraps each pushed predicate in; quote-aware so
+    * string literals containing " AND "/parens don't split. */
+  private def splitConjuncts(w: String): Seq[String] = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    // BETWEEN's own AND must stay inside its conjunct (ctid ranges are
+    // rendered as `ctid BETWEEN '(l,0)'::tid AND '(h,0)'::tid`)
+    var betweenAnd = false
+    var i = 0
+    while (i < w.length) {
+      val c = w(i)
+      if (inQuote) {
+        cur += c
+        if (c == '\'') inQuote = false // '' escape re-enters on next quote
+        i += 1
+      } else if (c == '\'') { inQuote = true; cur += c; i += 1 }
+      else if (c == '(') { depth += 1; cur += c; i += 1 }
+      else if (c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (depth == 0 && w.regionMatches(i, " BETWEEN ", 0, 9)) {
+        betweenAnd = true; cur ++= " BETWEEN "; i += 9
+      } else if (depth == 0 && w.regionMatches(i, " AND ", 0, 5)) {
+        if (betweenAnd) { betweenAnd = false; cur ++= " AND "; i += 5 }
+        else { parts += cur.toString; cur.clear(); i += 5 }
+      } else { cur += c; i += 1 }
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).flatMap { p =>
+      if (p.startsWith("(") && p.endsWith(")") && outerParensMatch(p)) {
+        val inner = p.substring(1, p.length - 1).trim
+        if (inner.nonEmpty) splitConjuncts(inner) else Nil
+      } else Seq(p)
+    }
+  }
+
+  /** true when the first '(' pairs with the final ')' */
+  private def outerParensMatch(p: String): Boolean = {
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < p.length - 1) {
+      val c = p(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else if (c == '\'') inQuote = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return false }
+      i += 1
+    }
+    true
   }
 
   private def serveRows(
@@ -515,7 +573,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
       projCols: Seq[(String, Boolean)],
       pageRange: Option[(Long, Long)],
       orderBy: Seq[OrderKey] = Nil,
-      limit: Option[Int] = None): InputStream = {
+      limit: Option[Int] = None,
+      preds: Seq[InternalRow => Boolean] = Nil): InputStream = {
     // a ::VARCHAR cast on a non-text column means the server renders
     // the value as its text literal (the CAST_TO_VARCHAR trick for
     // unknown types / pg_array_as_varchar)
@@ -547,7 +606,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
     // excluded — matching PG BETWEEN semantics on tids
     val inRange: Seq[(Int, InternalRow)] = t.slots.indices.flatMap { slot =>
       val page = slot / RowsPerPage
-      if (page >= loPage && page < hiPage) t.slots(slot).map(slot -> _) else None
+      if (page >= loPage && page < hiPage)
+        t.slots(slot).filter(r => preds.forall(_(r))).map(slot -> _)
+      else None
     }
     // pushed (partial) top-N: honor the generated ORDER BY ... LIMIT
     // exactly like a live server — sort the base rows by the key

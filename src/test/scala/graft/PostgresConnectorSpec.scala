@@ -873,4 +873,34 @@ class PostgresConnectorSpec extends AnyFunSuite {
         s"predicate for <$v> was not pushed")
     }
   }
+
+  test("mem endpoint applies bound WHERE server-side; unbound conjunct drops the tail") {
+    pg
+    def servedRows(sql: String): Int = {
+      val in = new java.io.DataInputStream(pg.copyOut(sql))
+      val r = new graft.codec.PgBinaryReader(Seq(PgInt8))
+      r.readHeader(in)
+      var n = 0
+      while (r.readRow(in).isDefined) n += 1
+      n
+    }
+    // a bound comparison actually filters what the server serves — the
+    // streaming source's key-range scans depend on this
+    assert(servedRows(
+      """COPY (SELECT "id" FROM "public"."people" WHERE ("id" >= 290)) TO STDOUT (FORMAT binary)""") == 10)
+    // bound WHERE composes with ctid range, BETWEEN's AND intact
+    assert(servedRows(
+      """COPY (SELECT "id" FROM "public"."people" WHERE ctid BETWEEN '(0,0)'::tid AND '(2,0)'::tid AND ("id" >= 100)) TO STDOUT (FORMAT binary)""") == 28)
+    // bound WHERE + pushed top-N: filter first, then the tail
+    assert(servedRows(
+      """COPY (SELECT "id" FROM "public"."people" WHERE ("id" < 100) ORDER BY "id" DESC NULLS LAST LIMIT 5) TO STDOUT (FORMAT binary)""") == 5)
+    // an unbindable conjunct (LIKE) is served un-filtered and MUST
+    // disable the tail — cutting rows the real WHERE would keep is the
+    // one unsafe combination
+    assert(servedRows(
+      """COPY (SELECT "id" FROM "public"."people" WHERE ("name" LIKE 'name\_1%') ORDER BY "id" ASC NULLS FIRST LIMIT 5) TO STDOUT (FORMAT binary)""") == 300)
+    // quoted string containing ' AND ' does not split the conjunct
+    assert(servedRows(
+      """COPY (SELECT "id" FROM "public"."people" WHERE ("name" = 'x AND (y')) TO STDOUT (FORMAT binary)""") == 0)
+  }
 }
