@@ -389,6 +389,64 @@ object ConnectorOps {
       |WHERE n_regionkey = 1
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // st03: Structured Streaming THROUGH the connector — readStream over
+  // the postgres source keyed on a monotonic id (micro-batch = new key
+  // interval, split into parallel key sub-ranges on backfill), stateful
+  // aggregation, memory sink. Oracle = the same aggregate in batch SQL
+  // over the original parquet: the stream's exactly-once offsets and
+  // the COPY scan path must reproduce it bit-for-bit.
+  // ---------------------------------------------------------------- //
+  private def ensureEventsSeeded(s: SparkSession, dir: String): String = synchronized {
+    val d = dsn(dir)
+    val pg = InMemoryPg.forName(dsnName(dir))
+    if (!pg.hasTable("public", "events_stream")) {
+      val df = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val colDefs = df.schema.fields.map { f =>
+        s"${PgSqlGen.quoteIdent(f.name)} ${PgType.typeString(PgType.fromSpark(f.dataType))}"
+      }.mkString(", ")
+      val t = PgTransportFactory.open(d)
+      try t.execute(s"""CREATE TABLE "public"."events_stream" ($colDefs)""")
+      finally t.close()
+      df.write.format("postgres")
+        .option("dsn", d).option("table", "events_stream")
+        .mode("append").save()
+    }
+    d
+  }
+
+  def st03_pg_stream(s: SparkSession, dir: String): DataFrame = {
+    val d = ensureEventsSeeded(s, dir)
+    val stream = s.readStream.format("postgres")
+      .option("dsn", d).option("table", "events_stream")
+      .option("streamKey", "event_id").option("streamTasks", "8")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("value_sum"))
+    val name = s"st03_out_${System.nanoTime()}"
+    val ckpt = s"/dev/shm/graft_ckpt_$name"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = try {
+      stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.processAllAvailable()
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    s.table(name).orderBy(col("event_type"))
+  }
+
+  val st03_sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -405,5 +463,6 @@ object ConnectorOps {
     "c12_pg_limit" -> ((c12_pg_limit _, Some(c12_sql))),
     "c13_pg_topn" -> ((c13_pg_topn _, Some(c13_sql))),
     "c14_pg_runtime_filter" -> ((c14_pg_runtime_filter _, Some(c14_sql))),
+    "st03_pg_stream" -> ((st03_pg_stream _, Some(st03_sql))),
   )
 }

@@ -97,6 +97,11 @@ final case class PostgresOptions(all: Map[String, String]) {
     * the reference; setting the option applies them globally here too */
   val connectionCache: Option[Boolean] = get("connectionCache").map(_.toBoolean)
   val debugShowQueries: Option[Boolean] = get("debugShowQueries").map(_.toBoolean)
+  /** streaming (readStream): monotonic append-key column driving
+    * micro-batch offsets, start position, and backfill parallelism */
+  val streamKey: Option[String] = get("streamKey")
+  val streamStart: String = get("streamStart").map(_.toLowerCase).getOrElse("earliest")
+  val streamTasks: Int = get("streamTasks").map(_.toInt).getOrElse(1)
   require(table.isDefined || query.isDefined,
     "postgres source requires option 'table' or 'query'")
 }
@@ -278,7 +283,7 @@ final class PostgresTable(
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   /** hidden `_ctid` row id (ref: SURVEY §1.1 row id) */
   override def metadataColumns(): Array[MetadataColumn] =
@@ -541,6 +546,14 @@ final class PostgresScan(
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** readStream: incremental key-range micro-batches (streamKey option).
+    * Statically-pushed filters travel into every micro-batch COPY;
+    * pushed aggregates/top-N never reach here (streaming aggregation is
+    * stateful Spark-side). */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new graft.streaming.PostgresMicroBatchStream(table, required, pushedSql)
 
   /** held open while partition readers adopt the exported snapshot */
   @volatile private var snapshotLease: Option[graft.meta.PgSnapshotLease] = None
