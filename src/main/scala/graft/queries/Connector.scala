@@ -447,6 +447,43 @@ object ConnectorOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // st04: streaming INGESTION through the connector — readStream over
+  // the events parquet, writeStream into a postgres table via the
+  // exactly-once epoch-committed sink, then read the landed table back
+  // through the connector. Oracle = the same projection over the
+  // original parquet: any loss/duplication in the epoch promote path
+  // or the write codec shows up as a row/hash mismatch.
+  // ---------------------------------------------------------------- //
+  def st04_pg_stream_sink(s: SparkSession, dir: String): DataFrame = {
+    val d = ensureSeeded(s, dir)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val sink = s"events_ingest_${System.nanoTime()}"
+    val t = PgTransportFactory.open(d)
+    try t.execute(s"""CREATE TABLE "public".${PgSqlGen.quoteIdent(sink)} """ +
+      """("event_id" BIGINT, "event_type" VARCHAR, "value" DOUBLE PRECISION)""")
+    finally t.close()
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val ckpt = s"/dev/shm/graft_ckpt_$sink"
+    val q = stream.writeStream.outputMode("append")
+      .format("postgres").option("dsn", d).option("table", sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    s.read.format("postgres")
+      .option("dsn", d).option("table", sink)
+      .option("pagesPerTask", PagesPerTask).load()
+      .orderBy(col("event_id"))
+  }
+
+  val st04_sql: String =
+    "SELECT event_id, event_type, value FROM events ORDER BY event_id"
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -464,5 +501,6 @@ object ConnectorOps {
     "c13_pg_topn" -> ((c13_pg_topn _, Some(c13_sql))),
     "c14_pg_runtime_filter" -> ((c14_pg_runtime_filter _, Some(c14_sql))),
     "st03_pg_stream" -> ((st03_pg_stream _, Some(st03_sql))),
+    "st04_pg_stream_sink" -> ((st04_pg_stream_sink _, Some(st04_sql))),
   )
 }

@@ -283,7 +283,8 @@ final class PostgresTable(
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   /** hidden `_ctid` row id (ref: SURVEY §1.1 row id) */
   override def metadataColumns(): Array[MetadataColumn] =
@@ -723,7 +724,142 @@ final class PostgresWriteBuilder(table: PostgresTable, writeSchema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new PostgresBatchWrite(table, writeSchema, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new PostgresStreamingWrite(table, writeSchema)
   }
+}
+
+/** Streaming sink (writeStream.format("postgres"), append mode):
+  * exactly-once epoch commits on top of the staged-write machinery.
+  *
+  * Each micro-batch's tasks COPY into per-task staging tables; the
+  * driver's epoch commit promotes them into the target AND records the
+  * epoch id in `__graft_stream_epochs` inside the SAME transaction.
+  * A replayed epoch (driver restart re-runs the last uncommitted batch)
+  * finds its id already recorded and drops its stagings without
+  * promoting — rows land exactly once even though Spark's streaming
+  * contract is only at-least-once per epoch. This is NEW functionality
+  * relative to the reference (no streaming surface, SURVEY.md §2.4);
+  * the single-transaction promote mirrors its one-transaction insert
+  * (ref: src/storage/postgres_transaction.cpp:34-50). */
+final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val opts = table.opts
+  private val tbl = opts.table.getOrElse(
+    throw new IllegalArgumentException("cannot stream into a query-backed relation"))
+  private def qname =
+    s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(tbl)}"
+  private def epochsQname =
+    s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent("__graft_stream_epochs")}"
+  private val jobId =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  private lazy val (colNames, pgTypes): (Seq[String], Seq[PgType]) = {
+    val byName = writeSchema.fields.forall(f => table.pgColumns.exists(_._1 == f.name))
+    if (byName)
+      (writeSchema.fields.toSeq.map(_.name),
+        writeSchema.fields.toSeq.map(f => table.pgColumns.find(_._1 == f.name).get._2))
+    else {
+      require(writeSchema.fields.length == table.pgColumns.length,
+        s"positional write arity ${writeSchema.fields.length} != table ${table.pgColumns.length}")
+      (table.pgColumns.map(_._1), table.pgColumns.map(_._2))
+    }
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val t = PgTransportFactory.open(opts.dsn)
+    try t.execute(s"CREATE TABLE IF NOT EXISTS $epochsQname " +
+      """("sink" VARCHAR, "epoch_id" BIGINT)""")
+    finally t.close()
+    new PostgresStreamingWriterFactory(opts.dsn, opts.schema, tbl,
+      writeSchema, colNames, pgTypes, opts.nullByteReplacement, opts.useBinaryCopy,
+      s"${tbl.take(24)}_stg_$jobId")
+  }
+
+  private def epochCommitted(t: PgTransport, epochId: Long): Boolean = {
+    val in = new java.io.DataInputStream(t.copyOut(
+      s"""COPY (SELECT "epoch_id" FROM $epochsQname WHERE """ +
+        s"""("sink" = ${PgSqlGen.quoteString(s"${opts.schema}.$tbl")}) AND """ +
+        s"""("epoch_id" = $epochId)) TO STDOUT (FORMAT binary)"""))
+    try {
+      val r = new graft.codec.PgBinaryReader(Seq(PgType.PgInt8))
+      r.readHeader(in)
+      r.readRow(in).isDefined
+    } finally in.close()
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stagings = messages.toSeq.collect { case m: PgStagedCommit => m.stagingTable }
+    val colList = colNames.map(PgSqlGen.quoteIdent).mkString(", ")
+    val t = PgTransportFactory.open(opts.dsn)
+    try {
+      def dropStagings(): Unit = stagings.foreach { st =>
+        t.execute(s"DROP TABLE IF EXISTS " +
+          s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(st)}")
+      }
+      if (epochCommitted(t, epochId)) dropStagings() // replayed epoch: no-op
+      else {
+        t.execute("BEGIN")
+        try {
+          stagings.foreach { st =>
+            val q = s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(st)}"
+            t.execute(s"INSERT INTO $qname ($colList) SELECT $colList FROM $q")
+            t.execute(s"DROP TABLE $q")
+          }
+          // record the epoch INSIDE the promote transaction: the marker
+          // and the rows become visible atomically, so a crash between
+          // them cannot double-apply or drop the epoch
+          val out = new java.io.DataOutputStream(t.copyIn(
+            s"""COPY $epochsQname ("sink", "epoch_id") FROM STDIN (FORMAT binary)"""))
+          val w = new graft.codec.PgBinaryWriter(Seq(PgType.PgVarchar, PgType.PgInt8))
+          w.writeHeader(out)
+          w.writeRow(out, new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"${opts.schema}.$tbl"),
+            epochId)))
+          w.writeTrailer(out)
+          out.close()
+          t.execute("COMMIT")
+        } catch { case e: Throwable => t.execute("ROLLBACK"); throw e }
+      }
+    } finally t.close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val stagings = messages.toSeq.collect { case m: PgStagedCommit => m.stagingTable }
+    if (stagings.nonEmpty) {
+      val t = PgTransportFactory.open(opts.dsn)
+      try stagings.foreach { st =>
+        try t.execute(s"DROP TABLE IF EXISTS " +
+          s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(st)}")
+        catch { case _: Exception => () }
+      } finally t.close()
+    }
+  }
+}
+
+final class PostgresStreamingWriterFactory(
+    dsn: String,
+    schema: String,
+    table: String,
+    writeSchema: StructType,
+    colNames: Seq[String],
+    pgTypes: Seq[PgType],
+    nullByteReplacement: Option[String],
+    useBinaryCopy: Boolean,
+    stagingPrefix: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new PostgresDataWriter(dsn, schema, table, writeSchema, colNames, pgTypes,
+      nullByteReplacement, useBinaryCopy,
+      // epoch id in the staging name: a replayed epoch's tasks never
+      // collide with the originals still being promoted
+      stagingTable = Some(s"${stagingPrefix}_${epochId}_${partitionId}_$taskId"))
 }
 
 /** A committed task's staging table, promoted at driver commit. */

@@ -106,6 +106,86 @@ class PostgresStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sink: pg-to-pg pipe lands rows exactly once across batches") {
+    val pg = freshTable("pipe_src", "streamspec")
+    addRows(pg, "pipe_src", 0 until 50)
+    val t = graft.meta.PgTransportFactory.open(dsn)
+    try t.execute("""CREATE TABLE IF NOT EXISTS "public"."pipe_dst" ("id" BIGINT, "v" VARCHAR)""")
+    finally t.close()
+
+    val stream = spark.readStream.format("postgres")
+      .option("dsn", dsn).option("table", "pipe_src")
+      .option("streamKey", "id").load()
+
+    val ckpt = s"/dev/shm/graft_stream_pipe_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("append")
+      .format("postgres")
+      .option("dsn", dsn).option("table", "pipe_dst")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      def dstCount: Long = spark.read.format("postgres")
+        .option("dsn", dsn).option("table", "pipe_dst").load().count()
+      assert(dstCount == 50)
+
+      addRows(pg, "pipe_src", 50 until 80)
+      q.processAllAvailable()
+      assert(dstCount == 80)
+      // exactly-once: all ids distinct in the sink
+      assert(spark.read.format("postgres")
+        .option("dsn", dsn).option("table", "pipe_dst").load()
+        .select("id").distinct().count() == 80)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  test("streaming sink: a replayed epoch commit is a no-op") {
+    import graft.sources.postgres._
+    val pg = freshTable("replay_dst", "streamspec")
+    val opts = PostgresOptions(Map("dsn" -> dsn, "table" -> "replay_dst"))
+    val table = PostgresTable.discover(opts)
+    val write = new PostgresWriteBuilder(table,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+      .build().toStreaming
+
+    def seedStaging(name: String, ids: Range): Unit = {
+      val t = graft.meta.PgTransportFactory.open(dsn)
+      try {
+        t.execute(s"""CREATE TABLE "public"."$name" ("id" BIGINT, "v" VARCHAR)""")
+        val mt = pg.getTable("public", name)
+        ids.foreach { i =>
+          mt.slots += Some(new GenericInternalRow(
+            Array[Any](i.toLong, UTF8String.fromString(s"r_$i"))))
+        }
+      } finally t.close()
+    }
+    // trigger epochs-table creation exactly as a live stream would
+    write.createStreamingWriterFactory(null)
+
+    seedStaging("replay_stg_a", 0 until 10)
+    write.commit(42L, Array(PgStagedCommit("replay_stg_a")))
+    def dstCount: Long = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "replay_dst").load().count()
+    assert(dstCount == 10)
+    assert(!pg.hasTable("public", "replay_stg_a")) // staging promoted+dropped
+
+    // replay of epoch 42 (driver restart re-runs the batch): dropped, not promoted
+    seedStaging("replay_stg_b", 10 until 20)
+    write.commit(42L, Array(PgStagedCommit("replay_stg_b")))
+    assert(dstCount == 10)
+    assert(!pg.hasTable("public", "replay_stg_b"))
+
+    // the next epoch promotes normally
+    seedStaging("replay_stg_c", 10 until 20)
+    write.commit(43L, Array(PgStagedCommit("replay_stg_c")))
+    assert(dstCount == 20)
+  }
+
   test("streamStart=latest skips existing rows; residual filters apply host-side") {
     val pg = freshTable("tail", "streamspec")
     addRows(pg, "tail", 0 until 50)
