@@ -1178,9 +1178,110 @@ object PipelineOps {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p17: PII scrubbing — regex redaction of emails and long digit
+  // runs, with per-doc redaction counts. The synthetic corpus carries
+  // no PII, so each engine first appends the SAME deterministic fake
+  // contact block (built from doc_id) and then must scrub exactly what
+  // it injected — the redaction machinery is what's under test, and
+  // every pattern is anchored to behave identically under Java regex
+  // and RE2. At scale this is a pure map: codegen'd regexp_replace /
+  // regexp_count over a narrow projection, no shuffle at all (the
+  // ORDER BY is presentation only).
+  // ---------------------------------------------------------------- //
+  def p17_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val digitsRe = "[0-9]{4,}"
+    val augmented = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com id "),
+      (col("doc_id") * 7919 + 1000000).cast("string"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), augmented.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
+        regexp_count(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          lit(digitsRe)).as("n_digit_runs"),
+        length(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          digitsRe, "<NUM>")).as("scrubbed_len"),
+        md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          digitsRe, "<NUM>")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p17_sql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{4,}')) AS INT) AS n_digit_runs,
+      |  CAST(length(regexp_replace(regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g')) AS INT) AS scrubbed_len,
+      |  md5(regexp_replace(regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{4,}', '<NUM>', 'g')) AS scrubbed_md5
+      |FROM (SELECT doc_id,
+      |        text || ' contact user' || doc_id || '@example.com id ' ||
+      |          CAST(doc_id * 7919 + 1000000 AS VARCHAR) AS aug
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p18: sequence packing — GPT-style concatenate-then-chunk of the
+  // token stream into fixed-size training windows (budget B=128),
+  // deterministic order (source, doc_id). Each doc reports its global
+  // token offset and the window span it lands in.
+  //
+  // The naive plan is one running-sum window PARTITION BY source —
+  // which at 100 TB serializes each source into a single task (a
+  // source is the whole Common Crawl). So the prefix sum is
+  // hierarchical, the textbook distributed scan, all in declarative
+  // Catalyst: (1) per (source, chunk-of-64-docs) token subtotals via a
+  // parallel partial agg; (2) running sum over the TINY chunk relation
+  // (one row per ~64 docs — the only sequential window, bounded);
+  // (3) join the chunk base offsets back (broadcast — the chunk
+  // relation is corpus/64 rows) and a running sum WITHIN each chunk
+  // partition, whose width is bounded by the chunk size. No partition
+  // ever holds more than 64 docs' worth of window state.
+  // ---------------------------------------------------------------- //
+  def p18_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    val B = 128
+    val base = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), size(tokens).cast("bigint").as("n_tokens"))
+      .withColumn("chunk", (col("doc_id") / 64).cast("bigint"))
+    // (1) parallel chunk subtotals
+    val chunkTotals = base.groupBy(col("source"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("chunk_tokens"))
+    // (2) sequential scan over the tiny chunk relation only
+    val wChunks = Window.partitionBy(col("source")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffsets = chunkTotals.withColumn("chunk_base",
+      coalesce(sum(col("chunk_tokens")).over(wChunks), lit(0L)))
+    // (3) bounded within-chunk running sum + broadcast offset join
+    val wInChunk = Window.partitionBy(col("source"), col("chunk"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(chunkOffsets.select(col("source"), col("chunk"), col("chunk_base"))),
+        Seq("source", "chunk"))
+      .withColumn("start_off",
+        col("chunk_base") + coalesce(sum(col("n_tokens")).over(wInChunk), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        (col("start_off") / B).cast("bigint").as("first_window"),
+        ((col("start_off") + col("n_tokens") - 1) / B).cast("bigint").as("last_window"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p18_sql: String =
+    """SELECT doc_id, source, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+      |  CAST(start_off // 128 AS BIGINT) AS first_window,
+      |  CAST((start_off + n_tokens - 1) // 128 AS BIGINT) AS last_window
+      |FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM (SELECT doc_id, source,
+      |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** name → (query fn, Some(oracle sql) | None = rows-only check) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q30_asof_join" -> ((q30_asof_join _, Some(q30_sql))),
+    "p17_pii_scrub" -> ((p17_pii_scrub _, Some(p17_sql))),
+    "p18_pack_sequences" -> ((p18_pack_sequences _, Some(p18_sql))),
     "p10_embedding_dedup" -> ((p10_embedding_dedup _, Some(p10_sql))),
     "p11_subtoken_count" -> ((p11_subtoken_count _, Some(p11_sql))),
     "p12_ngram_fingerprint" -> ((p12_ngram_fingerprint _, Some(p12_sql))),
