@@ -68,6 +68,16 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
     try f(t) finally t.close()
   }
 
+  /** READ_ONLY attach: all catalog DDL and `execute` error host-side
+    * (ref: attach_read_only.test; the per-table write guard rides the
+    * same option through loadTable's PostgresOptions). */
+  private def readOnly: Boolean =
+    extraOptions.exists { case (k, v) => k.equalsIgnoreCase("readOnly") && v.toBoolean }
+
+  private def assertWritable(what: String): Unit =
+    if (readOnly) throw new UnsupportedOperationException(
+      s"cannot $what: catalog $catalogName is attached in read-only mode (readOnly=true)")
+
   // ---------------- namespaces ---------------- //
 
   override def listNamespaces(): Array[Array[String]] =
@@ -87,13 +97,16 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(
       namespace: Array[String],
-      metadata: java.util.Map[String, String]): Unit =
+      metadata: java.util.Map[String, String]): Unit = {
+    assertWritable("CREATE SCHEMA")
     withTransport(_.execute(s"CREATE SCHEMA ${PgSqlGen.quoteIdent(namespace.head)}"))
+  }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("ALTER SCHEMA is not forwarded")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    assertWritable("DROP SCHEMA")
     val suffix = if (cascade) " CASCADE" else ""
     withTransport(_.execute(s"DROP SCHEMA ${PgSqlGen.quoteIdent(namespace.head)}$suffix"))
     true
@@ -138,6 +151,7 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
+    assertWritable("CREATE TABLE")
     require(partitions.isEmpty, "postgres tables have no Spark partitioning")
     val cols = schema.fields.map { f =>
       val pg = PgType.typeString(PgType.fromSpark(f.dataType))
@@ -151,6 +165,7 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    assertWritable("ALTER TABLE")
     val ns = nsOf(ident)
     val qname = s"${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())}"
     changes.foreach {
@@ -173,6 +188,7 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    assertWritable("DROP TABLE")
     val ns = nsOf(ident)
     val existed = tableExists(ident)
     if (existed) {
@@ -186,6 +202,7 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
   /** forwarded as ALTER TABLE ... RENAME
     * (ref: src/storage/postgres_table_set.cpp:321-413). */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    assertWritable("RENAME TABLE")
     require(nsOf(oldIdent) == nsOf(newIdent),
       "postgres cannot move tables across schemas in RENAME")
     val ns = nsOf(oldIdent)
@@ -204,6 +221,7 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
     * ref: src/storage/postgres_insert.cpp:213-239; rename is the
     * distributed-writer equivalent). */
   private def stage(ident: Identifier, schema: StructType, replace: Boolean): StagedTable = {
+    assertWritable("CREATE TABLE AS")
     val ns = nsOf(ident)
     val stagingName = ident.name().take(24) + "__stg_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -243,7 +261,10 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
 
   /** arbitrary SQL passthrough — the `postgres_execute` analogue
     * (ref: src/postgres_execute.cpp:12-57). */
-  def execute(sql: String): Unit = withTransport(_.execute(sql))
+  def execute(sql: String): Unit = {
+    assertWritable("postgres_execute")
+    withTransport(_.execute(sql))
+  }
 
   /** ref: src/storage/postgres_catalog.cpp:91-102 */
   def databaseSize: Long =

@@ -97,6 +97,10 @@ final case class PostgresOptions(all: Map[String, String]) {
     * the reference; setting the option applies them globally here too */
   val connectionCache: Option[Boolean] = get("connectionCache").map(_.toBoolean)
   val debugShowQueries: Option[Boolean] = get("debugShowQueries").map(_.toBoolean)
+  /** READ_ONLY attach (ref: attach_read_only.test): every mutating
+    * surface — writes, DDL, indexes, row-level ops — errors host-side
+    * before any SQL is sent */
+  val readOnly: Boolean = get("readOnly").exists(_.toBoolean)
   /** streaming (readStream): monotonic append-key column driving
     * micro-batch offsets, start position, and backfill parallelism */
   val streamKey: Option[String] = get("streamKey")
@@ -207,6 +211,11 @@ final class PostgresTable(
   import org.apache.spark.sql.connector.catalog.index.TableIndex
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
+  /** READ_ONLY attach guard (ref: attach_read_only.test) */
+  private def assertWritable(what: String): Unit =
+    if (opts.readOnly) throw new UnsupportedOperationException(
+      s"cannot $what: ${name()} is attached in read-only mode (readOnly=true)")
+
   /** SQL DELETE fast path: when every predicate compiles to remote SQL,
     * forward one `DELETE ... WHERE` statement instead of scanning
     * (Spark falls back to the row-level rewrite otherwise). */
@@ -214,6 +223,7 @@ final class PostgresTable(
     filters.forall(f => PgSqlGen.compileFilter(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    assertWritable("DELETE")
     val preds = filters.toSeq.flatMap(PgSqlGen.compileFilter)
     val where = if (preds.isEmpty) "TRUE" else preds.mkString("(", ") AND (", ")")
     val t = PgTransportFactory.open(opts.dsn)
@@ -224,8 +234,10 @@ final class PostgresTable(
   /** Arbitrary-predicate DELETE / UPDATE / MERGE via the delta-based
     * row-level rewrite keyed on `_ctid` (SURVEY §7.1 module 8). */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    assertWritable(info.command().toString)
     () => new PostgresRowLevelOperation(this, info.command())
+  }
 
   private def qname: String =
     s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(opts.table.get)}"
@@ -238,6 +250,7 @@ final class PostgresTable(
       columns: Array[NamedReference],
       columnsProperties: java.util.Map[NamedReference, java.util.Map[String, String]],
       properties: java.util.Map[String, String]): Unit = {
+    assertWritable("CREATE INDEX")
     if (indexExists(indexName))
       throw new org.apache.spark.sql.catalyst.analysis.IndexAlreadyExistsException(
         indexName, s"${opts.schema}.${opts.table.get}", None)
@@ -251,6 +264,7 @@ final class PostgresTable(
   }
 
   override def dropIndex(indexName: String): Unit = {
+    assertWritable("DROP INDEX")
     if (!indexExists(indexName))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchIndexException(
         indexName, s"${opts.schema}.${opts.table.get}", None)
@@ -298,8 +312,10 @@ final class PostgresTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PostgresScanBuilder(this)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    assertWritable("write")
     new PostgresWriteBuilder(this, info.schema())
+  }
 }
 
 final class PostgresScanBuilder(table: PostgresTable)

@@ -874,6 +874,43 @@ class PostgresConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("readOnly attach: reads work, every mutating surface errors host-side") {
+    pg
+    import org.apache.spark.sql.functions.lit
+    // reads are unaffected
+    val df = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("readOnly", "true").load()
+    assert(df.count() == 300)
+    // direct writes refuse before any SQL is sent
+    val ex = intercept[Exception] {
+      df.limit(1).write.format("postgres")
+        .option("dsn", dsn).option("table", "people")
+        .option("readOnly", "true").mode("append").save()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("read-only"),
+      s"unexpected: $ex")
+    // read-only catalog: DDL and execute error, reads still flow
+    spark.conf.set("spark.sql.catalog.pgro", "graft.catalog.PostgresCatalog")
+    spark.conf.set("spark.sql.catalog.pgro.dsn", dsn)
+    spark.conf.set("spark.sql.catalog.pgro.readOnly", "true")
+    assert(spark.sql("SELECT count(*) AS n FROM pgro.public.people")
+      .collect().head.getLong(0) == 300)
+    val ddlEx = intercept[Exception] {
+      spark.sql("CREATE TABLE pgro.public.ro_probe (i INT)").collect()
+    }
+    assert(ddlEx.getMessage.contains("read-only") ||
+      (ddlEx.getCause != null && ddlEx.getCause.getMessage.contains("read-only")),
+      s"unexpected: $ddlEx")
+    val cat = spark.sessionState.catalogManager.catalog("pgro")
+      .asInstanceOf[graft.catalog.PostgresCatalog]
+    val exEx = intercept[UnsupportedOperationException] {
+      cat.execute("CREATE TABLE public.ro_probe2 (i INT)")
+    }
+    assert(exEx.getMessage.contains("read-only"))
+    assert(!pg.hasTable("public", "ro_probe") && !pg.hasTable("public", "ro_probe2"))
+  }
+
   test("mem endpoint applies bound WHERE server-side; unbound conjunct drops the tail") {
     pg
     def servedRows(sql: String): Int = {
