@@ -1028,12 +1028,21 @@ final class InMemoryPg(val name: String) extends PgTransport {
     * pushed-DELETE evaluator */
   private def parseWherePred(t: MemTable, p: String): InternalRow => Boolean = {
     val NullRe = """"?([\w]+)"?\s+IS\s+(NOT\s+)?NULL""".r
+    val InRe = """(?s)"?([\w]+)"?\s+IN\s+\((.+)\)""".r
     p match {
       case NullRe(col, notOrNull) =>
         val i = t.colIndex(unq(col))
         require(i >= 0, s"DELETE column $col not found")
         val wantNull = notOrNull == null
         r => r.isNullAt(i) == wantNull
+      case InRe(col, list) =>
+        val i = t.colIndex(unq(col))
+        require(i >= 0, s"column $col not found")
+        val vals = splitTop(list).map(v => litValue(v.trim))
+        r => !r.isNullAt(i) && {
+          val v = r.get(i, PgType.toSpark(t.colTypes(i)))
+          vals.exists(l => cmpAny(v, l) == 0)
+        }
       case PredRe(col, op, lit) =>
         val i = t.colIndex(unq(col))
         require(i >= 0, s"DELETE column $col not found")

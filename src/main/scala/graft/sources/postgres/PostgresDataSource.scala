@@ -106,6 +106,8 @@ final case class PostgresOptions(all: Map[String, String]) {
   val streamKey: Option[String] = get("streamKey")
   val streamStart: String = get("streamStart").map(_.toLowerCase).getOrElse("earliest")
   val streamTasks: Int = get("streamTasks").map(_.toInt).getOrElse(1)
+  /** admission control: max key-interval width per micro-batch */
+  val streamMaxKeysPerBatch: Option[Long] = get("streamMaxKeysPerBatch").map(_.toLong)
   require(table.isDefined || query.isDefined,
     "postgres source requires option 'table' or 'query'")
 }

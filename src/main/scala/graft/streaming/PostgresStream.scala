@@ -3,7 +3,8 @@ package graft.streaming
 import java.io.DataInputStream
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{
+  MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 import graft.meta.PgTransportFactory
@@ -57,7 +58,7 @@ final class PostgresMicroBatchStream(
     table: PostgresTable,
     required: StructType,
     pushedSql: Seq[String])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val opts = table.opts
 
@@ -106,12 +107,35 @@ final class PostgresMicroBatchStream(
       s"streamStart must be 'earliest' or 'latest', got '$other'")
   }
 
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  /** Admission control: `streamMaxKeysPerBatch` caps how far a single
+    * micro-batch's key interval may advance — during catch-up (a long
+    * stop, or an `earliest` start against a big table) this turns one
+    * giant recovery batch into bounded, checkpointable steps. Spark's
+    * own ReadLimit rows semantics don't map onto a key interval, so the
+    * cap is a source option; reportLatestOffset still surfaces the true
+    * tail for lag metrics. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val max = fetchBound("max")
-    // never move backwards: a racing TRUNCATE/DELETE shrinking max(key)
-    // must not replan already-committed intervals
-    PgKeyOffset(max)
+    val lo = start.asInstanceOf[PgKeyOffset].key
+    val capped = (opts.streamMaxKeysPerBatch, max) match {
+      case (Some(cap), Some(m)) =>
+        val base = lo.orElse(fetchBound("min").map(_ - 1))
+        base match {
+          case Some(b) if b + cap < m => Some(b + cap)
+          case _ => Some(m)
+        }
+      case (_, m) => m
+    }
+    PgKeyOffset(capped)
   }
+
+  override def reportLatestOffset(): Offset = PgKeyOffset(fetchBound("max"))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset = PgKeyOffset.fromJson(json)
 

@@ -939,5 +939,10 @@ class PostgresConnectorSpec extends AnyFunSuite {
     // quoted string containing ' AND ' does not split the conjunct
     assert(servedRows(
       """COPY (SELECT "id" FROM "public"."people" WHERE ("name" = 'x AND (y')) TO STDOUT (FORMAT binary)""") == 0)
+    // IN lists bind and filter (the runtime-join-filter shape)
+    assert(servedRows(
+      """COPY (SELECT "id" FROM "public"."people" WHERE ("id" IN (3, 7, 500))) TO STDOUT (FORMAT binary)""") == 2)
+    assert(servedRows(
+      """COPY (SELECT "id" FROM "public"."people" WHERE ("name" IN ('name_1', 'no_such'))) TO STDOUT (FORMAT binary)""") == 1)
   }
 }

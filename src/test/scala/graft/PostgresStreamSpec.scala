@@ -106,6 +106,35 @@ class PostgresStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streamMaxKeysPerBatch bounds catch-up into multiple micro-batches") {
+    val pg = freshTable("catchup", "streamspec")
+    addRows(pg, "catchup", 0 until 100)
+    pg.copyOutStatements.clear()
+
+    val stream = spark.readStream.format("postgres")
+      .option("dsn", dsn).option("table", "catchup")
+      .option("streamKey", "id").option("streamMaxKeysPerBatch", "30").load()
+
+    val name = s"catchup_sink_${System.nanoTime()}"
+    val ckpt = s"/dev/shm/graft_stream_$name"
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 100)
+      assert(spark.table(name).select("id").distinct().count() == 100)
+      // catch-up ran as bounded steps: 30+30+30+10, four interval scans
+      val scans = pg.copyOutStatements.filter(s =>
+        s.contains("\"catchup\"") && !s.contains("max(") && !s.contains("min("))
+      assert(scans.length == 4, s"expected 4 bounded catch-up scans: $scans")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("streaming sink: pg-to-pg pipe lands rows exactly once across batches") {
     val pg = freshTable("pipe_src", "streamspec")
     addRows(pg, "pipe_src", 0 until 50)
