@@ -575,6 +575,13 @@ final class InMemoryPg(val name: String) extends PgTransport {
       orderBy: Seq[OrderKey] = Nil,
       limit: Option[Int] = None,
       preds: Seq[InternalRow => Boolean] = Nil): InputStream = {
+    // a live server rejects unknown columns up front — keep the message
+    // shape ("does not exist") so connector-side staleness detection
+    // sees what PG would say
+    projCols.foreach { case (c, _) =>
+      require(c == "ctid" || t.colIndex(c) >= 0,
+        s"""column "$c" does not exist in ${t.schema}.${t.table}""")
+    }
     // a ::VARCHAR cast on a non-text column means the server renders
     // the value as its text literal (the CAST_TO_VARCHAR trick for
     // unknown types / pg_array_as_varchar)

@@ -698,7 +698,25 @@ final class PostgresPartitionReader(
   }
   private val reader = new graft.codec.PgBinaryReader(
     cols.map(_.pgType), required.fields.map(_.dataType).toSeq)
-  private val in = new DataInputStream(transport.copyOut(sql))
+  // Stale-schema detection (the Spark shape of the reference's
+  // rebind-on-COLUMN_NOT_FOUND planning hook, ref:
+  // src/postgres_extension.cpp:25-46): Spark cannot re-plan a running
+  // task, so a scan built from a cached schema that no longer matches
+  // the server fails with an actionable pointer at the cache hook
+  // instead of a bare server error.
+  private val in = new DataInputStream(
+    try transport.copyOut(sql)
+    catch {
+      case e: Exception if e.getMessage != null &&
+          (e.getMessage.contains("does not exist") ||
+            e.getMessage.toLowerCase.contains("column")) =>
+        transport.close()
+        throw new IllegalStateException(
+          s"${e.getMessage} — the remote schema may have changed since this " +
+            "table was discovered; invalidate the cached binding " +
+            "(PostgresCatalog.invalidateTable/invalidateAll, the " +
+            "pg_clear_cache analogue) and re-run", e)
+    })
   reader.readHeader(in)
 
   private var current: InternalRow = _

@@ -874,6 +874,24 @@ class PostgresConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("stale cached schema fails with a cache-invalidation pointer") {
+    pg
+    val t = graft.meta.PgTransportFactory.open(dsn)
+    try {
+      t.execute("""CREATE TABLE "public"."stale_t" ("a" BIGINT, "b" VARCHAR)""")
+      val df = spark.read.format("postgres")
+        .option("dsn", dsn).option("table", "stale_t").load() // discovery binds (a, b)
+      t.execute("""ALTER TABLE "public"."stale_t" DROP COLUMN "b"""")
+      val ex = intercept[Exception] { df.select("b").collect() }
+      def messages(e: Throwable): Seq[String] =
+        Option(e).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      assert(messages(ex).exists(m => m != null && m.contains("invalidate")),
+        s"expected stale-schema hint, got: $ex")
+    } finally {
+      try t.execute("""DROP TABLE "public"."stale_t"""") finally t.close()
+    }
+  }
+
   test("readOnly attach: reads work, every mutating surface errors host-side") {
     pg
     import org.apache.spark.sql.functions.lit
