@@ -46,6 +46,33 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming source + sink run over the tcp: wire transport") {
+    seed()
+    val t = PgTransportFactory.open(tcpDsn)
+    try t.execute(
+      """CREATE TABLE IF NOT EXISTS "public"."wt_sink" ("k" INTEGER, "v" VARCHAR, "amt" DECIMAL(10,2))""")
+    finally t.close()
+    val stream = spark.readStream.format("postgres")
+      .option("dsn", tcpDsn).option("table", "wt")
+      .option("streamKey", "k").load()
+    val ckpt = s"/dev/shm/graft_wire_stream_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("append")
+      .format("postgres")
+      .option("dsn", tcpDsn).option("table", "wt_sink")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      val landed = spark.read.format("postgres")
+        .option("dsn", tcpDsn).option("table", "wt_sink").load()
+      assert(landed.count() == 500)
+      assert(landed.select("k").distinct().count() == 500)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("scan through tcp: matches the in-process mem: scan") {
     seed()
     def readVia(dsn: String) = spark.read.format("postgres")

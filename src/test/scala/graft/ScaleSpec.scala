@@ -80,6 +80,23 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(spread >= 6, s"hot key only spread over $spread salts")
   }
 
+  test("p18 packing keeps the hierarchical shape: offsets broadcast, no per-source window on the wide side") {
+    val df = graft.queries.PipelineOps.entries("p18_pack_sequences")
+      ._1(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // chunk base offsets must come back as a broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"chunk offsets should broadcast-join back:\n$plan")
+    // the wide side's windows must be partitioned by (source, chunk) —
+    // a window keyed on source alone would serialize each source into
+    // one task at scale. Window spec lines name their partition keys.
+    val wideWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition(") && l.contains("doc_id"))
+      .toSeq
+    assert(wideWindows.nonEmpty && wideWindows.forall(_.contains("chunk")),
+      s"per-doc window must include the chunk key:\n${wideWindows.mkString("\n")}")
+  }
+
   test("battery scans keep parquet filter pushdown and column pruning") {
     val df = graft.queries.Relational.q02_filter_pushdown(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.explainString(
