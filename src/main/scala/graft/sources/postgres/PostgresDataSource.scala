@@ -793,6 +793,9 @@ final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType
   private val jobId =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
+  /** epoch markers kept behind the tail before being trimmed */
+  private val EpochRetention = 100L
+
   private lazy val (colNames, pgTypes): (Seq[String], Seq[PgType]) = {
     val byName = writeSchema.fields.forall(f => table.pgColumns.exists(_._1 == f.name))
     if (byName)
@@ -858,6 +861,14 @@ final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType
             epochId)))
           w.writeTrailer(out)
           out.close()
+          // retention: Spark replays at most the last uncommitted epoch,
+          // so markers far behind the tail only cost table bloat — trim
+          // them in the same transaction (a replay of a trimmed epoch
+          // would re-promote, but those epochs are long committed in the
+          // checkpoint log and are never replayed)
+          t.execute(s"DELETE FROM $epochsQname WHERE " +
+            s"""("sink" = ${PgSqlGen.quoteString(s"${opts.schema}.$tbl")}) AND """ +
+            s"""("epoch_id" <= ${epochId - EpochRetention})""")
           t.execute("COMMIT")
         } catch { case e: Throwable => t.execute("ROLLBACK"); throw e }
       }

@@ -213,6 +213,15 @@ class PostgresStreamSpec extends AnyFunSuite {
     seedStaging("replay_stg_c", 10 until 20)
     write.commit(43L, Array(PgStagedCommit("replay_stg_c")))
     assert(dstCount == 20)
+
+    // retention trims markers far behind the tail in the same commit
+    seedStaging("replay_stg_d", 20 until 21)
+    write.commit(200L, Array(PgStagedCommit("replay_stg_d")))
+    val epochs = pg.getTable("public", "__graft_stream_epochs").slots.flatten
+      .filter(_.getUTF8String(0).toString == "public.replay_dst")
+      .map(_.getLong(1)).toSeq
+    assert(epochs.contains(200L) && !epochs.contains(42L) && !epochs.contains(43L),
+      s"epochs 42/43 should be trimmed at epoch 200 with retention 100: $epochs")
   }
 
   test("streamStart=latest skips existing rows; residual filters apply host-side") {
