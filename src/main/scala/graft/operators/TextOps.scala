@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable training-data text operators, parameterized over any input
+  * DataFrame — the library surface behind the corpus-bound battery
+  * entries (p16/p17/p18 delegate here). Everything is codegen'd
+  * built-ins; shapes are chosen for 100 TB (see each method).
+  */
+object TextOps {
+
+  /** One redaction rule: matches of `pattern` become `replacement`;
+    * the count of matches at application time lands in `n_<name>`. */
+  final case class ScrubRule(name: String, pattern: String, replacement: String)
+
+  /** Common rules, portable between Java regex and RE2. */
+  val EmailRule: ScrubRule =
+    ScrubRule("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+  val LongDigitRule: ScrubRule =
+    ScrubRule("digit_runs", "[0-9]{4,}", "<NUM>")
+
+  /** PII scrubbing: apply `rules` in order to `textCol`, producing the
+    * scrubbed text in `outCol` plus one `n_<rule>` count column per
+    * rule (counted against the text as it stands when the rule runs).
+    * Pure map over a narrow projection — no shuffle at any scale. */
+  def piiScrub(df: DataFrame, textCol: String, outCol: String,
+      rules: Seq[ScrubRule] = Seq(EmailRule, LongDigitRule)): DataFrame =
+    rules.foldLeft(df.withColumn(outCol, col(textCol))) { (d, r) =>
+      d.withColumn(s"n_${r.name}", regexp_count(col(outCol), lit(r.pattern)))
+        .withColumn(outCol, regexp_replace(col(outCol), r.pattern, r.replacement))
+    }
+
+  /** Sequence packing: GPT-style concatenate-then-chunk of the token
+    * stream into fixed `budget`-token training windows, deterministic
+    * order (`groupCol`, `idCol`). Adds `start_off` (global token offset
+    * within the group) and `first_window`/`last_window`.
+    *
+    * The prefix sum is hierarchical — the textbook distributed scan in
+    * declarative Catalyst: (1) parallel per-(group, chunk-of-`chunkDocs`
+    * -ids) subtotals; (2) a running sum over the tiny chunk relation
+    * (the only sequential window, one row per ~`chunkDocs` docs);
+    * (3) chunk base offsets broadcast back + a running sum bounded by
+    * the chunk width. A naive `PARTITION BY group` running sum would
+    * serialize each group into a single task — a group is the whole
+    * Common Crawl at 100 TB. */
+  def packSequences(df: DataFrame, idCol: String, groupCol: String,
+      nTokensCol: String, budget: Int, chunkDocs: Int = 64): DataFrame = {
+    val base = df.withColumn("chunk", (col(idCol) / chunkDocs).cast("bigint"))
+    val chunkTotals = base.groupBy(col(groupCol), col("chunk"))
+      .agg(sum(col(nTokensCol)).as("chunk_tokens"))
+    val wChunks = Window.partitionBy(col(groupCol)).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffsets = chunkTotals.withColumn("chunk_base",
+      coalesce(sum(col("chunk_tokens")).over(wChunks), lit(0L)))
+    val wInChunk = Window.partitionBy(col(groupCol), col("chunk"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(chunkOffsets.select(col(groupCol), col("chunk"), col("chunk_base"))),
+        Seq(groupCol, "chunk"))
+      .withColumn("start_off",
+        col("chunk_base") + coalesce(sum(col(nTokensCol)).over(wInChunk), lit(0L)))
+      .withColumn("first_window", (col("start_off") / budget).cast("bigint"))
+      .withColumn("last_window",
+        ((col("start_off") + col(nTokensCol) - 1) / budget).cast("bigint"))
+      .drop("chunk", "chunk_base")
+  }
+
+  /** Eval-set decontamination: flag documents sharing `shingleSize`-token
+    * shingles with the held-out set selected by `isEval`. Returns one
+    * row per contaminated non-eval doc: (idCol, n_shingles,
+    * n_contaminated, contamination_frac).
+    *
+    * The eval shingle set is tiny relative to the corpus, so the probe
+    * is a broadcast join: the training side streams map-only and never
+    * shuffles. (A bloom filter of eval shingles trades exactness for
+    * size; the exact broadcast set is right while eval shingles fit in
+    * memory, which benchmark suites do by orders of magnitude.) */
+  def decontaminate(docs: DataFrame, idCol: String, tokensCol: String,
+      isEval: Column, shingleSize: Int = 5): DataFrame = {
+    val sh = docs
+      .filter(size(col(tokensCol)) >= shingleSize)
+      .select(col(idCol), isEval.as("is_eval"), explode(array_distinct(
+        transform(sequence(lit(0), size(col(tokensCol)) - shingleSize),
+          i => concat_ws(" ",
+            (0 until shingleSize).map(o => col(tokensCol)(i + o)): _*)))).as("sh"))
+    val evalSh = sh.filter(col("is_eval"))
+      .select(col("sh")).distinct().withColumn("hit", lit(1))
+    sh.filter(!col("is_eval"))
+      .join(broadcast(evalSh), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("contamination_frac",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+}

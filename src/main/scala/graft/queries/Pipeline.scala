@@ -990,26 +990,11 @@ object PipelineOps {
   // exact broadcast set is right while eval shingles fit in memory,
   // which benchmark suites do by orders of magnitude).
   // ---------------------------------------------------------------- //
-  def p16_decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"), tokens.as("tok"))
-      .filter(size(col("tok")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("tok")) - 5),
-          i => concat_ws(" ", col("tok")(i), col("tok")(i + 1), col("tok")(i + 2),
-            col("tok")(i + 3), col("tok")(i + 4))))).as("sh"))
-    val evalSh = sh.filter(col("doc_id") % 97 === 0)
-      .select(col("sh")).distinct().withColumn("hit", lit(1))
-    val trainSh = sh.filter(col("doc_id") % 97 =!= 0)
-    trainSh.join(broadcast(evalSh), Seq("sh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
-      .filter(col("n_contaminated") > 0)
-      .withColumn("contamination_frac",
-        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  def p16_decontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.decontaminate(
+      t(s, dir, "documents").select(col("doc_id"), tokens.as("tok")),
+      "doc_id", "tok", isEval = col("doc_id") % 97 === 0, shingleSize = 5)
       .orderBy(col("doc_id"))
-  }
 
   val p16_sql: String =
     """WITH sh AS (
@@ -1190,21 +1175,15 @@ object PipelineOps {
   // ORDER BY is presentation only).
   // ---------------------------------------------------------------- //
   def p17_pii_scrub(s: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val digitsRe = "[0-9]{4,}"
     val augmented = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"), lit("@example.com id "),
       (col("doc_id") * 7919 + 1000000).cast("string"))
-    t(s, dir, "documents")
-      .select(col("doc_id"), augmented.as("aug"))
-      .select(col("doc_id"),
-        regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
-        regexp_count(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
-          lit(digitsRe)).as("n_digit_runs"),
-        length(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
-          digitsRe, "<NUM>")).as("scrubbed_len"),
-        md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
-          digitsRe, "<NUM>")).as("scrubbed_md5"))
+    graft.operators.TextOps.piiScrub(
+        t(s, dir, "documents").select(col("doc_id"), augmented.as("aug")),
+        "aug", "scrubbed")
+      .select(col("doc_id"), col("n_emails"), col("n_digit_runs"),
+        length(col("scrubbed")).as("scrubbed_len"),
+        md5(col("scrubbed")).as("scrubbed_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -1238,31 +1217,14 @@ object PipelineOps {
   // partition, whose width is bounded by the chunk size. No partition
   // ever holds more than 64 docs' worth of window state.
   // ---------------------------------------------------------------- //
-  def p18_pack_sequences(s: SparkSession, dir: String): DataFrame = {
-    val B = 128
-    val base = t(s, dir, "documents")
-      .select(col("source"), col("doc_id"), size(tokens).cast("bigint").as("n_tokens"))
-      .withColumn("chunk", (col("doc_id") / 64).cast("bigint"))
-    // (1) parallel chunk subtotals
-    val chunkTotals = base.groupBy(col("source"), col("chunk"))
-      .agg(sum(col("n_tokens")).as("chunk_tokens"))
-    // (2) sequential scan over the tiny chunk relation only
-    val wChunks = Window.partitionBy(col("source")).orderBy(col("chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunkOffsets = chunkTotals.withColumn("chunk_base",
-      coalesce(sum(col("chunk_tokens")).over(wChunks), lit(0L)))
-    // (3) bounded within-chunk running sum + broadcast offset join
-    val wInChunk = Window.partitionBy(col("source"), col("chunk"))
-      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(chunkOffsets.select(col("source"), col("chunk"), col("chunk_base"))),
-        Seq("source", "chunk"))
-      .withColumn("start_off",
-        col("chunk_base") + coalesce(sum(col("n_tokens")).over(wInChunk), lit(0L)))
+  def p18_pack_sequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.packSequences(
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), size(tokens).cast("bigint").as("n_tokens")),
+        "doc_id", "source", "n_tokens", budget = 128, chunkDocs = 64)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
-        (col("start_off") / B).cast("bigint").as("first_window"),
-        ((col("start_off") + col("n_tokens") - 1) / B).cast("bigint").as("last_window"))
+        col("first_window"), col("last_window"))
       .orderBy(col("doc_id"))
-  }
 
   val p18_sql: String =
     """SELECT doc_id, source, n_tokens, CAST(start_off AS BIGINT) AS start_off,

@@ -195,4 +195,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.length == 500)
     rows.foreach(r => assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"vec ${r.get(0)}"))
   }
+
+  test("TextOps.piiScrub counts and redacts in rule order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at a.b@x.io or c@y.org, card 1234567890"),
+      (2L, "no pii here 123")).toDF("id", "text")
+    val out = graft.operators.TextOps.piiScrub(df, "text", "clean")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 2)
+    assert(out(0).getAs[Int]("n_digit_runs") == 1)
+    assert(out(0).getAs[String]("clean") ==
+      "mail me at <EMAIL> or <EMAIL>, card <NUM>")
+    assert(out(1).getAs[Int]("n_emails") == 0)
+    assert(out(1).getAs[Int]("n_digit_runs") == 0) // "123" is under the 4-digit floor
+    assert(out(1).getAs[String]("clean") == "no pii here 123")
+  }
+
+  test("TextOps.packSequences matches a single sequential scan") {
+    import spark.implicits._
+    // irregular token counts force windows to split mid-doc
+    val docs = (0L until 200L).map(i => (i, s"g${i % 2}", 1L + (i * 7) % 40))
+      .toDF("id", "grp", "n_tok")
+    val packed = graft.operators.TextOps
+      .packSequences(docs, "id", "grp", "n_tok", budget = 64, chunkDocs = 16)
+      .select("id", "start_off", "first_window", "last_window")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // oracle: plain per-group running sum on the driver
+    val rows = (0L until 200L).map(i => (i, s"g${i % 2}", 1L + (i * 7) % 40))
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      var off = 0L
+      grp.sortBy(_._1).foreach { case (id, _, n) =>
+        assert(packed(id) == ((off, off / 64, (off + n - 1) / 64)),
+          s"doc $id: got ${packed(id)}, want off=$off n=$n")
+        off += n
+      }
+    }
+  }
+
+  test("TextOps.decontaminate flags exactly the docs sharing eval shingles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // eval
+      (2L, "a quick brown fox jumps over me today ok"),      // overlaps eval shingle
+      (3L, "completely different words in this sentence here friend"), // clean
+      (4L, "short doc")                                      // under shingle size
+    ).toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("tok"))
+    val out = graft.operators.TextOps
+      .decontaminate(docs, "id", "tok", isEval = col("id") === 1L, shingleSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(2L), s"only doc 2 overlaps: $out")
+    assert(out(2L) >= 1)
+  }
 }
