@@ -372,7 +372,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
   val copyOutStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
 
   override def copyOut(sql: String): InputStream = {
-    copyOutStatements += sql
+    copyOutStatements.synchronized { copyOutStatements += sql }
     val (base, orderBy, limit) = stripScanTail(sql)
     copyOut0(base, orderBy, limit)
   }
@@ -800,7 +800,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
   val copyInStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
 
   override def copyIn(sql: String): OutputStream = {
-    copyInStatements += sql
+    copyInStatements.synchronized { copyInStatements += sql }
     copyIn0(sql)
   }
 
@@ -1091,7 +1091,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val DropTypeRe: Regex = """DROP TYPE (?:IF EXISTS )?"?([\w]+)"?""".r
 
   override def execute(sql: String): Unit = {
-    executedStatements += sql
+    executedStatements.synchronized { executedStatements += sql }
     sql match {
       case s if s.startsWith("BEGIN") || s.startsWith("COMMIT") ||
         s.startsWith("ROLLBACK") || s.startsWith("SET ") => ()

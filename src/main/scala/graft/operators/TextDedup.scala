@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** MinHash-LSH near-duplicate detection and duplicate-cluster
+  * resolution as a reusable library surface (the battery entries
+  * p08/p13 delegate here). Output column contract: `nearDupPairs`
+  * emits (doc_a, doc_b, jac); `dupClusters` emits (doc_id, cluster_id,
+  * is_canonical).
+  */
+object TextDedup {
+
+  private val K = graft.functions.MinhashFunctions.DefaultK
+  private val P = graft.functions.MinhashFamily.P
+
+  /** Verified near-dup pairs (doc_a < doc_b, jaccard >= `threshold`)
+    * over token sets, blocked by `blockCol` (pairs never cross blocks).
+    *
+    * 100 TB shape: K=16 minhashes, 8 bands of 2 rows; candidates are
+    * generated with ONE shuffle — groupBy (block, band_idx, band_hash)
+    * → per-bucket member list → in-bucket pair expansion, each pair
+    * emitted only at its FIRST colliding band (already distinct, no
+    * second dedup shuffle over the pair blow-up). Band rows carry a
+    * narrow fixed-size payload; the wide token arrays stay out of the
+    * hot shuffle and re-attach by joining back on doc id (strategy
+    * left to AQE). A conservative size-ratio prefilter prunes
+    * exact-verify work, never results; the exact verify is a codegen'd
+    * sorted-merge intersection count. */
+  def nearDupPairs(docs: DataFrame, idCol: String, blockCol: String,
+      tokCol: String, threshold: Double = 0.85): DataFrame = {
+    val s = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+      array_sort(array_distinct(col(tokCol))).as("tok"))
+    graft.functions.MinhashFunctions.register(s)
+    val withSig = toks.withColumn("sig",
+      graft.functions.MinhashFunctions.minhash_sig(col("tok")))
+    val hs = (0 until K).map(j => col("sig")(j))
+    val bhs = array((0 until K / 2).map(b => hs(2 * b) * lit(P) + hs(2 * b + 1)): _*)
+    val banded = withSig
+      .select(col("doc_id"), col("block"), size(col("tok")).as("sz"), bhs.as("bhs"))
+      .select(col("doc_id"), col("block"), col("sz"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+    // slack below the implied min(|A|,|B|)/max bound so float rounding
+    // can never drop a true pair
+    val sizeRatio = math.max(0.0, threshold - 0.01)
+    val cands = banded
+      .repartition(s.sparkContext.defaultParallelism,
+        col("block"), col("band_idx"), col("band_hash"))
+      .groupBy(col("block"), col("band_idx"), col("band_hash"))
+      .agg(collect_list(struct(col("doc_id"), col("bhs"), col("sz"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(members, (x, i) ->
+           |  transform(
+           |    filter(slice(members, i + 2, size(members)), y ->
+           |      least(x.sz, y.sz) >= $sizeRatio * greatest(x.sz, y.sz)
+           |      AND NOT exists(
+           |        zip_with(slice(x.bhs, 1, band_idx), slice(y.bhs, 1, band_idx),
+           |          (ha, hb) -> ha = hb), c -> c)),
+           |    y -> struct(least(x.doc_id, y.doc_id) AS doc_a,
+           |                greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    graft.functions.SortedIntersectFunctions.register(s)
+    val tx = toks.select(col("doc_id"), col("tok"))
+    val inter = graft.functions.SortedIntersectFunctions
+      .sorted_intersect_size(col("ta.tok"), col("tb.tok")).cast("double")
+    cands
+      .join(tx.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tx.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .withColumn("jac",
+        inter / (size(col("ta.tok")) + size(col("tb.tok")) - inter))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** Duplicate clusters = connected components over a near-dup pair
+    * graph (columns doc_a, doc_b). Every node gets its component's
+    * minimum id as cluster_id; the canonical (kept) document is the
+    * one equal to its cluster_id.
+    *
+    * Two regimes picked by the measured edge count. The pair graph is
+    * orders of magnitude smaller than the corpus (only near-dup
+    * evidence survives banding + exact verify), so the common case
+    * even at large scale fits ONE task: solve it there with union-find
+    * (path compression + union-by-min) — no iteration, no per-round
+    * scheduling. Past `unionFindMaxEdges` (~100 MB of task state),
+    * fall back to distributed min-label propagation with path halving:
+    * per round one shuffle join + groupBy min + a pointer jump, so a
+    * chain of diameter d converges in O(log d) rounds. Rounds are
+    * localCheckpoint'd (O(1) plan depth), parallelism is sized to the
+    * GRAPH (edges/100k partitions, co-partitioned once), and the
+    * convergence probe is a strictly-decreasing exact SUM(label) —
+    * one cheap aggregate per round. */
+  def dupClusters(pairsIn: DataFrame, unionFindMaxEdges: Long = 5000000L): DataFrame = {
+    val s = pairsIn.sparkSession
+    val pairs = pairsIn.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    if (pairs.count() <= unionFindMaxEdges / 2) return unionFindClusters(pairs)
+    val edges0 = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (edges0.count() / 100000L).toInt))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val edges = edges0.repartition(parts, col("src")).localCheckpoint()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")).localCheckpoint()
+      def checksum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      var prevSum = checksum(labels)
+      var moved = true
+      var rounds = 0
+      while (moved && rounds < 64) {
+        val prop = edges
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .select(col("dst").as("id"), col("label"))
+        val step = labels.union(prop)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+        // path halving: every label is itself a node id present in
+        // `step`, so one hop of the label chain is an inner self-join;
+        // chains collapse geometrically and the shuffle is reused
+        val next = step
+          .join(step.select(col("id").as("label"), col("label").as("jump")),
+            Seq("label"))
+          .select(col("id"), col("jump").as("label"))
+          .localCheckpoint()
+        val nextSum = checksum(next)
+        moved = nextSum.compareTo(prevSum) < 0
+        prevSum = nextSum
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Single-task regime: the whole (small) pair graph lands in one
+    * partition and a classic union-find labels every node with its
+    * component minimum — semantically identical to the propagation
+    * fixpoint, with zero iteration overhead. */
+  private def unionFindClusters(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val labeled = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by min: the surviving root is the component minimum
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keys.toArray.sorted.iterator.map(k => (k, find(k)))
+      }
+      .toDF("doc_id", "cluster_id")
+    labeled.select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+}

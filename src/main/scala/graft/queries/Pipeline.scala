@@ -228,94 +228,21 @@ object PipelineOps {
 
   // ---------------------------------------------------------------- //
   // p08: MinHash-LSH near-dup pairs over token sets, blocked by source.
-  // k=16, r=2, b=8 bands → candidates = pairs sharing (source, band);
-  // exact jaccard >= 0.85 verifies. Candidates come from ONE shuffle:
-  // groupBy (source, band_idx, band_hash) → per-bucket id list →
-  // in-bucket pair expansion with a higher-order transform. This halves
-  // the band-relation shuffle vs a self-join (which shuffles both
-  // sides) and never goes O(n²) across buckets. A bucket with B docs
-  // yields B(B-1)/2 pairs either way — that's inherent to LSH — but
-  // here the minhash signatures are computed exactly once.
+  // k=16, r=2, b=8 bands; exact jaccard >= 0.85 verifies. The whole
+  // chain (one-shuffle banded candidate generation, first-colliding-
+  // band distinctness, size-ratio prefilter, narrow band payloads,
+  // codegen'd sorted-merge verify) lives in the library operator —
+  // operators/TextDedup.nearDupPairs.
   // ---------------------------------------------------------------- //
   def p08_lsh_pairs(s: SparkSession, dir: String): DataFrame =
     lshNearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
-  /** Verified near-dup pairs (doc_a < doc_b, jaccard >= 0.85), unsorted.
-    * The full LSH candidate + exact-verify pipeline shared by p08 (which
-    * just adds the presentation ordering) and p13 (which builds duplicate
-    * clusters on top of the pair graph). */
-  private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(tokens)).as("tok"))
-    graft.functions.MinhashFunctions.register(s)
-    val withSig = toks.withColumn("sig",
-      graft.functions.MinhashFunctions.minhash_sig(col("tok")))
-    val hs = (0 until K).map(j => col("sig")(j))
-    // All 8 band hashes as one array: band b collides iff bhs[b] match.
-    val bhs = array((0 until K / 2).map(b => hs(2 * b) * lit(P) + hs(2 * b + 1)): _*)
-    // Band rows carry (doc_id, all band hashes, token count) — narrow
-    // fixed-size payload (~80 B/row); the wide token arrays stay out of
-    // the hot shuffle and are re-attached afterwards by joining back on
-    // doc id (strategy left to AQE — broadcast at small SF, shuffle
-    // join on doc id at 100 TB).
-    val banded = withSig
-      .select(col("doc_id"), col("source"), size(col("tok")).as("sz"), bhs.as("bhs"))
-      .select(col("doc_id"), col("source"), col("sz"), col("bhs"),
-        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
-    // One shuffle total for candidate generation: group per bucket and
-    // expand in-bucket pairs. A pair sharing several bands is emitted
-    // only at its FIRST colliding band (the zip_with/exists check), so
-    // candidates arrive already distinct — no second dedup shuffle over
-    // the pair blow-up, which at dup-heavy corpora is the largest
-    // intermediate of the whole query. The size-ratio prefilter is
-    // conservative: jaccard >= 0.85 implies min(|A|,|B|)/max >= 0.85,
-    // checked with 0.84 slack so float rounding can never drop a true
-    // pair; it prunes exact-verify work, never results.
-    // Explicit width for the bucket shuffle: the stage after it is
-    // compute-dense but byte-light (in-bucket pair expansion + exact
-    // jaccard ~ O(sum bucket²) work over a few MB of rows), so AQE's
-    // size-based coalescing would collapse it to one task. A
-    // user-specified repartition pins the width to the cluster's
-    // parallelism instead.
-    val cands = banded
-      .repartition(s.sparkContext.defaultParallelism,
-        col("source"), col("band_idx"), col("band_hash"))
-      .groupBy(col("source"), col("band_idx"), col("band_hash"))
-      .agg(collect_list(struct(col("doc_id"), col("bhs"), col("sz"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(expr(
-        """flatten(transform(members, (x, i) ->
-          |  transform(
-          |    filter(slice(members, i + 2, size(members)), y ->
-          |      least(x.sz, y.sz) >= 0.84 * greatest(x.sz, y.sz)
-          |      AND NOT exists(
-          |        zip_with(slice(x.bhs, 1, band_idx), slice(y.bhs, 1, band_idx),
-          |          (ha, hb) -> ha = hb), c -> c)),
-          |    y -> struct(least(x.doc_id, y.doc_id) AS doc_a,
-          |                greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-    graft.functions.SortedIntersectFunctions.register(s)
-    // Both re-attach probes join the SAME (doc_id, tok) relation on the
-    // same build-side key, so the two broadcast exchanges canonicalize
-    // identically and Spark reuses one build (ReusedExchange) — the
-    // tokenize+sort work for the verify stage runs once, not twice.
-    val tx = toks.select(col("doc_id"), col("tok"))
-    // tok is array_sort(array_distinct(...)) upstream, so the exact
-    // verify is a codegen'd linear merge (no hash set / output array
-    // per pair) — see SortedIntersectSize
-    val inter = graft.functions.SortedIntersectFunctions
-      .sorted_intersect_size(col("ta.tok"), col("tb.tok")).cast("double")
-    cands
-      .join(tx.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(tx.as("tb"), col("doc_b") === col("tb.doc_id"))
-      // tok arrays are distinct, so |A ∪ B| = |A| + |B| - |A ∩ B|;
-      // avoids materializing the union array per pair.
-      .withColumn("jac",
-        inter / (size(col("ta.tok")) + size(col("tb.tok")) - inter))
-      .filter(col("jac") >= 0.85)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
-  }
+  /** Verified near-dup pairs (doc_a < doc_b, jaccard >= 0.85), unsorted;
+    * shared by p08 (presentation ordering) and p13 (cluster building). */
+  private def lshNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.nearDupPairs(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), tokens.as("tok")),
+      "doc_id", "source", "tok", threshold = 0.85)
 
   /** The toks/sig/banded/cands CTE chain shared by p08_sql / p13_sql. */
   private val lshCtesSql: String = {
@@ -349,120 +276,18 @@ object PipelineOps {
 
   // ---------------------------------------------------------------- //
   // p13: duplicate-cluster resolution — connected components over the
-  // p08 near-dup pair graph. Each document in any verified pair gets
-  // the minimum doc_id of its component as cluster_id; the canonical
-  // (kept) document is the one equal to its cluster_id. This is the
-  // step that turns pairwise near-dup evidence into an actual "drop
-  // these rows" decision in a dedup pipeline.
-  //
-  // 100 TB design — two regimes, picked by the measured edge count.
-  // The pair graph is orders of magnitude smaller than the corpus
-  // (only near-dup evidence survives p08's banding + exact verify), so
-  // the common case even at large scale is a graph that fits ONE task:
-  // solve it there with union-find (path compression + union-by-min) —
-  // no iteration, no per-round scheduling. Past the single-task budget
-  // (`graft.p13.unionFindMaxEdges`, default 5M edges ≈ 100 MB of task
-  // state), fall back to distributed min-label propagation: per round
-  // one shuffle join (edges ⋈ labels on src) + groupBy min + a
-  // pointer-jump (label := label's own label, path halving), so a
-  // chain of diameter d converges in O(log d) rounds. Each round is
-  // localCheckpoint'd: the plan stays O(1) deep instead of doubling per
-  // iteration (lineage blow-up is the classic failure of iterative
-  // Spark graph jobs), and the pair graph itself is materialized once
-  // and reused by every round. Two costs are sized to the GRAPH, not
-  // the session: (a) parallelism — the rounds run at edges/100k
-  // partitions with both sides hash-partitioned on the join key once,
-  // up front (localCheckpoint preserves the partitioning, so no round
-  // re-shuffles the edge list); (b) the convergence probe — labels
-  // only ever decrease, so the exact decimal SUM(label) strictly
-  // decreases until fixpoint: one cheap aggregate per round instead of
-  // a join against the previous labels.
+  // p08 near-dup pair graph; every document in any verified pair gets
+  // the minimum doc_id of its component as cluster_id, and the
+  // canonical (kept) document is the one equal to its cluster_id.
+  // The two-regime solver (single-task union-find under a budget,
+  // localCheckpoint'd min-label propagation with path halving above
+  // it) lives in the library operator — operators/TextDedup.dupClusters.
   // ---------------------------------------------------------------- //
-  /** Single-task regime: the whole (small) pair graph lands in one
-    * partition and a classic union-find labels every node with its
-    * component minimum — semantically identical to the propagation
-    * fixpoint, with zero iteration overhead. */
-  private def unionFindClusters(s: SparkSession, pairs: DataFrame): DataFrame = {
-    import s.implicits._
-    val labeled = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)]
-      .coalesce(1)
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        it.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          // union by min: the surviving root is the component minimum
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        parent.keys.toArray.sorted.iterator.map(k => (k, find(k)))
-      }
-      .toDF("doc_id", "cluster_id")
-    labeled.select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).as("is_canonical"))
-      .orderBy(col("doc_id"))
-  }
-
   def p13_dup_clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = lshNearDupPairs(s, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val unionFindMax =
       sys.props.get("graft.p13.unionFindMaxEdges").map(_.toLong).getOrElse(5000000L)
-    if (pairs.count() <= unionFindMax / 2) return unionFindClusters(s, pairs)
-    val edges0 = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .localCheckpoint()
-    val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
-      (edges0.count() / 100000L).toInt))
-    // run the whole iteration at graph-sized parallelism (the st01
-    // pattern): every exchange in the loop produces `parts` partitions,
-    // so checkpointed rounds stay co-partitioned without a per-round
-    // repartition shuffle
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      val edges = edges0.repartition(parts, col("src")).localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")).localCheckpoint()
-      def checksum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
-      var prevSum = checksum(labels)
-      var moved = true
-      var rounds = 0
-      while (moved && rounds < 64) {
-        val prop = edges
-          .join(labels.select(col("id").as("src"), col("label")), "src")
-          .select(col("dst").as("id"), col("label"))
-        val step = labels.union(prop)
-          .groupBy(col("id")).agg(min(col("label")).as("label"))
-        // path halving: every label is itself a node id present in
-        // `step` (labels start as the node set and min() only ever picks
-        // existing ids), so following one hop of the label chain is an
-        // inner self-join — label chains collapse geometrically; the
-        // build side is the same plan, so the shuffle is reused
-        val next = step
-          .join(step.select(col("id").as("label"), col("label").as("jump")),
-            Seq("label"))
-          .select(col("id"), col("jump").as("label"))
-          .localCheckpoint()
-        val nextSum = checksum(next)
-        moved = nextSum.compareTo(prevSum) < 0
-        prevSum = nextSum
-        labels = next
-        rounds += 1
-      }
-      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
-          (col("id") === col("label")).as("is_canonical"))
-        .orderBy(col("doc_id"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    graft.operators.TextDedup.dupClusters(
+      lshNearDupPairs(s, dir).select(col("doc_a"), col("doc_b")), unionFindMax)
   }
 
   val p13_sql: String =
