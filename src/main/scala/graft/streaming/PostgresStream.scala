@@ -48,6 +48,9 @@ object PgKeyOffset {
   *     commit latency, or use a commit-timestamp key with a lag guard.
   *   - deletes/updates are not captured (this is append ingestion, not
   *     CDC — logical replication is out of scope).
+  *   - rows whose key is NULL are never ingested: max(key) ignores
+  *     NULLs and the interval predicate excludes them, the same
+  *     contract as any `WHERE id > :last` loader.
   *
   * At 100 TB the incremental property is the whole point: a micro-batch
   * ships only the new key interval, split into `streamTasks` parallel
