@@ -892,6 +892,58 @@ class PostgresConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: bound WHERE serving matches host-side evaluation on 300 random predicates") {
+    pg
+    val rnd = new scala.util.Random(42)
+    // mirror of the fixture: id 0..299, name "name_<id>", score id/10
+    case class P(id: Long, name: String, score: BigDecimal)
+    val rows = (0 until 300).map(i => P(i.toLong, s"name_$i", BigDecimal(i).setScale(2) / 10))
+    val hazards = Seq("name_7", "a AND b", "x' AND ('y", "name_", "zzz", "(paren)")
+    val ops = Seq("=", "<>", "<", "<=", ">", ">=")
+    def served(where: String): Int = {
+      val in = new java.io.DataInputStream(pg.copyOut(
+        s"""COPY (SELECT "id" FROM "public"."people" WHERE $where) TO STDOUT (FORMAT binary)"""))
+      val r = new graft.codec.PgBinaryReader(Seq(PgInt8))
+      r.readHeader(in)
+      var n = 0
+      while (r.readRow(in).isDefined) n += 1
+      n
+    }
+    (1 to 300).foreach { _ =>
+      val nPreds = 1 + rnd.nextInt(3)
+      val preds = (1 to nPreds).map { _ =>
+        val op = ops(rnd.nextInt(ops.length))
+        rnd.nextInt(3) match {
+          case 0 =>
+            val v = rnd.nextInt(330).toLong
+            (s""""id" $op $v""", (p: P) => cmpOp(op, p.id.compare(v)))
+          case 1 =>
+            val v =
+              if (rnd.nextBoolean()) hazards(rnd.nextInt(hazards.length))
+              else s"name_${rnd.nextInt(330)}"
+            (s""""name" $op ${graft.sqlgen.PgSqlGen.quoteString(v)}""",
+              (p: P) => cmpOp(op, p.name.compareTo(v)))
+          case 2 =>
+            val v = BigDecimal(rnd.nextInt(3300)).setScale(2) / 100
+            (s""""score" $op $v""", (p: P) => cmpOp(op, p.score.compare(v)))
+        }
+      }
+      val where = preds.map(p => s"(${p._1})").mkString(" AND ")
+      val expected = rows.count(p => preds.forall(_._2(p)))
+      val got = served(where)
+      assert(got == expected, s"WHERE $where: served $got, expected $expected")
+    }
+  }
+
+  private def cmpOp(op: String, c: Int): Boolean = op match {
+    case "=" => c == 0
+    case "<>" => c != 0
+    case "<" => c < 0
+    case "<=" => c <= 0
+    case ">" => c > 0
+    case ">=" => c >= 0
+  }
+
   test("readOnly attach: reads work, every mutating surface errors host-side") {
     pg
     import org.apache.spark.sql.functions.lit
