@@ -675,10 +675,17 @@ final class InMemoryPg(val name: String) extends PgTransport {
       sch: String, tbl: String, proj: String,
       whereOpt: Option[String], groupByOpt: Option[String]): InputStream = {
     val t = getTable(sch, tbl)
-    val (lo, hi) = whereOpt.flatMap {
-      case CtidRangeRe(l, h) => Some((l.toLong, h.toLong))
-      case _ => None
-    }.getOrElse((0L, Long.MaxValue))
+    // bind EVERY WHERE conjunct: unlike a row scan (where the connector
+    // re-applies pushed filters), an aggregate has no host-side
+    // re-check — silently ignoring a conjunct would aggregate extra
+    // rows into wrong results, so unbindable conjuncts throw instead
+    var lo = 0L
+    var hi = Long.MaxValue
+    val wherePreds = mutable.ArrayBuffer.empty[InternalRow => Boolean]
+    whereOpt.toSeq.flatMap(splitConjuncts).foreach {
+      case CtidRangeRe(l, h) => lo = l.toLong; hi = h.toLong
+      case p => wherePreds += parseWherePred(t, p)
+    }
 
     final case class AggItem(fn: String, colIdx: Int, outType: PgType)
     def castType(suffix: String, default: PgType): PgType = suffix match {
@@ -705,7 +712,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
     val inRange = t.slots.indices.flatMap { slot =>
       val page = slot / RowsPerPage
-      if (page >= lo && page < hi) t.slots(slot) else None
+      if (page >= lo && page < hi)
+        t.slots(slot).filter(r => wherePreds.forall(_(r)))
+      else None
     }
     val groups: Map[Seq[Any], Seq[InternalRow]] =
       inRange.groupBy(r => groupIdxs.map(i =>

@@ -390,6 +390,26 @@ object ConnectorOps {
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // c15: filtered aggregate pushdown — exact integer predicates are
+  // CONSUMED by the scan (no Spark-side residual), so the grouped
+  // partial aggregate pushes beneath the WHERE and each task ships one
+  // row per group instead of the raw rows. The oracle recomputes the
+  // whole thing over parquet.
+  // ---------------------------------------------------------------- //
+  def c15_pg_filtered_agg(s: SparkSession, dir: String): DataFrame =
+    pgRead(s, dir, "customer")
+      .filter(col("c_nationkey") < 10 && col("c_custkey") > 100)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("c_custkey")).as("key_sum"))
+      .orderBy(col("c_nationkey"))
+
+  val c15_sql: String =
+    """SELECT c_nationkey, count(*) AS n_cust,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      |FROM customer WHERE c_nationkey < 10 AND c_custkey > 100
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // st03: Structured Streaming THROUGH the connector — readStream over
   // the postgres source keyed on a monotonic id (micro-batch = new key
   // interval, split into parallel key sub-ranges on backfill), stateful
@@ -500,6 +520,7 @@ object ConnectorOps {
     "c12_pg_limit" -> ((c12_pg_limit _, Some(c12_sql))),
     "c13_pg_topn" -> ((c13_pg_topn _, Some(c13_sql))),
     "c14_pg_runtime_filter" -> ((c14_pg_runtime_filter _, Some(c14_sql))),
+    "c15_pg_filtered_agg" -> ((c15_pg_filtered_agg _, Some(c15_sql))),
     "st03_pg_stream" -> ((st03_pg_stream _, Some(st03_sql))),
     "st04_pg_stream_sink" -> ((st04_pg_stream_sink _, Some(st04_sql))),
   )

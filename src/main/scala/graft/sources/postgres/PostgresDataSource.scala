@@ -337,6 +337,56 @@ final class PostgresScanBuilder(table: PostgresTable)
   private var pushedAgg: Option[PushedAggregation] = None
   private var pushedLimit: Option[Int] = None
   private var pushedOrderSql: Seq[String] = Nil
+  private var aggSafeFilters: Boolean = true
+
+  // ------------------------------------------------------------------
+  // Exactly-translatable predicates: the remote evaluation provably
+  // equals Spark's, so the filter is CONSUMED instead of re-checked
+  // host-side — which in turn lets Spark push aggregates beneath a
+  // WHERE (a filtered count(*)/sum probe then ships one row per task
+  // instead of the raw rows). Conservative whitelist: integer /
+  // decimal / date / boolean columns and literals only. Strings stay
+  // residual (server collations reorder them), floats stay residual
+  // (NaN ordering diverges), timestamps stay residual (session-zone
+  // rendering). This refines the reference's always-re-check contract
+  // (ref: src/postgres_filter_pushdown.cpp:17-84) where equality of
+  // semantics is provable; everything else keeps the conservative
+  // re-check.
+  // ------------------------------------------------------------------
+  private def exactCol(name: String): Boolean =
+    table.pgColumns.find(_._1 == name).map(_._2).exists {
+      case graft.types.PgType.PgInt2 | graft.types.PgType.PgInt4 |
+        graft.types.PgType.PgInt8 | graft.types.PgType.PgBool |
+        graft.types.PgType.PgDate => true
+      case _: graft.types.PgType.PgNumeric => true
+      case _ => false
+    }
+
+  private def exactValue(v: Any): Boolean = v match {
+    case _: Boolean | _: Short | _: Int | _: Long => true
+    case _: java.math.BigDecimal | _: BigDecimal => true
+    case _: java.sql.Date | _: java.time.LocalDate => true
+    case _ => false
+  }
+
+  private def exactFilter(f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => exactCol(a) && v != null && exactValue(v)
+      case EqualNullSafe(a, v) => exactCol(a) && (v == null || exactValue(v))
+      case GreaterThan(a, v) => exactCol(a) && v != null && exactValue(v)
+      case GreaterThanOrEqual(a, v) => exactCol(a) && v != null && exactValue(v)
+      case LessThan(a, v) => exactCol(a) && v != null && exactValue(v)
+      case LessThanOrEqual(a, v) => exactCol(a) && v != null && exactValue(v)
+      case In(a, vs) => exactCol(a) && vs.nonEmpty && vs.forall(v => v != null && exactValue(v))
+      case IsNull(a) => exactCol(a)
+      case IsNotNull(a) => exactCol(a)
+      case And(l, r) => exactFilter(l) && exactFilter(r)
+      case Or(l, r) => exactFilter(l) && exactFilter(r)
+      case Not(c) => exactFilter(c)
+      case _ => false
+    }
+  }
 
   /** LIMIT/top-N pushdown (beyond the reference, which never limits
     * its COPY scans): each parallel task returns at most `limit` rows
@@ -392,12 +442,17 @@ final class PostgresScanBuilder(table: PostgresTable)
     * reference's count(*)-only optimization): COUNT(*)/COUNT/MIN/MAX/
     * SUM with optional GROUP BY columns are computed remotely per ctid
     * range; Spark merges the partial results. Sums are cast remotely
-    * to the type Spark's final merge expects. Only unfiltered scans
-    * push aggregates — pushed filters are conservatively re-checked
-    * host-side, which requires the raw rows. */
+    * to the type Spark's final merge expects. Scans filtered only by
+    * exactly-translated (consumed) predicates push aggregates too —
+    * the WHERE travels into the remote aggregate; any residual filter
+    * requires the raw rows and blocks the pushdown. */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushedSql.nonEmpty) return false
+    // Spark only attempts aggregate pushdown when no residual Filter
+    // remains above the scan; combined with the exactness gate this
+    // means every remote conjunct under the aggregate evaluates
+    // identically on the server
+    if (pushedSql.nonEmpty && !aggSafeFilters) return false
     PushedAggregation.translate(aggregation, table.pgColumns) match {
       case Some(agg) => pushedAgg = Some(agg); true
       case None => false
@@ -412,16 +467,22 @@ final class PostgresScanBuilder(table: PostgresTable)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    if (table.opts.filterPushdown) {
-      val (sql, _) = PgSqlGen.splitFilters(filters.toSeq)
-      pushedSql = sql
-      pushed = filters.filter(f => PgSqlGen.compileFilter(f).isDefined)
-    }
-    // return ALL filters as residuals: Spark re-evaluates them, the
-    // remote WHERE is purely a bandwidth optimization (reference
-    // behavior — host always re-filters; with the filterPushdown
-    // toggle off nothing is pushed at all)
-    filters
+    if (!table.opts.filterPushdown) return filters
+    val (sql, _) = PgSqlGen.splitFilters(filters.toSeq)
+    pushedSql = sql
+    pushed = filters.filter(f => PgSqlGen.compileFilter(f).isDefined)
+    // aggregate pushdown stays sound only when every remote conjunct is
+    // exact (a non-exact one that Spark can't re-check under an
+    // aggregate would change results)
+    aggSafeFilters = pushed.forall(exactFilter)
+    // exact compilable filters are CONSUMED on table scans; everything
+    // else returns as a residual that Spark re-evaluates — for those
+    // the remote WHERE is purely a bandwidth optimization (reference
+    // behavior: host always re-filters). Query-backed relations
+    // (postgres_query) keep the full re-check contract: the inner SQL
+    // is opaque, so every filter stays a residual there.
+    if (table.opts.query.isDefined) filters
+    else filters.filterNot(f => PgSqlGen.compileFilter(f).isDefined && exactFilter(f))
   }
 
   override def pushedFilters(): Array[Filter] = pushed

@@ -944,6 +944,44 @@ class PostgresConnectorSpec extends AnyFunSuite {
     case ">=" => c >= 0
   }
 
+  test("exact filters are consumed and aggregates push under the WHERE") {
+    pg
+    pg.copyOutStatements.clear()
+    // integer predicate: exact → consumed → aggregate pushes with WHERE
+    val n = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load()
+      .filter(col("id") < 100)
+      .agg(count(lit(1)).as("n")).collect().head.getLong(0)
+    assert(n == 100)
+    val aggScans = pg.copyOutStatements.filter(s =>
+      s.contains("\"people\"") && s.contains("count(*)"))
+    assert(aggScans.nonEmpty && aggScans.forall(_.contains("\"id\" < 100")),
+      s"expected pushed count(*) under the integer WHERE: ${pg.copyOutStatements}")
+
+    // string predicate: residual (collations) → no aggregate pushdown,
+    // raw rows ship and Spark filters + counts
+    pg.copyOutStatements.clear()
+    val m = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people").load()
+      .filter(col("name") === "name_7")
+      .agg(count(lit(1)).as("n")).collect().head.getLong(0)
+    assert(m == 1)
+    assert(!pg.copyOutStatements.exists(s =>
+      s.contains("\"people\"") && s.contains("count(*)")),
+      s"string-filtered aggregate must not push: ${pg.copyOutStatements}")
+
+    // decimal predicate under grouped agg: pushed WHERE + GROUP BY
+    pg.copyOutStatements.clear()
+    val grouped = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people").load()
+      .filter(col("score") >= BigDecimal("25.00"))
+      .groupBy((col("id") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped == Map(0L -> 25L, 1L -> 25L), s"got $grouped")
+  }
+
   test("readOnly attach: reads work, every mutating surface errors host-side") {
     pg
     import org.apache.spark.sql.functions.lit
