@@ -248,4 +248,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.keySet == Set(2L), s"only doc 2 overlaps: $out")
     assert(out(2L) >= 1)
   }
+
+  test("TextDedup.nearDupPairs finds planted near-dups and respects blocks") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, "b1", base),
+      (2L, "b1", base + " phi"),                  // near-dup of 1 (same block)
+      (3L, "b2", base + " chi"),                  // near-dup text, DIFFERENT block
+      (4L, "b1", "completely different content with none of those words at all ok")
+    ).toDF("id", "blk", "text")
+      .select(col("id"), col("blk"), split(col("text"), " ").as("tok"))
+    val pairs = graft.operators.TextDedup
+      .nearDupPairs(docs, "id", "blk", "tok", threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"blocks must confine pairs: $pairs")
+
+    val clusters = graft.operators.TextDedup
+      .dupClusters(Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(clusters == Set((1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
+      (7L, 7L, true), (8L, 7L, false)))
+  }
 }
