@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Relational2.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.PipelineOps.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn }
 
@@ -19,6 +20,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.entries.map { case (k, (_, sql)) => k -> sql } ++
+      graft.queries.Relational2.entries.map { case (k, (_, sql)) => k -> sql } ++
       graft.queries.PipelineOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }
