@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Relational.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Relational2.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.PipelineOps.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Pipeline2.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -22,5 +23,6 @@ object SparkEntry {
     graft.queries.Relational.entries.map { case (k, (_, sql)) => k -> sql } ++
       graft.queries.Relational2.entries.map { case (k, (_, sql)) => k -> sql } ++
       graft.queries.PipelineOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Pipeline2.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }

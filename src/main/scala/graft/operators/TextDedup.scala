@@ -75,6 +75,75 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Narrow per-document LSH signature rows: (doc_id, sz, bhs
+    * ARRAY<BIGINT> of K/2 band hashes). This is the persistable
+    * "signature index" for incremental dedup — 8 longs and a token
+    * count per document regardless of document length, so a 100 TB
+    * corpus's index is a few GB and can be stored/bucketed by band
+    * hash. Band hash b combines minhash rows 2b and 2b+1 exactly as
+    * `nearDupPairs` does. */
+  def bandSignatures(docs: DataFrame, idCol: String, tokCol: String): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.MinhashFunctions.register(s)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(col(tokCol))).as("tok"))
+    val withSig = toks.withColumn("sig",
+      graft.functions.MinhashFunctions.minhash_sig(col("tok")))
+    val hs = (0 until K).map(j => col("sig")(j))
+    val bhs = array((0 until K / 2).map(b => hs(2 * b) * lit(P) + hs(2 * b + 1)): _*)
+    withSig.select(col("doc_id"), size(col("tok")).as("sz"), bhs.as("bhs"))
+  }
+
+  /** Incremental (cross-corpus) near-dup detection: verified pairs
+    * (new_id, ref_id, jac) where a NEW document near-duplicates a
+    * REFERENCE document — the admission-control primitive for growing
+    * a training corpus without re-deduplicating the whole reference.
+    *
+    * 100 TB shape: both sides reduce to narrow band-signature rows
+    * (see `bandSignatures` — in production the reference side is a
+    * precomputed, stored index, recomputed here only because the
+    * battery is stateless); candidates come from ONE shuffle join on
+    * (band_idx, band_hash) with cross-side pairs only; each pair is
+    * emitted at its FIRST colliding band (exactly-once, no dedup
+    * shuffle); a conservative size-ratio prefilter prunes verify work
+    * but never results; wide token arrays re-attach by doc id with
+    * the join strategy left to AQE. */
+  def nearDupAgainst(newDocs: DataFrame, refDocs: DataFrame, idCol: String,
+      tokCol: String, threshold: Double = 0.85): DataFrame = {
+    val s = newDocs.sparkSession
+    def exploded(docs: DataFrame, side: String) =
+      bandSignatures(docs, idCol, tokCol)
+        .select(col("doc_id").as(s"${side}_id"), col("sz").as(s"${side}_sz"),
+          col("bhs").as(s"${side}_bhs"),
+          posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+        .drop("bhs")
+    val sizeRatio = math.max(0.0, threshold - 0.01)
+    val cands = exploded(newDocs, "new")
+      .join(exploded(refDocs, "ref"), Seq("band_idx", "band_hash"))
+      .filter(col("new_id") =!= col("ref_id"))
+      .filter(least(col("new_sz"), col("ref_sz")) >=
+        lit(sizeRatio) * greatest(col("new_sz"), col("ref_sz")))
+      // first-collision: drop the pair unless no EARLIER band collides
+      .filter(not(exists(
+        zip_with(slice(col("new_bhs"), lit(1), col("band_idx")),
+          slice(col("ref_bhs"), lit(1), col("band_idx")),
+          (a, b) => a === b),
+        c => c)))
+      .select(col("new_id"), col("ref_id"))
+    graft.functions.SortedIntersectFunctions.register(s)
+    def toksOf(docs: DataFrame) = docs.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(col(tokCol))).as("tok"))
+    val inter = graft.functions.SortedIntersectFunctions
+      .sorted_intersect_size(col("ta.tok"), col("tb.tok")).cast("double")
+    cands
+      .join(toksOf(newDocs).as("ta"), col("new_id") === col("ta.doc_id"))
+      .join(toksOf(refDocs).as("tb"), col("ref_id") === col("tb.doc_id"))
+      .withColumn("jac",
+        inter / (size(col("ta.tok")) + size(col("tb.tok")) - inter))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("jac"))
+  }
+
   /** Duplicate clusters = connected components over a near-dup pair
     * graph (columns doc_a, doc_b). Every node gets its component's
     * minimum id as cluster_id; the canonical (kept) document is the

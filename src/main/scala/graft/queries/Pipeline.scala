@@ -29,7 +29,7 @@ object PipelineOps {
     Tables.load(s, dir, n)
 
   /** Whitespace tokens of `text`. */
-  private val tokens: Column = split(trim(col("text")), "\\s+")
+  private[queries] val tokens: Column = split(trim(col("text")), "\\s+")
 
   // ---------------------------------------------------------------- //
   // p01: token counting (whitespace tokenizer)
@@ -175,15 +175,15 @@ object PipelineOps {
   // overflow) — so both engines agree bit-for-bit while the k-1
   // extra hashes cost multiply-adds instead of md5 calls. k=16.
   // ---------------------------------------------------------------- //
-  private val K = graft.functions.MinhashFunctions.DefaultK
-  private val P = graft.functions.MinhashFamily.P
-  private def hashA(j: Int): Long = graft.functions.MinhashFamily.a(j)
-  private def hashB(j: Int): Long = graft.functions.MinhashFamily.b(j)
+  private[queries] val K = graft.functions.MinhashFunctions.DefaultK
+  private[queries] val P = graft.functions.MinhashFamily.P
+  private[queries] def hashA(j: Int): Long = graft.functions.MinhashFamily.a(j)
+  private[queries] def hashB(j: Int): Long = graft.functions.MinhashFamily.b(j)
 
-  private def tokenHashesSql(arrExpr: String): String =
+  private[queries] def tokenHashesSql(arrExpr: String): String =
     s"list_transform($arrExpr, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % $P)"
 
-  private def minhashThSqlExpr(thExpr: String, j: Int): String =
+  private[queries] def minhashThSqlExpr(thExpr: String, j: Int): String =
     s"list_aggregate(list_transform($thExpr, h -> (${hashA(j)} * h + ${hashB(j)}) % $P), 'min')"
 
   // ---------------------------------------------------------------- //
