@@ -271,4 +271,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(clusters == Set((1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
       (7L, 7L, true), (8L, 7L, false)))
   }
+
+  test("TextDedup.nearDupAgainst finds cross-corpus dups only, exactly once") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def toDocs(rows: Seq[(Long, String)]) = rows.toDF("id", "text")
+      .select(col("id"), split(col("text"), " ").as("tok"))
+    // ref corpus: 1 (base), 4 (unrelated); new corpus: 11 (dup of 1),
+    // 12 (dup of 11 but NOT of anything in ref), 13 (unrelated)
+    val ref = toDocs(Seq(
+      (1L, base),
+      (4L, "completely different content with none of those words at all ok")))
+    val neu = toDocs(Seq(
+      (11L, base + " phi"),
+      (12L, "totally other unrelated sentence content goes right here now yes"),
+      (13L, "totally other unrelated sentence content goes right here now no")))
+    val out = graft.operators.TextDedup
+      .nearDupAgainst(neu, ref, "id", "tok", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // 11~1 is the only cross pair; 12~13 are near-dups of each other
+    // but both NEW, so they must not appear; exactly-once (no
+    // first-band duplicates) is checked by using a List, not a Set
+    assert(out == List((11L, 1L)), s"cross pairs: $out")
+
+    val sigs = graft.operators.TextDedup.bandSignatures(ref, "id", "tok")
+    assert(sigs.columns.toSeq == Seq("doc_id", "sz", "bhs"))
+    val row = sigs.filter(col("doc_id") === 1L).head()
+    assert(row.getSeq[Long](row.fieldIndex("bhs")).size == 8)
+    assert(row.getAs[Int]("sz") == 20)
+  }
 }
