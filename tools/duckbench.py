@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""DuckDB baseline timing, mirroring graft.Bench's protocol.
+
+Usage: python3 tools/duckbench.py <sfDir> <oracle_sql.json> [out.json]
+
+Creates views over <sfDir>/*.parquet, then for every oracle query runs
+one untimed warmup pass followed by two timed passes and records the
+minimum — the same warm/min-of-2 protocol graft.Bench applies to the
+Spark side, so the comparison in BENCH_NOTES.md is symmetric.
+Streaming entries (st*) have no DuckDB counterpart; their oracle SQL is
+their batch twin, which is what gets timed. Local dev tooling only.
+"""
+import sys, json, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, oracle_path = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    with open(oracle_path) as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    results = {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            con.execute(sql).fetchall()  # warmup
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                times.append(time.time() - t0)
+            results[name] = min(times)
+        except Exception as e:
+            print(f"FAIL {name}: {e}", file=sys.stderr)
+            results[name] = None
+    total = sum(v for v in results.values() if v is not None)
+    doc = {"metric": "total", "value": total, "unit": "sec",
+           "queries": results, "sf": sf_dir}
+    line = json.dumps(doc)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line)
+
+
+if __name__ == "__main__":
+    main()
