@@ -15,6 +15,7 @@ object SparkEntry {
       graft.queries.Relational2.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.PipelineOps.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline2.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Pipeline3.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.Relational2.entries.map { case (k, (_, sql)) => k -> sql } ++
       graft.queries.PipelineOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline2.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Pipeline3.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }

@@ -51,6 +51,54 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Scalar int8 quantization of an embedding column (the classic SQ8
+    * compression ANN indexes use): per-vector symmetric scale
+    * `s = max_i |v_i|`, elements mapped to round(v_i·127/s) ∈ [-127,127].
+    *
+    * Why it matters at 100 TB: an int8 vector is 4× smaller than
+    * float32 — 4× less scan IO, 4× more vectors per executor, and the
+    * candidate-scoring dot becomes exact integer arithmetic. Cosine
+    * over quantized vectors needs NO per-pair descaling: the two
+    * per-vector scales cancel, so `vec_dot(qa,qb)/(|qa|·|qb|)` on the
+    * int arrays directly approximates the float cosine (each element
+    * carries ≤ 1/254 relative rounding). All arithmetic (abs/max on
+    * floats, one double multiply-divide-round per element, integer
+    * dots) is order-fixed and engine-portable, so quantized search
+    * results are fully oracle-checkable.
+    *
+    * A zero vector has scale 0; it quantizes to all zeros rather than
+    * dividing by zero. */
+  def quantizeQ8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x))).cast("double")
+    when(scale === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => round(x.cast("double") * lit(127.0) / scale).cast("int")))
+  }
+
+  /** Exact cosine top-k over SQ8-quantized vectors: quantize both
+    * sides, then the brute path on int arrays (scales cancel — see
+    * [[quantizeQ8]]). The compressed corpus is what would be persisted
+    * at scale; re-quantizing here keeps the operator self-contained. */
+  def quantizedTopK(
+      queries: DataFrame, // (query_id, qv)
+      corpus: DataFrame, // (neighbor_id, cv)
+      k: Int): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
+    graft.functions.TopKFunctions.register(queries.sparkSession)
+    import graft.functions.TopKFunctions.topk_by
+    val q = queries.select(col("query_id"), quantizeQ8(col("qv")).as("qq"))
+      .withColumn("qn", sqrt(vec_dot(col("qq"), col("qq"))))
+    val c = corpus.select(col("neighbor_id"), quantizeQ8(col("cv")).as("cq"))
+      .withColumn("cn", sqrt(vec_dot(col("cq"), col("cq"))))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_q8", vec_dot(col("qq"), col("cq")) / (col("qn") * col("cn")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cos_q8"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos_q8"))
+  }
+
   /** Deterministic random hyperplanes: L tables × B bits, each plane a
     * `dim`-vector. Generated on the driver (tiny) and inlined as a
     * single nested-array literal — broadcast with the plan, no shuffle. */

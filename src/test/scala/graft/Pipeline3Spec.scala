@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Kmeans}
+
+class Pipeline3Spec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- //
+  // s04 — quantized ANN
+  // ---------------------------------------------------------------- //
+
+  test("quantizeQ8 maps into [-127, 127] with the max-abs element at ±127") {
+    import spark.implicits._
+    val q = emb.select(Ann.quantizeQ8(col("embedding")).as("q"))
+      .select(explode(col("q")).as("x"))
+      .agg(min("x"), max("x"), max(abs(col("x"))))
+      .as[(Int, Int, Int)].head()
+    assert(q._1 >= -127 && q._2 <= 127)
+    assert(q._3 == 127, "some vector's largest element must quantize to exactly ±127")
+  }
+
+  test("quantizeQ8 sends the zero vector to zeros, not NaN") {
+    import spark.implicits._
+    val z = Seq((1L, Array.fill(8)(0.0f))).toDF("id", "v")
+      .select(Ann.quantizeQ8(col("v")).as("q"))
+      .select(array_max(col("q")).as("hi"), array_min(col("q")).as("lo"))
+      .as[(Int, Int)].head()
+    assert(z == ((0, 0)))
+  }
+
+  test("quantized top-k recalls nearly all of the exact top-10") {
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val exact = Ann.bruteTopK(queries, corpus, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q8 = Ann.quantizedTopK(queries, corpus, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect q8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 too low: $recall (int8 is a mild quantization)")
+  }
+
+  // ---------------------------------------------------------------- //
+  // p23 — domain mixing
+  // ---------------------------------------------------------------- //
+
+  test("domain mix admits every document that starts under the budget, per source") {
+    import spark.implicits._
+    val out = graft.queries.Pipeline3.p23_domain_mix(spark, sfDir)
+    // every admitted doc starts strictly under the budget
+    val over = out.filter(col("cum_chars") - col("n_chars") >= 2500).count()
+    assert(over == 0)
+    // greedy-fill property: per source the admitted set is a PREFIX of
+    // the hash order — the first non-admitted doc ends every run
+    val docs = Tables.load(spark, sfDir, "documents")
+    val perSource = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val admitted = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(admitted.keySet == perSource.keySet, "every source contributes")
+    admitted.foreach { case (src, n) => assert(n >= 1 && n <= perSource(src)) }
+  }
+
+  // ---------------------------------------------------------------- //
+  // p24 — k-means
+  // ---------------------------------------------------------------- //
+
+  test("k-means iterations do not increase total within-cluster distance") {
+    import spark.implicits._
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    def cost(iters: Int): Double =
+      Kmeans.trainAssign(corpus, "vec_id", "embedding", k = 8, iters = iters)
+        .agg(sum("d2")).as[Double].head()
+    val c1 = cost(1)
+    val c2 = cost(2)
+    assert(c2 <= c1 + 1e-9, s"Lloyd's must not increase cost: iter1=$c1 iter2=$c2")
+  }
+
+  test("k-means assignment is deterministic across partitionings") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    def run(parts: Int): Array[(Long, Long)] =
+      Kmeans.trainAssign(corpus.repartition(parts), "vec_id", "embedding", k = 8, iters = 2)
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(run(2).sameElements(run(7)), "assignment must not depend on partitioning")
+  }
+
+  test("k-means assigns every vector to a real centroid id") {
+    import spark.implicits._
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val out = Kmeans.trainAssign(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    assert(out.count() == corpus.count())
+    val cids = out.select("cid").distinct().as[Long].collect().toSet
+    assert(cids.subsetOf((0L until 8L).toSet) && cids.size >= 2)
+  }
+}
