@@ -141,10 +141,139 @@ object Pipeline3 {
        |SELECT vec_id, cid, round(d2, 6) AS d2 FROM a2 ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- //
+  // s05: IVF ANN over TRAINED cells — the full index lifecycle that
+  // s03 (fixed seed centroids) only probes: one Lloyd round refines
+  // the seed centroids (operators/Kmeans — broadcast centroids, narrow
+  // shuffles, decimal-exact means), the corpus is assigned to the
+  // trained cells, queries probe their nprobe nearest cells, and only
+  // candidates in probed cells are exact-reranked. Every stage is the
+  // same order-fixed arithmetic as p24/s03, so the whole build+search
+  // is replayed by the oracle in SQL.
+  // ---------------------------------------------------------------- //
+  def s05_ann_ivf_trained(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.TopKFunctions.register(s)
+    import graft.functions.VectorFunctions.vec_dot
+    import graft.functions.TopKFunctions.topk_by
+    val C = 16; val nprobe = 4; val k = 10
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // train: one assign+update round from the deterministic seeds
+    val seeds = emb.orderBy(col("vec_id")).limit(C)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val a1 = graft.operators.Kmeans.assign(emb, "vec_id", "embedding", seeds)
+    val cents = graft.operators.Kmeans.centroidsOf(
+      a1.join(emb, "vec_id").select(col("embedding"), col("cid")), "embedding")
+    // index: corpus assigned to its trained cell (narrow (id, cid) rows)
+    val assign = graft.operators.Kmeans.assign(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    // probe: queries pick their nprobe nearest trained cells by the
+    // same squared-L2 metric the index was built with
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", sqrt(vec_dot(col("qv"), col("qv"))))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"),
+        graft.operators.Kmeans.distSq(col("qv"), col("centroid")).as("d2"), col("cid"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-col("d2"), col("cid"), nprobe).as("pr"))
+      .select(col("query_id"), explode(col("pr").getField("id")).as("cid"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .withColumn("cn", sqrt(vec_dot(col("cv"), col("cv"))))
+    probes.join(assign, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queries), "query_id")
+      .join(corpus, "neighbor_id")
+      .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rk"),
+        round(col("p.score"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s05_sql: String = {
+    def d2E(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, len($v)+1),
+         |    i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])))""".stripMargin
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    def normE(v: String) = s"sqrt(${dotE(v, v)})"
+    val cos = s"${dotE("q.qv", "c.cv")} / (${normE("q.qv")} * ${normE("c.cv")})"
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+       |       FROM e WHERE vec_id < 16),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c0.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${d2E("e.v", "c0.cv")} ASC, c0.cid ASC) AS rn
+       |    FROM e CROSS JOIN c0) WHERE rn = 1),
+       |m1 AS (
+       |  SELECT cid, pos, CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT a1.cid, unnest(range(1, len(e.v)+1)) AS pos, unnest(e.v) AS x
+       |        FROM a1 JOIN e USING (vec_id))
+       |  GROUP BY cid, pos),
+       |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT e.vec_id, c1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${d2E("e.v", "c1.cv")} ASC, c1.cid ASC) AS rn
+       |    FROM e CROSS JOIN c1) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY q.query_id ORDER BY ${d2E("q.qv", "c1.cv")} ASC, c1.cid ASC) AS rn
+       |    FROM q CROSS JOIN c1) WHERE rn <= 4),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM probes JOIN assign USING (cid)
+       |  WHERE query_id <> neighbor_id),
+       |scored AS (
+       |  SELECT cands.query_id, cands.neighbor_id, $cos AS cos
+       |  FROM cands JOIN q ON q.query_id = cands.query_id
+       |  JOIN c ON c.neighbor_id = cands.neighbor_id)
+       |SELECT query_id, neighbor_id, rk, round(cos, 6) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rk
+       |  FROM scored) WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
+  // m02: multimodal frame sampling — every k-th fixed-width window of
+  // the payload (the video-frame-sampling shape: deterministic stride
+  // over an opaque byte stream, emitting (doc, frame_idx, frame) rows).
+  // Pure built-ins; the explode keeps frames with their doc key so
+  // downstream per-frame decode partitions freely.
+  // ---------------------------------------------------------------- //
+  def m02_frame_sample(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.asMedia(t(s, dir, "documents"))
+    graft.operators.Multimodal.sampleFrames(media, every = 4)
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val m02_sql: String =
+    """SELECT doc_id, frame_idx, frame FROM (
+      |  SELECT doc_id,
+      |    CAST(unnest(range(0, CAST(ceil(length(text) / 32.0) AS INT))) AS INT) AS frame_idx,
+      |    unnest(list_transform(range(0, CAST(ceil(length(text) / 32.0) AS INT)),
+      |      i -> substring(text, CAST(i * 32 + 1 AS INT), 32))) AS frame
+      |  FROM documents)
+      |WHERE frame_idx % 4 = 0 AND length(frame) > 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** name → (query fn, Some(oracle sql) | None = rows-only check) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "s04_ann_q8" -> ((s04_ann_q8 _, Some(s04_sql))),
     "p23_domain_mix" -> ((p23_domain_mix _, Some(p23_sql))),
     "p24_kmeans" -> ((p24_kmeans _, Some(p24_sql))),
+    "s05_ann_ivf_trained" -> ((s05_ann_ivf_trained _, Some(s05_sql))),
+    "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),
   )
 }

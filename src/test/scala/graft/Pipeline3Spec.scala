@@ -60,6 +60,24 @@ class Pipeline3Spec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // s05 — trained IVF
+  // ---------------------------------------------------------------- //
+
+  test("trained-IVF top-k recalls a useful share of the exact top-10") {
+    val out = graft.queries.Pipeline3.s05_ann_ivf_trained(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val exact = Ann.bruteTopK(queries, corpus, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect out).size.toDouble / exact.size
+    assert(recall >= 0.4, s"trained-IVF recall@10 too low: $recall (nprobe=4 of 16 cells)")
+  }
+
+  // ---------------------------------------------------------------- //
   // p23 — domain mixing
   // ---------------------------------------------------------------- //
 
