@@ -268,6 +268,60 @@ object Pipeline3 {
       |WHERE frame_idx % 4 = 0 AND length(frame) > 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // st05: watermarked stream-stream inner join — the Structured
+  // Streaming operator family member st01-st04 don't cover (windowed
+  // agg, custom state, source, sink are). Purchases join the same
+  // user's clicks from the preceding 6 hours; both sides carry
+  // watermarks and the join condition time-bounds both event times, so
+  // the state store can evict — the shape that makes an unbounded
+  // stream-stream join feasible at all. Oracle = the identical batch
+  // join (streaming and batch must agree).
+  // ---------------------------------------------------------------- //
+  def st05_stream_join(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cuid"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("cuid") &&
+        col("cts") >= col("pts") - expr("INTERVAL 6 HOURS") &&
+        col("cts") <= col("pts"))
+    val name = s"st05_out_${System.nanoTime()}"
+    val ckpt = s"/dev/shm/graft_ckpt_$name"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = try {
+      joined.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    s.table(name)
+      .select(col("purchase_id"), col("click_id"),
+        unix_millis(col("pts")).as("purchase_ms"), unix_millis(col("cts")).as("click_ms"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val st05_sql: String =
+    """SELECT a.event_id AS purchase_id, b.event_id AS click_id,
+      |  epoch_ms(a.ts) AS purchase_ms, epoch_ms(b.ts) AS click_ms
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'purchase' AND b.event_type = 'click'
+      | AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** name → (query fn, Some(oracle sql) | None = rows-only check) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "s04_ann_q8" -> ((s04_ann_q8 _, Some(s04_sql))),
@@ -275,5 +329,6 @@ object Pipeline3 {
     "p24_kmeans" -> ((p24_kmeans _, Some(p24_sql))),
     "s05_ann_ivf_trained" -> ((s05_ann_ivf_trained _, Some(s05_sql))),
     "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),
+    "st05_stream_join" -> ((st05_stream_join _, Some(st05_sql))),
   )
 }
