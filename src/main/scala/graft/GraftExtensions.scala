@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{LshBuckets, MinhashFunctions, MinhashSig, PgCtidPack, PgCtidText, PgCtidUnpack, SortedIntersectSize, TopKBy, VecDot}
+import graft.functions.{LshBuckets, MinhashFunctions, MinhashSig, PgCtidPack, PgCtidText, PgCtidUnpack, SortedIntersectSize, TopKBy, VecDistSq, VecDot}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_dist_sq"),
+      new ExpressionInfo(classOf[VecDistSq].getName, "vec_dist_sq"),
+      (args: Seq[Expression]) => VecDistSq(args(0), args(1))))
     e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),

@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.DecimalType
   *
   *   - assignment: corpus ⨯ broadcast(centroids) → per-vector argmin of
   *     squared L2 distance. The distance fold is a sequential
-  *     left-to-right `acc += (x_i − c_i)²` (zip_with + aggregate), the
+  *     left-to-right `acc += (x_i − c_i)²` (the codegen'd `vec_dist_sq`
+  *     expression — functions/VectorExpressions), the
   *     argmin a map-side bounded heap (topk_by, k=1) — so the exchange
   *     carries one narrow (id, cid) row per vector, never the
   *     embedding. Ties break toward the smaller centroid id.
@@ -36,11 +37,14 @@ import org.apache.spark.sql.types.DecimalType
 object Kmeans {
 
   /** Sequential-fold squared L2 distance between a (float or double)
-    * vector column and a double centroid column. */
+    * vector column and a double centroid column — the codegen'd
+    * `vec_dist_sq` expression (identical arithmetic to the
+    * `aggregate(zip_with(...))` fold it replaces, but no interpreted
+    * lambdas or per-pair intermediate arrays across the |corpus|·k
+    * assignment evaluations). Callers must have run
+    * `VectorFunctions.register` (assign() does). */
   def distSq(v: Column, c: Column): Column =
-    aggregate(
-      zip_with(v, c, (x, y) => { val d = x.cast("double") - y; d * d }),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.VectorFunctions.vec_dist_sq(v, c)
 
   /** Nearest-centroid assignment: (idCol, cid) one row per corpus row.
     * `centroids`: (cid, centroid array<double>) — small, broadcast. */
@@ -49,6 +53,7 @@ object Kmeans {
       idCol: String,
       vecCol: String,
       centroids: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
     graft.functions.TopKFunctions.register(corpus.sparkSession)
     import graft.functions.TopKFunctions.topk_by
     corpus.crossJoin(broadcast(centroids))

@@ -97,6 +97,28 @@ class Pipeline3Spec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // vec_dist_sq expression
+  // ---------------------------------------------------------------- //
+
+  test("vec_dist_sq matches the interpreted fold and nulls on mismatch") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.5, 0.0, 3.0)),
+      (Array(0.0f, 0.0f, 0.0f), Array(0.0, 0.0, 0.0))).toDF("a", "b")
+    val got = df.select(graft.functions.VectorFunctions.vec_dist_sq(col("a"), col("b")))
+      .as[Double].collect().toSeq
+    val want = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => { val d = x.cast("double") - y; d * d }),
+      lit(0.0), (acc, d) => acc + d)).as[Double].collect().toSeq
+    assert(got == want)
+    val mismatch = Seq((Array(1.0f, 2.0f), Array(1.0))).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.vec_dist_sq(col("a"), col("b")))
+      .as[Option[Double]].head()
+    assert(mismatch.isEmpty, "length mismatch must yield NULL, not a prefix fold")
+  }
+
+  // ---------------------------------------------------------------- //
   // p24 — k-means
   // ---------------------------------------------------------------- //
 
