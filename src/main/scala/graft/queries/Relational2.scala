@@ -265,8 +265,30 @@ object Relational2 {
     s.sql(q38_sql)
   }
 
+  // ---------------------------------------------------------------- //
+  // q39: LATERAL correlated subquery — per-outer-row top-N, the
+  // "top 2 customers per nation" shape. One SQL text runs on both
+  // engines; Spark decorrelates the LIMIT-bearing subquery into a
+  // ranked window join (no per-row re-execution — the plan is a
+  // partitioned top-N, which is what scales).
+  // ---------------------------------------------------------------- //
+  val q39_sql: String =
+    """SELECT n_name, c_name, acctbal FROM nation,
+      |LATERAL (
+      |  SELECT c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |  FROM customer WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+      |) AS t
+      |ORDER BY n_name, acctbal DESC, c_name""".stripMargin
+
+  def q39_lateral_topn(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(q39_sql)
+  }
+
   /** name → (query fn, oracle sql) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q39_lateral_topn" -> ((q39_lateral_topn _, q39_sql)),
     "q31_stats_agg" -> ((q31_stats_agg _, q31_sql)),
     "q32_grouping_sets" -> ((q32_grouping_sets _, q32_sql)),
     "q33_exists_subquery" -> ((q33_exists_subquery _, q33_sql)),

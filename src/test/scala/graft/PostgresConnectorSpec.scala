@@ -138,6 +138,46 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(!pg.hasTable("public", "scratch"))
   }
 
+  test("concurrent scans and writes against one DSN stay consistent") {
+    // the reference ships a standalone threads-doing-concurrent-
+    // scan+update stress (concurrency_test.cpp); this is the same
+    // contract through the DSv2 stack: the pool must hand every thread
+    // its own healthy connection and writes must never interleave into
+    // a torn COPY.
+    pg
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("DROP TABLE IF EXISTS pg.public.conc")
+    spark.sql("CREATE TABLE pg.public.conc (k BIGINT, who STRING)")
+    val writers = (0 until 4).map { w =>
+      Future {
+        (0 until 3).foreach { r =>
+          (0 until 50).map(i => (w * 1000L + r * 100L + i, s"w$w"))
+            .toDF("k", "who").writeTo("pg.public.conc").append()
+        }
+      }
+    }
+    val readers = (0 until 4).map { _ =>
+      Future {
+        (0 until 6).foreach { _ =>
+          // any snapshot is fine mid-write; the scan must never error
+          // or return a torn row
+          val n = spark.read.format("postgres")
+            .option("dsn", dsn).option("table", "conc").load()
+            .filter(col("who").startsWith("w")).count()
+          assert(n >= 0)
+        }
+      }
+    }
+    Await.result(Future.sequence(writers ++ readers), 120.seconds)
+    val fin = spark.table("pg.public.conc")
+    assert(fin.count() == 4 * 3 * 50)
+    assert(fin.select(countDistinct(col("k"))).head.getLong(0) == 600)
+    assert(fin.groupBy("who").count().collect().forall(_.getLong(1) == 150))
+  }
+
   test("writes append via COPY FROM STDIN; overwrite truncates") {
     pg
     spark.sql("DROP TABLE IF EXISTS pg.public.wtest")
