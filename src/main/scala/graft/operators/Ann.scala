@@ -99,6 +99,78 @@ object Ann {
         (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos_q8"))
   }
 
+  /** An IVF index: trained cell centroids (cid, centroid ARRAY<DOUBLE>)
+    * plus the corpus assignment (neighbor_id, cid). Both are narrow
+    * relations — the index for a 10⁹-vector corpus is one long pair
+    * per vector plus k·dim doubles, independent of vector width. */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /** Build an IVF index: `lloydIters` k-means rounds from deterministic
+    * seeds (operators/Kmeans — broadcast centroids, narrow shuffles),
+    * then assign every corpus vector to its trained cell.
+    * corpus: (neighbor_id, cv). */
+  def buildIvf(corpus: DataFrame, cells: Int, lloydIters: Int = 1): IvfIndex = {
+    val emb = corpus.select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"))
+    var cents = emb.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    for (_ <- 1 to lloydIters) {
+      val a = Kmeans.assign(emb, "vec_id", "embedding", cents)
+      cents = Kmeans.centroidsOf(
+        a.join(emb, "vec_id").select(col("embedding"), col("cid")), "embedding")
+    }
+    val assign = Kmeans.assign(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    IvfIndex(cents, assign)
+  }
+
+  /** Persist an IVF index. Assignments are clustered by cell id so a
+    * probe touches only the files of its nprobe cells; this is the
+    * "hashed/assigned once, reused across query batches" layout the
+    * 100 TB path needs — the index build's corpus pass never repeats. */
+  def saveIvf(index: IvfIndex, path: String): Unit = {
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assignments.repartition(col("cid"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assignments"))
+
+  /** IVF cosine top-k against a prebuilt index: queries probe their
+    * `nprobe` nearest cells (same squared-L2 metric the index was
+    * built with), and only corpus vectors assigned to probed cells are
+    * exact-reranked. queries: (query_id, qv); corpus: (neighbor_id, cv)
+    * — the verify relation the reranker re-attaches by id. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
+      k: Int, nprobe: Int): DataFrame = {
+    val s = queries.sparkSession
+    VectorFunctions.register(s)
+    graft.functions.TopKFunctions.register(s)
+    import graft.functions.TopKFunctions.topk_by
+    val q = queries.withColumn("qn", sqrt(vec_dot(col("qv"), col("qv"))))
+    val c = corpus.withColumn("cn", sqrt(vec_dot(col("cv"), col("cv"))))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"),
+        Kmeans.distSq(col("qv"), col("centroid")).as("d2"), col("cid"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-col("d2"), col("cid"), nprobe).as("pr"))
+      .select(col("query_id"), explode(col("pr").getField("id")).as("cid"))
+    probes.join(index.assignments, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos"))
+  }
+
   /** Deterministic random hyperplanes: L tables × B bits, each plane a
     * `dim`-vector. Generated on the driver (tiny) and inlined as a
     * single nested-array literal — broadcast with the plan, no shuffle. */

@@ -113,11 +113,46 @@ object TextDedup {
     * re-attach by doc id with the join strategy left to AQE. */
   def nearDupAgainst(newDocs: DataFrame, refDocs: DataFrame, idCol: String,
       tokCol: String, threshold: Double = 0.85): DataFrame = {
+    def toksOf(docs: DataFrame) = docs.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(col(tokCol))).as("tok"))
+    nearDupAgainstIndex(newDocs, signatureIndex(refDocs, idCol, tokCol),
+      toksOf(refDocs), idCol, tokCol, threshold)
+  }
+
+  /** The stored form of the reference side of [[nearDupAgainst]]: one
+    * narrow row per (document, band) — (doc_id, sz, band_idx,
+    * band_hash). Write it with [[writeSignatureIndex]] once per corpus
+    * snapshot; each incremental batch then joins against the stored
+    * relation instead of re-hashing the reference. */
+  def signatureIndex(docs: DataFrame, idCol: String, tokCol: String): DataFrame =
+    bandSignatures(docs, idCol, tokCol)
+      .select(col("doc_id"), col("sz"),
+        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+
+  /** Persist a signature index, laid out for the incremental-dedup
+    * join: repartitioned on (band_idx, band_hash) so the parquet files
+    * are clustered by the join key — at scale a reader can co-locate
+    * the band join without re-shuffling the (much larger) stored side. */
+  def writeSignatureIndex(docs: DataFrame, idCol: String, tokCol: String,
+      path: String): Unit =
+    signatureIndex(docs, idCol, tokCol)
+      .repartition(col("band_idx"), col("band_hash"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[nearDupAgainst]] against a prebuilt reference index (the
+    * incremental path a production pipeline runs): `refIndex` is the
+    * [[signatureIndex]] relation (possibly read back from storage),
+    * `refToks` the (doc_id, tok sorted-distinct array) verify relation. */
+  def nearDupAgainstIndex(newDocs: DataFrame, refIndex: DataFrame,
+      refToks: DataFrame, idCol: String, tokCol: String,
+      threshold: Double = 0.85): DataFrame = {
     val s = newDocs.sparkSession
-    def exploded(docs: DataFrame, side: String) =
-      bandSignatures(docs, idCol, tokCol)
-        .select(col("doc_id").as(s"${side}_id"), col("sz").as(s"${side}_sz"),
-          posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+    val newBandsRaw = signatureIndex(newDocs, idCol, tokCol)
+      .select(col("doc_id").as("new_id"), col("sz").as("new_sz"),
+        col("band_idx"), col("band_hash"))
+    val refBands = refIndex
+      .select(col("doc_id").as("ref_id"), col("sz").as("ref_sz"),
+        col("band_idx"), col("band_hash"))
     val sizeRatio = math.max(0.0, threshold - 0.01)
     // The candidate join's parallelism comes from its LEFT side: AQE
     // broadcasts the (narrow) signature index, so without an exchange
@@ -127,27 +162,25 @@ object TextDedup {
     // but only when genuinely under-split (at real scale the source
     // already has >cores splits and the shuffle would be pure waste).
     val par = s.sparkContext.defaultParallelism
-    val newBands = {
-      val e = exploded(newDocs, "new")
-      if (e.rdd.getNumPartitions < math.min(par, 8))
-        e.repartition(par, col("band_idx"), col("band_hash"))
-      else e
-    }
+    val newBands =
+      if (newBandsRaw.rdd.getNumPartitions < math.min(par, 8))
+        newBandsRaw.repartition(par, col("band_idx"), col("band_hash"))
+      else newBandsRaw
     val cands = newBands
-      .join(exploded(refDocs, "ref"), Seq("band_idx", "band_hash"))
+      .join(refBands, Seq("band_idx", "band_hash"))
       .filter(col("new_id") =!= col("ref_id"))
       .filter(least(col("new_sz"), col("ref_sz")) >=
         lit(sizeRatio) * greatest(col("new_sz"), col("ref_sz")))
       .select(col("new_id"), col("ref_id"))
       .dropDuplicates("new_id", "ref_id")
     graft.functions.SortedIntersectFunctions.register(s)
-    def toksOf(docs: DataFrame) = docs.select(col(idCol).as("doc_id"),
+    val newToks = newDocs.select(col(idCol).as("doc_id"),
       array_sort(array_distinct(col(tokCol))).as("tok"))
     val inter = graft.functions.SortedIntersectFunctions
       .sorted_intersect_size(col("ta.tok"), col("tb.tok")).cast("double")
     cands
-      .join(toksOf(newDocs).as("ta"), col("new_id") === col("ta.doc_id"))
-      .join(toksOf(refDocs).as("tb"), col("ref_id") === col("tb.doc_id"))
+      .join(newToks.as("ta"), col("new_id") === col("ta.doc_id"))
+      .join(refToks.as("tb"), col("ref_id") === col("tb.doc_id"))
       .withColumn("jac",
         inter / (size(col("ta.tok")) + size(col("tb.tok")) - inter))
       .filter(col("jac") >= threshold)

@@ -97,6 +97,52 @@ class Pipeline3Spec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------- //
+  // index persistence
+  // ---------------------------------------------------------------- //
+
+  test("IVF index survives save/load and reproduces the inline result") {
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val built = Ann.buildIvf(corpus, cells = 16, lloydIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ann.saveIvf(built, dir)
+    val loaded = Ann.loadIvf(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("c")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val inline = key(Ann.ivfTopK(queries, corpus, built, k = 10, nprobe = 4))
+    val fromDisk = key(Ann.ivfTopK(queries, corpus, loaded, k = 10, nprobe = 4))
+    assert(inline == fromDisk && inline.size == 50)
+    // and the library path agrees with the battery entry (s05 uses the
+    // same build parameters)
+    val s05 = graft.queries.Pipeline3.s05_ann_ivf_trained(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(inline == s05)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("signature index survives save/load and reproduces the inline dedup") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("tok", split(trim(col("text")), "\\s+"))
+    val newDocs = docs.filter(length(col("source")) > 4)
+    val refDocs = docs.filter(length(col("source")) <= 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig").toString
+    graft.operators.TextDedup.writeSignatureIndex(refDocs, "doc_id", "tok", dir)
+    val refToks = refDocs.select(col("doc_id"),
+      array_sort(array_distinct(col("tok"))).as("tok"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = key(graft.operators.TextDedup
+      .nearDupAgainst(newDocs, refDocs, "doc_id", "tok"))
+    val fromDisk = key(graft.operators.TextDedup.nearDupAgainstIndex(
+      newDocs, spark.read.parquet(dir), refToks, "doc_id", "tok"))
+    assert(inline == fromDisk && inline.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  // ---------------------------------------------------------------- //
   // vec_dist_sq expression
   // ---------------------------------------------------------------- //
 
