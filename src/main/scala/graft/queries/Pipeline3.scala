@@ -142,6 +142,89 @@ object Pipeline3 {
   }
 
   // ---------------------------------------------------------------- //
+  // p25: quality-prioritized domain mixing — p23's per-source budget,
+  // but filled in QUALITY order (type-token ratio, the lexical-
+  // diversity component of p02) instead of neutral hash order: each
+  // source contributes its best documents until its budget is spent.
+  // This is the curation step that turns "sample the corpus" into
+  // "sample the best of each domain". Same single window shuffle on
+  // the source key; the quality expression is identical double
+  // arithmetic on both engines, so the greedy cut is exact.
+  // ---------------------------------------------------------------- //
+  def p25_quality_mix(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val quality = size(array_distinct(toks)).cast("double") / size(toks)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"), quality.as("quality"))
+      .withColumn("cum_chars",
+        sum(col("n_chars")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_chars") - col("n_chars") < p23Budget)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("quality"), 6).as("quality"), col("cum_chars"))
+      .orderBy(col("source"), col("cum_chars"), col("doc_id"))
+  }
+
+  val p25_sql: String =
+    s"""SELECT source, doc_id, n_chars, round(quality, 6) AS quality, cum_chars FROM (
+       |  SELECT source, doc_id, n_chars, quality,
+       |    SUM(n_chars) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_chars
+       |  FROM (SELECT source, doc_id, n_chars,
+       |          CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks) AS quality
+       |        FROM (SELECT source, doc_id, n_chars,
+       |                string_split_regex(trim(text), '\\s+') AS toks FROM documents)))
+       |WHERE cum_chars - n_chars < $p23Budget
+       |ORDER BY source, cum_chars, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p26: cross-document n-gram duplication rate — for every document,
+  // the fraction of its distinct 5-token shingles that also occur in
+  // ANOTHER document (the corpus-level complement of p14's intra-doc
+  // repetition; RefinedWeb-style "duplicated n-gram fraction").
+  // Shape at scale: one explode + one shuffle on the shingle key for
+  // the document-frequency count, one join back, one per-doc
+  // aggregate. Shingles are distinct-per-doc before the shuffle, so a
+  // doc repeating one phrase a thousand times costs one row.
+  // ---------------------------------------------------------------- //
+  def p26_ngram_dup_rate(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val n = 5
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("tok")) - n),
+          i => concat_ws(" ", (0 until n).map(o => col("tok")(i + o)): _*)))).as("sh"))
+    // sh is distinct per doc, so per-shingle row count == document
+    // frequency; no countDistinct shuffle needed
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_duplicated"))
+      .withColumn("dup_frac",
+        col("n_duplicated").cast("double") / col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p26_sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tok)-3),
+      |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4]))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)
+      |  WHERE len(tok) >= 5),
+      |dfreq AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+      |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+      |FROM sh JOIN dfreq USING (sh)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // s05: IVF ANN over TRAINED cells — the full index lifecycle that
   // s03 (fixed seed centroids) only probes: one Lloyd round refines
   // the seed centroids (operators/Kmeans — broadcast centroids, narrow
@@ -327,6 +410,8 @@ object Pipeline3 {
     "s04_ann_q8" -> ((s04_ann_q8 _, Some(s04_sql))),
     "p23_domain_mix" -> ((p23_domain_mix _, Some(p23_sql))),
     "p24_kmeans" -> ((p24_kmeans _, Some(p24_sql))),
+    "p25_quality_mix" -> ((p25_quality_mix _, Some(p25_sql))),
+    "p26_ngram_dup_rate" -> ((p26_ngram_dup_rate _, Some(p26_sql))),
     "s05_ann_ivf_trained" -> ((s05_ann_ivf_trained _, Some(s05_sql))),
     "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),
     "st05_stream_join" -> ((st05_stream_join _, Some(st05_sql))),
