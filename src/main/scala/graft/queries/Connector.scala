@@ -504,6 +504,83 @@ object ConnectorOps {
   val st04_sql: String =
     "SELECT event_id, event_type, value FROM events ORDER BY event_id"
 
+  // ---------------------------------------------------------------- //
+  // st06: streaming incremental dedup — the full curation loop through
+  // the connector: NEW documents arrive as key-range micro-batches
+  // from the postgres source (admission-controlled, several batches),
+  // and each batch is checked against the STORED reference signature
+  // index (operators/TextDedup.nearDupAgainstIndex) inside
+  // foreachBatch. Near-dup pairs only ever span new×ref, so batching
+  // cannot change the result set — the oracle is the one-shot batch
+  // cross-corpus dedup (p22's SQL). This is the production shape: the
+  // reference corpus is hashed once; each incoming increment pays only
+  // its own signatures plus one banded join against the stored index.
+  // ---------------------------------------------------------------- //
+  private def ensureNewDocsSeeded(s: SparkSession, dir: String): String = synchronized {
+    val d = dsn(dir)
+    val pg = InMemoryPg.forName(dsnName(dir))
+    if (!pg.hasTable("public", "docs_stream")) {
+      val df = Tables.load(s, dir, "documents")
+        .filter(length(col("source")) > 4)
+        .select(col("doc_id"), col("text"))
+      val t = PgTransportFactory.open(d)
+      try t.execute(
+        """CREATE TABLE "public"."docs_stream" ("doc_id" BIGINT, "text" VARCHAR)""")
+      finally t.close()
+      df.write.format("postgres")
+        .option("dsn", d).option("table", "docs_stream")
+        .mode("append").save()
+    }
+    d
+  }
+
+  def st06_pg_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val d = ensureNewDocsSeeded(s, dir)
+    val tok = split(trim(col("text")), "\\s+")
+    val docs = Tables.load(s, dir, "documents")
+    val refDocs = docs.filter(length(col("source")) <= 4).withColumn("tok", tok)
+    // built and MATERIALIZED once, reused by every micro-batch — the
+    // in-memory stand-in for the persisted index a production pipeline
+    // reads back (TextDedup.writeSignatureIndex); without the cache
+    // each batch would re-hash the whole reference corpus
+    val refIndex = graft.operators.TextDedup
+      .signatureIndex(refDocs, "doc_id", "tok").cache()
+    val refToks = refDocs.select(col("doc_id"),
+      array_sort(array_distinct(col("tok"))).as("tok")).cache()
+    // cap the key interval at ~1/4 of the id span so the backfill
+    // arrives as several micro-batches AT ANY SCALE, proving the
+    // incremental path (not one batch that happens to equal p22)
+    val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val tag = System.nanoTime()
+    val outDir = s"/dev/shm/graft_st06_out_$tag"
+    val ckpt = s"/dev/shm/graft_ckpt_st06_$tag"
+    val stream = s.readStream.format("postgres")
+      .option("dsn", d).option("table", "docs_stream")
+      .option("streamKey", "doc_id")
+      .option("streamMaxKeysPerBatch", math.max(1L, span / 4).toString)
+      .load()
+    val dedupBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      graft.operators.TextDedup.nearDupAgainstIndex(
+          batch.withColumn("tok", tok), refIndex, refToks, "doc_id", "tok")
+        .write.mode("append").parquet(outDir)
+    val q = stream.writeStream
+      .foreachBatch(dedupBatch)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // materialize before deleting the scratch dirs the plan reads from
+    val res = s.read.parquet(outDir).orderBy(col("new_id"), col("ref_id")).cache()
+    res.count()
+    refIndex.unpersist()
+    refToks.unpersist()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    res
+  }
+
+  val st06_sql: String = Pipeline2.p22_sql
+
   /** name → (query fn, Some(oracle sql)) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c01_pg_scan" -> ((c01_pg_scan _, Some(c01_sql))),
@@ -523,5 +600,6 @@ object ConnectorOps {
     "c15_pg_filtered_agg" -> ((c15_pg_filtered_agg _, Some(c15_sql))),
     "st03_pg_stream" -> ((st03_pg_stream _, Some(st03_sql))),
     "st04_pg_stream_sink" -> ((st04_pg_stream_sink _, Some(st04_sql))),
+    "st06_pg_stream_dedup" -> ((st06_pg_stream_dedup _, Some(st06_sql))),
   )
 }
