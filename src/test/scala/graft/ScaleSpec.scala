@@ -97,6 +97,40 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"per-doc window must include the chunk key:\n${wideWindows.mkString("\n")}")
   }
 
+  test("cross-corpus dedup shuffles carry only narrow band/id rows") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("tok", split(trim(col("text")), "\\s+"))
+    val out = graft.operators.TextDedup.nearDupAgainst(
+      docs.filter(length(col("source")) > 4),
+      docs.filter(length(col("source")) <= 4), "doc_id", "tok")
+    val plan = out.queryExecution.executedPlan.toString
+    // every Exchange's output must be free of the wide token array —
+    // the p22 scale contract: tokens re-attach AFTER the pair dedup,
+    // never ride a shuffle
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, s"expected shuffles in:\n$plan")
+    assert(exchanges.forall(l => !l.contains("tok#")),
+      s"a shuffle carries the wide token column:\n${exchanges.mkString("\n")}")
+  }
+
+  test("spread guards skip the repartition when the source is already split") {
+    import spark.implicits._
+    // 16 partitions >= min(parallelism, 8): neither lshTopK nor
+    // nearDupAgainst may inject a full-width repartition
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .repartition(16)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val lshPlan = graft.operators.Ann
+      .lshTopK(queries, corpus, 5, dim = 64).queryExecution.executedPlan.toString
+    val fullWidth = lshPlan.linesIterator
+      .filter(l => l.contains("Exchange") && l.contains("RoundRobinPartitioning") &&
+        l.contains("cv#")).toSeq
+    assert(fullWidth.isEmpty,
+      s"well-split corpus still full-width repartitioned:\n${fullWidth.mkString("\n")}")
+  }
+
   test("battery scans keep parquet filter pushdown and column pruning") {
     val df = graft.queries.Relational.q02_filter_pushdown(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.explainString(
