@@ -247,12 +247,25 @@ final class InMemoryPg(val name: String) extends PgTransport {
       bd(x).compareTo(bd(y))
   }
 
-  private def litValue(raw: String): Any = {
-    val s = raw.trim
-    if (s.startsWith("'"))
+  private val TsLitRe: Regex = """(?is)TIMESTAMP\s+'(.+)'""".r
+  private val DateLitRe: Regex = """(?is)DATE\s+'(.+)'""".r
+
+  private def litValue(raw: String): Any = raw.trim match {
+    // typed temporal literals (PgSqlGen renders TIMESTAMP '...' /
+    // DATE '...') convert to the column storage representation
+    // (micros since epoch / days since epoch) so cmpAny compares them
+    // numerically against the stored Long/Int — mirroring the server,
+    // which compares timestamps as instants, not as text
+    case TsLitRe(txt) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(java.sql.Timestamp.valueOf(txt))
+    case DateLitRe(txt) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(java.sql.Date.valueOf(txt))
+    case s if s.startsWith("'") =>
       org.apache.spark.unsafe.types.UTF8String.fromString(
         s.stripPrefix("'").stripSuffix("'").replace("''", "'"))
-    else s // numeric text; cmpAny parses via BigDecimal
+    case s => s // numeric text; cmpAny parses via BigDecimal
   }
 
   /** Evaluate a bound SELECT: (columns with types, result rows). */

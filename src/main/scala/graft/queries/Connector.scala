@@ -505,6 +505,62 @@ object ConnectorOps {
     "SELECT event_id, event_type, value FROM events ORDER BY event_id"
 
   // ---------------------------------------------------------------- //
+  // c16: TPC-H Q1 THROUGH the attached catalog — the reference's
+  // headline test shape (test/sql/scanner/tpch.test runs the whole
+  // TPC-H corpus over attached Postgres tables). The fact table is
+  // seeded once through the connector's COPY write path; the query is
+  // plain SQL against `<catalog>.public.lineitem`, so name resolution,
+  // discovery, type mapping, the parallel COPY scan, and Catalyst's
+  // whole aggregation pipeline all sit under the oracle at once.
+  // ---------------------------------------------------------------- //
+  private def ensureLineitemSeeded(s: SparkSession, dir: String): Unit = synchronized {
+    ensureSeeded(s, dir)
+    val pg = InMemoryPg.forName(dsnName(dir))
+    if (!pg.hasTable("public", "lineitem"))
+      seedWork(s, dir, "lineitem",
+        Tables.load(s, dir, "lineitem").select(
+          col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_shipdate")))
+  }
+
+  private def tpchQ1Sql(table: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       |  COUNT(*) AS count_order
+       |FROM $table
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def c16_pg_tpch_q1(s: SparkSession, dir: String): DataFrame = {
+    ensureLineitemSeeded(s, dir)
+    s.sql(tpchQ1Sql(s"${catalogFor(s, dir)}.public.lineitem"))
+  }
+
+  val c16_sql: String = tpchQ1Sql("lineitem")
+
+  // ---------------------------------------------------------------- //
+  // c17: multi-table join THROUGH the attached catalog (the
+  // attach_multi_join.test shape) — two connector relations joined and
+  // aggregated by Spark SQL, dimension side broadcast.
+  // ---------------------------------------------------------------- //
+  private def catJoinSql(prefix: String): String =
+    s"""SELECT n_name, COUNT(*) AS n_cust,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       |FROM ${prefix}customer JOIN ${prefix}nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > 0
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  def c17_pg_catalog_join(s: SparkSession, dir: String): DataFrame = {
+    ensureSeeded(s, dir)
+    s.sql(catJoinSql(s"${catalogFor(s, dir)}.public."))
+  }
+
+  val c17_sql: String = catJoinSql("")
+
+  // ---------------------------------------------------------------- //
   // st06: streaming incremental dedup — the full curation loop through
   // the connector: NEW documents arrive as key-range micro-batches
   // from the postgres source (admission-controlled, several batches),
@@ -598,6 +654,8 @@ object ConnectorOps {
     "c13_pg_topn" -> ((c13_pg_topn _, Some(c13_sql))),
     "c14_pg_runtime_filter" -> ((c14_pg_runtime_filter _, Some(c14_sql))),
     "c15_pg_filtered_agg" -> ((c15_pg_filtered_agg _, Some(c15_sql))),
+    "c16_pg_tpch_q1" -> ((c16_pg_tpch_q1 _, Some(c16_sql))),
+    "c17_pg_catalog_join" -> ((c17_pg_catalog_join _, Some(c17_sql))),
     "st03_pg_stream" -> ((st03_pg_stream _, Some(st03_sql))),
     "st04_pg_stream_sink" -> ((st04_pg_stream_sink _, Some(st04_sql))),
     "st06_pg_stream_dedup" -> ((st06_pg_stream_dedup _, Some(st06_sql))),

@@ -138,6 +138,28 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(!pg.hasTable("public", "scratch"))
   }
 
+  test("pushed timestamp and date predicates evaluate as instants, not text") {
+    pg
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS pg.public.temporal")
+    spark.sql("CREATE TABLE pg.public.temporal (k BIGINT, ts TIMESTAMP, d DATE)")
+    val rows = (0 until 10).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(s"1998-09-0${1 + i % 9} 12:00:00"),
+        java.sql.Date.valueOf(s"1995-01-0${1 + i % 9}"))
+    }
+    rows.toDF("k", "ts", "d").writeTo("pg.public.temporal").append()
+    // the remote WHERE contains TIMESTAMP '...' / DATE '...' literals;
+    // the mem endpoint must compare them as instants/days (a lexical or
+    // numeric-text comparison would throw or mis-filter)
+    val n1 = spark.table("pg.public.temporal")
+      .filter(col("ts") <= lit(java.sql.Timestamp.valueOf("1998-09-03 23:59:59"))).count()
+    assert(n1 == rows.count(_._2.getTime <= java.sql.Timestamp.valueOf("1998-09-03 23:59:59").getTime))
+    val n2 = spark.table("pg.public.temporal")
+      .filter(col("d") > lit(java.sql.Date.valueOf("1995-01-05"))).count()
+    assert(n2 == rows.count(_._3.after(java.sql.Date.valueOf("1995-01-05"))))
+  }
+
   test("concurrent scans and writes against one DSN stay consistent") {
     // the reference ships a standalone threads-doing-concurrent-
     // scan+update stress (concurrency_test.cpp); this is the same
