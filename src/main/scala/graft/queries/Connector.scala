@@ -590,7 +590,14 @@ object ConnectorOps {
     d
   }
 
+  // the cached result of the previous st06 run — unpersisted on the
+  // next invocation (the caller may still be consuming the returned
+  // DataFrame, so the current run's cache can't drop eagerly; bench
+  // reruns would otherwise accumulate cached copies)
+  private var st06PrevResult: Option[DataFrame] = None
+
   def st06_pg_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    synchronized { st06PrevResult.foreach(_.unpersist()); st06PrevResult = None }
     val d = ensureNewDocsSeeded(s, dir)
     val tok = split(trim(col("text")), "\\s+")
     val docs = Tables.load(s, dir, "documents")
@@ -632,6 +639,7 @@ object ConnectorOps {
     refToks.unpersist()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    synchronized { st06PrevResult = Some(res) }
     res
   }
 
