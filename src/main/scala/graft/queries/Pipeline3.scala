@@ -329,6 +329,111 @@ object Pipeline3 {
   }
 
   // ---------------------------------------------------------------- //
+  // s06: IVF + SQ8 — the production ANN stack end to end: cells
+  // trained with one Lloyd round (s05's build), vectors compressed to
+  // int8 (s04's quantization), queries probe their nprobe nearest
+  // cells and rerank ONLY probed candidates with the quantized cosine
+  // (scales cancel). At scale this is the FAISS-style layout: the
+  // index stores one (id, cell) pair plus a 4×-compressed vector per
+  // corpus row, and a query touches ~nprobe/C of the compressed
+  // corpus. Every stage is the same order-fixed arithmetic as
+  // s04/s05, so the composed pipeline stays fully oracle-checked.
+  // ---------------------------------------------------------------- //
+  def s06_ann_ivf_q8(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.TopKFunctions.register(s)
+    import graft.functions.VectorFunctions.vec_dot
+    import graft.functions.TopKFunctions.topk_by
+    val nprobe = 4; val k = 10
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val index = graft.operators.Ann.buildIvf(corpus, cells = 16, lloydIters = 1)
+    // compressed verify relation: int8 vectors + their integer norms
+    val cq = corpus.select(col("neighbor_id"),
+        graft.operators.Ann.quantizeQ8(col("cv")).as("cq"))
+      .withColumn("cn", sqrt(vec_dot(col("cq"), col("cq"))))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val qq = queries.select(col("query_id"),
+        graft.operators.Ann.quantizeQ8(col("qv")).as("qq"))
+      .withColumn("qn", sqrt(vec_dot(col("qq"), col("qq"))))
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"),
+        graft.operators.Kmeans.distSq(col("qv"), col("centroid")).as("d2"), col("cid"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-col("d2"), col("cid"), nprobe).as("pr"))
+      .select(col("query_id"), explode(col("pr").getField("id")).as("cid"))
+    probes.join(index.assignments, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(qq), "query_id")
+      .join(cq, "neighbor_id")
+      .withColumn("cos_q8", vec_dot(col("qq"), col("cq")) / (col("qn") * col("cn")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cos_q8"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rk"),
+        round(col("p.score"), 6).as("cos_q8"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s06_sql: String = {
+    def d2E(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, len($v)+1),
+         |    i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])))""".stripMargin
+    def quant(v: String) =
+      s"""CASE WHEN CAST(list_max(list_transform($v, x -> abs(x))) AS DOUBLE) = 0
+         | THEN list_transform($v, x -> 0)
+         | ELSE list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+         |   CAST(list_max(list_transform($v, y -> abs(y))) AS DOUBLE)) AS INT)) END""".stripMargin
+    def dotE(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+       |       FROM e WHERE vec_id < 16),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c0.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${d2E("e.v", "c0.cv")} ASC, c0.cid ASC) AS rn
+       |    FROM e CROSS JOIN c0) WHERE rn = 1),
+       |m1 AS (
+       |  SELECT cid, pos, CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT a1.cid, unnest(range(1, len(e.v)+1)) AS pos, unnest(e.v) AS x
+       |        FROM a1 JOIN e USING (vec_id))
+       |  GROUP BY cid, pos),
+       |c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT e.vec_id, c1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${d2E("e.v", "c1.cv")} ASC, c1.cid ASC) AS rn
+       |    FROM e CROSS JOIN c1) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY q.query_id ORDER BY ${d2E("q.qv", "c1.cv")} ASC, c1.cid ASC) AS rn
+       |    FROM q CROSS JOIN c1) WHERE rn <= 4),
+       |cq AS (SELECT vec_id AS neighbor_id, ${quant("v")} AS cqv FROM e),
+       |qq AS (SELECT vec_id AS query_id, ${quant("v")} AS qqv FROM e WHERE vec_id < 5),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM probes JOIN assign USING (cid)
+       |  WHERE query_id <> neighbor_id),
+       |scored AS (
+       |  SELECT cands.query_id, cands.neighbor_id,
+       |    ${dotE("qq.qqv", "cq.cqv")} /
+       |      (sqrt(${dotE("qq.qqv", "qq.qqv")}) * sqrt(${dotE("cq.cqv", "cq.cqv")})) AS cos
+       |  FROM cands JOIN qq ON qq.query_id = cands.query_id
+       |  JOIN cq ON cq.neighbor_id = cands.neighbor_id)
+       |SELECT query_id, neighbor_id, rk, round(cos, 6) AS cos_q8 FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rk
+       |  FROM scored) WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
   // m02: multimodal frame sampling — every k-th fixed-width window of
   // the payload (the video-frame-sampling shape: deterministic stride
   // over an opaque byte stream, emitting (doc, frame_idx, frame) rows).
@@ -413,6 +518,7 @@ object Pipeline3 {
     "p25_quality_mix" -> ((p25_quality_mix _, Some(p25_sql))),
     "p26_ngram_dup_rate" -> ((p26_ngram_dup_rate _, Some(p26_sql))),
     "s05_ann_ivf_trained" -> ((s05_ann_ivf_trained _, Some(s05_sql))),
+    "s06_ann_ivf_q8" -> ((s06_ann_ivf_q8 _, Some(s06_sql))),
     "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),
     "st05_stream_join" -> ((st05_stream_join _, Some(st05_sql))),
   )
