@@ -225,6 +225,42 @@ object Pipeline3 {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // p27: inter-source overlap matrix — for every pair of sources, how
+  // many distinct 5-token shingles they share (the corpus diagnostic
+  // behind domain-level dedup decisions: which feeds are near-copies
+  // of each other). Shape at scale: shingles dedup to one (source,
+  // shingle) row before the shuffle; the pair expansion happens
+  // per-shingle over the (tiny) source set, never over documents.
+  // ---------------------------------------------------------------- //
+  def p27_source_overlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val n = 5
+    val sh = t(s, dir, "documents")
+      .select(col("source"), toks.as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(col("source"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("tok")) - n),
+          i => concat_ws(" ", (0 until n).map(o => col("tok")(i + o)): _*)))).as("sh"))
+      .distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val p27_sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT source, unnest(list_distinct(list_transform(range(1, len(tok)-3),
+      |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4]))) AS sh
+      |  FROM (SELECT source, string_split_regex(trim(text), '\s+') AS tok FROM documents)
+      |  WHERE len(tok) >= 5)
+      |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // s05: IVF ANN over TRAINED cells — the full index lifecycle that
   // s03 (fixed seed centroids) only probes: one Lloyd round refines
   // the seed centroids (operators/Kmeans — broadcast centroids, narrow
@@ -517,6 +553,7 @@ object Pipeline3 {
     "p24_kmeans" -> ((p24_kmeans _, Some(p24_sql))),
     "p25_quality_mix" -> ((p25_quality_mix _, Some(p25_sql))),
     "p26_ngram_dup_rate" -> ((p26_ngram_dup_rate _, Some(p26_sql))),
+    "p27_source_overlap" -> ((p27_source_overlap _, Some(p27_sql))),
     "s05_ann_ivf_trained" -> ((s05_ann_ivf_trained _, Some(s05_sql))),
     "s06_ann_ivf_q8" -> ((s06_ann_ivf_q8 _, Some(s06_sql))),
     "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),

@@ -45,6 +45,24 @@ class Pipeline3Spec extends AnyFunSuite {
     assert(z == ((0, 0)))
   }
 
+  test("quantized cosine stays within the SQ8 error envelope of the exact cosine") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{vec_dot, vec_cosine}
+    graft.functions.VectorFunctions.register(spark)
+    // per-element relative rounding is ≤ 1/254; over a 64-dim cosine the
+    // composed error stays well under 0.02 on real (non-adversarial) data
+    val pairs = emb.as("a").crossJoin(emb.limit(20).as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        vec_cosine(col("a.embedding"), col("b.embedding")).as("exact"), {
+          val qa = Ann.quantizeQ8(col("a.embedding"))
+          val qb = Ann.quantizeQ8(col("b.embedding"))
+          (vec_dot(qa, qb) / (sqrt(vec_dot(qa, qa)) * sqrt(vec_dot(qb, qb)))).as("q8")
+        })
+    val maxErr = pairs.select(max(abs(col("exact") - col("q8")))).as[Double].head()
+    assert(maxErr < 0.02, s"SQ8 cosine error too large: $maxErr")
+  }
+
   test("quantized top-k recalls nearly all of the exact top-10") {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
