@@ -1053,9 +1053,60 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val DeleteWhereRe: Regex =
     """(?s)DELETE FROM "([^"]+)"\."([^"]+)" WHERE (.+)""".r
 
-  /** bind one simple predicate (comparison / IS [NOT] NULL) for the
-    * pushed-DELETE evaluator */
-  private def parseWherePred(t: MemTable, p: String): InternalRow => Boolean = {
+  /** split s on a top-level occurrence of `kw` — quote-aware (string
+    * literals may contain the keyword) and paren-aware (nested boolean
+    * groups stay whole) */
+  private def splitTopLevelKw(s: String, kw: String): Seq[String] = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false; i += 1 }
+      else if (c == '\'') { inQuote = true; cur += c; i += 1 }
+      else if (c == '(') { depth += 1; cur += c; i += 1 }
+      else if (c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (depth == 0 && s.regionMatches(i, kw, 0, kw.length)) {
+        parts += cur.toString; cur.clear(); i += kw.length
+      } else { cur += c; i += 1 }
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** peel redundant wrapping parens: `(("a" = 'x'))` → `"a" = 'x'` */
+  private def stripWrappingParens(p0: String): String = {
+    var p = p0.trim
+    while (p.startsWith("(") && p.endsWith(")") && outerParensMatch(p))
+      p = p.substring(1, p.length - 1).trim
+    p
+  }
+
+  /** Bind one pushed predicate: boolean AND/OR trees over comparisons,
+    * IN lists and IS [NOT] NULL — the shapes PgSqlGen.compileFilter
+    * emits. NULL evaluates to false at the leaves, which composes to
+    * SQL's unknown-is-false filter semantics for AND/OR (but NOT for
+    * NOT — negations are never bound here; the caller treats an
+    * unparseable conjunct as unbound and serves extra rows, which the
+    * connector's residual filter then removes). Anything else throws
+    * IllegalArgumentException → unbound. */
+  private def parseWherePred(t: MemTable, p0: String): InternalRow => Boolean = {
+    val p = stripWrappingParens(p0)
+    val ors = splitTopLevelKw(p, " OR ")
+    if (ors.length > 1) {
+      val ps = ors.map(parseWherePred(t, _))
+      return r => ps.exists(_(r))
+    }
+    // `x BETWEEN a AND b` never reaches here (only the ctid-range
+    // rewrite emits BETWEEN and it is bound before predicate parsing),
+    // so a bare top-level AND is always a boolean conjunction
+    val ands = splitTopLevelKw(p, " AND ")
+    if (ands.length > 1) {
+      val ps = ands.map(parseWherePred(t, _))
+      return r => ps.forall(_(r))
+    }
     val NullRe = """"?([\w]+)"?\s+IS\s+(NOT\s+)?NULL""".r
     val InRe = """(?s)"?([\w]+)"?\s+IN\s+\((.+)\)""".r
     p match {

@@ -28,9 +28,9 @@ import graft.types.PgType
   */
 object ConnectorOps {
 
-  private def dsnName(dir: String): String =
+  private[queries] def dsnName(dir: String): String =
     "c_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-  private def dsn(dir: String): String = "mem:" + dsnName(dir)
+  private[queries] def dsn(dir: String): String = "mem:" + dsnName(dir)
 
   /** small page ranges so even sf0.01 scans fan out over several ctid
     * tasks (exercising snapshot export + adoption); at sf0.1 this is
@@ -39,7 +39,7 @@ object ConnectorOps {
 
   private val seededTables = Seq("customer", "nation")
 
-  private def ensureSeeded(s: SparkSession, dir: String): String = synchronized {
+  private[queries] def ensureSeeded(s: SparkSession, dir: String): String = synchronized {
     val d = dsn(dir)
     val pg = InMemoryPg.forName(dsnName(dir))
     seededTables.foreach { tbl =>
@@ -202,7 +202,7 @@ object ConnectorOps {
   // then mutates through spark.sql and reads back through the scan;
   // the oracle recomputes the post-DML state from parquet.
   // ---------------------------------------------------------------- //
-  private def catalogFor(s: SparkSession, dir: String): String = {
+  private[queries] def catalogFor(s: SparkSession, dir: String): String = {
     val name = "pgc_" + dsnName(dir)
     if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {
       s.conf.set(s"spark.sql.catalog.$name", "graft.catalog.PostgresCatalog")
@@ -211,7 +211,7 @@ object ConnectorOps {
     name
   }
 
-  private def seedWork(s: SparkSession, dir: String, table: String, df: DataFrame): Unit = {
+  private[queries] def seedWork(s: SparkSession, dir: String, table: String, df: DataFrame): Unit = {
     val d = ensureSeeded(s, dir)
     val colDefs = df.schema.fields.map { f =>
       s"${PgSqlGen.quoteIdent(f.name)} ${PgType.typeString(PgType.fromSpark(f.dataType))}"
@@ -513,14 +513,19 @@ object ConnectorOps {
   // discovery, type mapping, the parallel COPY scan, and Catalyst's
   // whole aggregation pipeline all sit under the oracle at once.
   // ---------------------------------------------------------------- //
-  private def ensureLineitemSeeded(s: SparkSession, dir: String): Unit = synchronized {
-    ensureSeeded(s, dir)
+  /** Seed the FULL TPC-H-ish star schema through the connector's own
+    * write path (CREATE TABLE DDL + binary COPY FROM STDIN), once per
+    * (JVM, sf dir). Shared by c16/c17 and the whole c18-c38 adapted
+    * TPC-H suite in [[TpchCatalog]] — the reference's acceptance bar is
+    * running the entire TPC-H corpus over attached tables
+    * (ref: test/sql/scanner/tpch.test:12-28). */
+  private[queries] def ensureTpchSeeded(s: SparkSession, dir: String): Unit = synchronized {
+    ensureSeeded(s, dir) // customer + nation
     val pg = InMemoryPg.forName(dsnName(dir))
-    if (!pg.hasTable("public", "lineitem"))
-      seedWork(s, dir, "lineitem",
-        Tables.load(s, dir, "lineitem").select(
-          col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"), col("l_shipdate")))
+    Seq("region", "supplier", "part", "orders", "lineitem").foreach { tbl =>
+      if (!pg.hasTable("public", tbl))
+        seedWork(s, dir, tbl, Tables.load(s, dir, tbl))
+    }
   }
 
   private def tpchQ1Sql(table: String): String =
@@ -535,7 +540,7 @@ object ConnectorOps {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def c16_pg_tpch_q1(s: SparkSession, dir: String): DataFrame = {
-    ensureLineitemSeeded(s, dir)
+    ensureTpchSeeded(s, dir)
     s.sql(tpchQ1Sql(s"${catalogFor(s, dir)}.public.lineitem"))
   }
 

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's own end-to-end acceptance bar, re-expressed on Spark:
+  * TPC-H Q2-Q22 run as plain SQL THROUGH the attached Postgres catalog
+  * (ref: test/sql/scanner/tpch.test:12-28 runs `tpch(sf=0.01)` over
+  * attached tables; c16 already covers Q1). Every query resolves its
+  * tables as `<catalog>.public.<table>`, so name resolution, schema
+  * discovery, type mapping, the parallel ctid-ranged binary-COPY scan,
+  * and Catalyst's full optimizer pipeline (join reorder, subquery
+  * decorrelation, broadcast selection, AQE) all sit under the DuckDB
+  * oracle at once. The oracle runs the identical SQL (no prefix) over
+  * the original parquet.
+  *
+  * The testdata schema is TPC-H-shaped but reduced — no `partsupp`
+  * table, no comment/phone/address columns, no l_commitdate /
+  * l_receiptdate / l_shipmode / o_shippriority (see TESTDATA.md). Each
+  * query is therefore ADAPTED: predicates and proxy columns differ from
+  * the spec text, but the plan class that makes each query a planner
+  * test is preserved —
+  *   Q2  correlated MIN subquery over a multi-join
+  *   Q4  EXISTS with correlated non-equi predicate
+  *   Q7  nation self-join with OR-paired filter
+  *   Q8  share-of-total over an 8-relation join
+  *   Q11 HAVING against a scalar-subquery fraction of the total
+  *   Q13 left outer join with extra ON predicate + two-level agg
+  *   Q15 CTE consumed twice (grouped read + MAX scalar subquery)
+  *   Q16 NOT IN subquery + COUNT(DISTINCT) over a distinct bridge
+  *   Q17 correlated scalar AVG subquery
+  *   Q18 IN over GROUP BY ... HAVING on the fact table
+  *   Q19 disjunction of conjunctive join predicates
+  *   Q20 nested IN subqueries with grouped HAVING
+  *   Q21 EXISTS + NOT EXISTS self-joins with correlated non-equi terms
+  *   Q22 substring-derived grouping, scalar AVG threshold, NOT EXISTS
+  * Proxies: supply cost = min unit price ever charged (Q2) or
+  * p_retailprice (Q9); partsupp = distinct (l_partkey, l_suppkey)
+  * (Q16, Q11, Q20); "late" = shipped after the order date (Q4, Q12,
+  * Q21); country code = last two digits of c_name (Q22).
+  *
+  * Exactness rules (see `queries/Relational.dsum` and the oracle notes):
+  * every floating SUM accumulates via DECIMAL(18,2) and casts to DOUBLE
+  * once at the end; ratios divide two such doubles; EXTRACT(YEAR) is
+  * cast to BIGINT on both engines; every multi-row result ends in a
+  * total deterministic ORDER BY.
+  */
+object TpchCatalog {
+
+  /** The canonical `sum(l_extendedprice * (1 - l_discount))` measure,
+    * decimal-accumulated so Spark and DuckDB agree bit-for-bit. */
+  private val rev: String =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  private def q02(p: String): String =
+    s"""SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+       |FROM ${p}part, ${p}supplier, ${p}lineitem, ${p}nation, ${p}region
+       |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |  AND p_size = 15 AND p_type = 'LARGE'
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+       |  AND l_extendedprice / l_quantity = (
+       |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+       |    FROM ${p}lineitem l2, ${p}supplier s2, ${p}nation n2, ${p}region r2
+       |    WHERE p_partkey = l2.l_partkey AND s2.s_suppkey = l2.l_suppkey
+       |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+       |      AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin
+
+  private def q03(p: String): String =
+    s"""SELECT l_orderkey, $rev AS revenue, o_orderdate, o_orderpriority
+       |FROM ${p}customer, ${p}orders, ${p}lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  private def q04(p: String): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM ${p}orders
+       |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+       |  AND EXISTS (SELECT 1 FROM ${p}lineitem
+       |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate AND l_quantity > 45)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def q05(p: String): String =
+    s"""SELECT n_name, $rev AS revenue
+       |FROM ${p}customer, ${p}orders, ${p}lineitem, ${p}supplier, ${p}nation, ${p}region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  private def q06(p: String): String =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM ${p}lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  private def q07(p: String): String =
+    s"""SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+       |  FROM ${p}supplier, ${p}lineitem, ${p}orders, ${p}customer, ${p}nation n1, ${p}nation n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+       |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  private def q08(p: String): String =
+    s"""SELECT o_year,
+       |  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+       |    n2.n_name AS nation
+       |  FROM ${p}part, ${p}supplier, ${p}lineitem, ${p}orders, ${p}customer, ${p}nation n1, ${p}nation n2, ${p}region
+       |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+       |    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+       |    AND p_type = 'ECONOMY'
+       |) all_nations
+       |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  private def q09(p: String): String =
+    s"""SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |      - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+       |  FROM ${p}part, ${p}supplier, ${p}lineitem, ${p}orders, ${p}nation
+       |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+       |    AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+       |) profit
+       |GROUP BY nation, o_year ORDER BY nation, o_year""".stripMargin
+
+  private def q10(p: String): String =
+    s"""SELECT c_custkey, c_name, $rev AS revenue, c_acctbal, n_name
+       |FROM ${p}customer, ${p}orders, ${p}lineitem, ${p}nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  private val partValue =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def q11(p: String): String =
+    s"""SELECT l_partkey, $partValue AS value
+       |FROM ${p}lineitem, ${p}supplier, ${p}nation
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+       |GROUP BY l_partkey
+       |HAVING $partValue > (
+       |  SELECT $partValue * 0.001
+       |  FROM ${p}lineitem, ${p}supplier, ${p}nation
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')
+       |ORDER BY value DESC, l_partkey""".stripMargin
+
+  private def q12(p: String): String =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       |FROM ${p}orders, ${p}lineitem
+       |WHERE o_orderkey = l_orderkey
+       |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > o_orderdate
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private def q13(p: String): String =
+    s"""SELECT c_count, COUNT(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |  FROM ${p}customer LEFT OUTER JOIN ${p}orders
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+       |  GROUP BY c_custkey
+       |) c_orders
+       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  private def q14(p: String): String =
+    s"""SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |    / $rev AS promo_revenue
+       |FROM ${p}lineitem, ${p}part
+       |WHERE l_partkey = p_partkey
+       |  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  private def q15(p: String): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, $rev AS total_revenue
+       |  FROM ${p}lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM ${p}supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  private def q16(p: String): String =
+    s"""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM ${p}lineitem) ps, ${p}part
+       |WHERE p_partkey = l_partkey AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM ${p}supplier WHERE s_name LIKE '%0009%')
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private def q17(p: String): String =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+       |FROM ${p}lineitem, ${p}part
+       |WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+       |  AND l_quantity < (SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       |                    FROM ${p}lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private def q18(p: String): String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM ${p}customer, ${p}orders, ${p}lineitem
+       |WHERE o_orderkey IN (
+       |    SELECT l_orderkey FROM ${p}lineitem GROUP BY l_orderkey
+       |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       |LIMIT 100""".stripMargin
+
+  private def q19(p: String): String =
+    s"""SELECT $rev AS revenue
+       |FROM ${p}lineitem, ${p}part
+       |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size >= 1 AND p_size <= 5
+       |       AND l_quantity >= 1 AND l_quantity <= 11)
+       |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2' AND p_size >= 1 AND p_size <= 10
+       |       AND l_quantity >= 10 AND l_quantity <= 20)
+       |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_size >= 1 AND p_size <= 15
+       |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
+  private def q20(p: String): String =
+    s"""SELECT s_name, s_acctbal
+       |FROM ${p}supplier, ${p}nation
+       |WHERE s_suppkey IN (
+       |    SELECT l_suppkey FROM ${p}lineitem
+       |    WHERE l_partkey IN (SELECT p_partkey FROM ${p}part WHERE p_name LIKE 'blue%')
+       |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |    GROUP BY l_suppkey, l_partkey
+       |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 40)
+       |  AND s_nationkey = n_nationkey AND n_regionkey = 1
+       |ORDER BY s_name""".stripMargin
+
+  private def q21(p: String): String =
+    s"""SELECT s_name, COUNT(*) AS numwait
+       |FROM ${p}supplier, ${p}lineitem l1, ${p}orders, ${p}nation
+       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+       |  AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+       |  AND EXISTS (SELECT 1 FROM ${p}lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM ${p}lineitem l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_shipdate > o_orderdate)
+       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+       |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin
+
+  private val q22Codes =
+    "('01', '05', '13', '19', '25', '31', '38', '42', '47', '50', '56', '62', '71', '88')"
+
+  private def q22(p: String): String =
+    s"""SELECT cntrycode, COUNT(*) AS numcust,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       |FROM (
+       |  SELECT SUBSTRING(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+       |  FROM ${p}customer
+       |  WHERE SUBSTRING(c_name, 17, 2) IN $q22Codes
+       |    AND c_acctbal > (
+       |      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+       |      FROM ${p}customer c2
+       |      WHERE c2.c_acctbal > 0.00
+       |        AND SUBSTRING(c2.c_name, 17, 2) IN $q22Codes)
+       |) custsale
+       |WHERE NOT EXISTS (SELECT 1 FROM ${p}orders
+       |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
+  private val templates: Seq[(String, String => String)] = Seq(
+    "c18_tpch_q02" -> (q02 _),
+    "c19_tpch_q03" -> (q03 _),
+    "c20_tpch_q04" -> (q04 _),
+    "c21_tpch_q05" -> (q05 _),
+    "c22_tpch_q06" -> (q06 _),
+    "c23_tpch_q07" -> (q07 _),
+    "c24_tpch_q08" -> (q08 _),
+    "c25_tpch_q09" -> (q09 _),
+    "c26_tpch_q10" -> (q10 _),
+    "c27_tpch_q11" -> (q11 _),
+    "c28_tpch_q12" -> (q12 _),
+    "c29_tpch_q13" -> (q13 _),
+    "c30_tpch_q14" -> (q14 _),
+    "c31_tpch_q15" -> (q15 _),
+    "c32_tpch_q16" -> (q16 _),
+    "c33_tpch_q17" -> (q17 _),
+    "c34_tpch_q18" -> (q18 _),
+    "c35_tpch_q19" -> (q19 _),
+    "c36_tpch_q20" -> (q20 _),
+    "c37_tpch_q21" -> (q21 _),
+    "c38_tpch_q22" -> (q22 _),
+  )
+
+  private def run(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
+    ConnectorOps.ensureTpchSeeded(s, dir)
+    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
+  }
+
+  /** name -> (query fn through the attached catalog, oracle SQL) */
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
+    templates.map { case (n, tpl) => n -> ((run(tpl) _, Option(tpl("")))) }.toMap
+}

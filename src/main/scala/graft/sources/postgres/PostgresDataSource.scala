@@ -383,7 +383,12 @@ final class PostgresScanBuilder(table: PostgresTable)
       case IsNotNull(a) => exactCol(a)
       case And(l, r) => exactFilter(l) && exactFilter(r)
       case Or(l, r) => exactFilter(l) && exactFilter(r)
-      case Not(c) => exactFilter(c)
+      // NOT is never exact: SQL's three-valued NOT(NULL)=NULL drops the
+      // row, which a host-side re-filter reproduces for free, while a
+      // remote evaluator that conflates NULL with false would keep it.
+      // Keeping the residual also guards offline `mem:` endpoints that
+      // leave negations unbound and serve extra rows.
+      case Not(_) => false
       case _ => false
     }
   }

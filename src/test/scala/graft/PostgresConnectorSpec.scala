@@ -77,6 +77,32 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") || df.count() == 10)
   }
 
+  test("pushed OR / NOT / nested boolean filters return exact results") {
+    pg
+    def people = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people").load()
+    // regression: an OR on an exact-typed column is marked fully pushed
+    // (no Spark residual), so the remote evaluator must bind it — a
+    // mis-parse used to swallow `' OR '` into one bogus literal and
+    // return zero rows
+    assert(people.filter(col("id") === 3 || col("id") === 7).count() == 2)
+    // OR over strings keeps the host residual, but the served superset
+    // must still contain the matches
+    assert(people.filter(col("name") === "name_3" || col("name") === "name_7")
+      .count() == 2)
+    // nested boolean tree: (a AND b) OR (a AND b)
+    assert(people.filter(
+      (col("id") < 5 && col("name") === "name_3") ||
+        (col("id") > 290 && col("name") === "name_295")).count() == 2)
+    // NOT stays a host residual (3-valued NOT; unbound remotely)
+    assert(people.filter(col("id") =!= 0).count() == 299)
+    // self-join of one catalog table with an OR-paired cross condition
+    val n = spark.sql(
+      """SELECT a.id FROM pg.public.people a, pg.public.people b
+        |WHERE (a.id = 1 AND b.id = 2) OR (a.id = 2 AND b.id = 1)""".stripMargin)
+    assert(n.count() == 2)
+  }
+
   test("count(*) prunes to NULL projection") {
     pg
     val n = spark.read.format("postgres")
