@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.DecimalType
   *     embedding. Ties break toward the smaller centroid id.
   *   - update: element-wise mean per cluster via posexplode →
   *     groupBy(cid, pos). Float components are summed through an exact
-  *     DECIMAL(38,15) accumulator and divided by the count as a final
+  *     DECIMAL(38,9) accumulator and divided by the count as a final
   *     double op, so the new centroids are IDENTICAL under any
   *     partitioning or row order — which is what makes a k-means
   *     assignment hash-comparable against a single-node oracle at all.

@@ -109,7 +109,18 @@ object Multimodal {
     * byte-window "frame" of the payload, as a stand-in for video frame
     * sampling; pure Spark built-ins. */
   def sampleFrames(media: DataFrame, every: Int): DataFrame =
-    media.select(col("doc_id"),
-      posexplode(split(decode(col("bytes"), "UTF-8"), "(?<=\\G.{32})")).as(Seq("frame_idx", "frame")))
-      .filter(col("frame_idx") % every === 0 && length(col("frame")) > 0)
+    // fixed-width windows via substring: Spark (UTF8String) and DuckDB
+    // both count code points there, so payloads with newlines or
+    // non-BMP characters chunk identically on both engines — a
+    // `(?<=\G.{32})` regex split would count UTF-16 units and refuse to
+    // match '.' across line terminators. The degenerate empty-payload
+    // sequence(0,-1) rows fall to the length(frame) > 0 filter.
+    media.select(col("doc_id"), decode(col("bytes"), "UTF-8").as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0), ceil(length(col("t")) / 32.0).cast("int") - 1))
+          .as(Seq("pos", "frame_idx")))
+      .filter(col("frame_idx") % every === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        col("t").substr(col("frame_idx") * 32 + 1, lit(32)).as("frame"))
+      .filter(length(col("frame")) > 0)
 }

@@ -598,11 +598,21 @@ object ConnectorOps {
   // the cached result of the previous st06 run — unpersisted on the
   // next invocation (the caller may still be consuming the returned
   // DataFrame, so the current run's cache can't drop eagerly; bench
-  // reruns would otherwise accumulate cached copies)
+  // reruns would otherwise accumulate cached copies). The backing
+  // parquet scratch dir is deleted on the same deferred schedule: the
+  // cache() is only a cache, and evicted blocks recompute by re-reading
+  // the path — deleting it under a live result would fail that re-read.
   private var st06PrevResult: Option[DataFrame] = None
+  private var st06PrevScratch: Option[String] = None
 
   def st06_pg_stream_dedup(s: SparkSession, dir: String): DataFrame = {
-    synchronized { st06PrevResult.foreach(_.unpersist()); st06PrevResult = None }
+    synchronized {
+      st06PrevResult.foreach(_.unpersist())
+      st06PrevResult = None
+      st06PrevScratch.foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      st06PrevScratch = None
+    }
     val d = ensureNewDocsSeeded(s, dir)
     val tok = split(trim(col("text")), "\\s+")
     val docs = Tables.load(s, dir, "documents")
@@ -637,14 +647,14 @@ object ConnectorOps {
       .start()
     q.processAllAvailable()
     q.stop()
-    // materialize before deleting the scratch dirs the plan reads from
+    // materialize the cache now; keep outDir on disk until the next
+    // invocation so evicted cache blocks can recompute from it
     val res = s.read.parquet(outDir).orderBy(col("new_id"), col("ref_id")).cache()
     res.count()
     refIndex.unpersist()
     refToks.unpersist()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-    synchronized { st06PrevResult = Some(res) }
+    synchronized { st06PrevResult = Some(res); st06PrevScratch = Some(outDir) }
     res
   }
 

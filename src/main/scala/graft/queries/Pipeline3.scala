@@ -121,7 +121,7 @@ object Pipeline3 {
          |    i -> (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i])))""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
-       |       FROM e WHERE vec_id < 8),
+       |       FROM e ORDER BY vec_id LIMIT 8),
        |a1 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c0.cid, ROW_NUMBER() OVER (
@@ -325,7 +325,7 @@ object Pipeline3 {
     val cos = s"${dotE("q.qv", "c.cv")} / (${normE("q.qv")} * ${normE("c.cv")})"
     s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
-       |       FROM e WHERE vec_id < 16),
+       |       FROM e ORDER BY vec_id LIMIT 16),
        |a1 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c0.cid, ROW_NUMBER() OVER (
@@ -427,7 +427,7 @@ object Pipeline3 {
       s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
     s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
-       |       FROM e WHERE vec_id < 16),
+       |       FROM e ORDER BY vec_id LIMIT 16),
        |a1 AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c0.cid, ROW_NUMBER() OVER (

@@ -173,6 +173,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
   }
 
+  test("frame sampling chunks by code point across newlines and non-BMP text") {
+    import spark.implicits._
+    // 70 code points incl. a newline and an astral emoji -> 3 windows of
+    // 32/32/6; a UTF-16 regex split would miscount the surrogate pair
+    // and stop at the newline
+    val text = ("a" * 10) + "\n" + ("b" * 20) + "😀" + ("c" * 38)
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val rows = Multimodal.sampleFrames(Multimodal.asMedia(docs), every = 1)
+      .orderBy("frame_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    val got = rows.map(_.getString(2))
+    assert(got(0).codePointCount(0, got(0).length) == 32)
+    assert(got(0).contains("\n"))
+    assert(got.mkString == text)
+  }
+
   test("lsh_buckets matches the composed vec_dot bit-fold exactly") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.vec_dot
