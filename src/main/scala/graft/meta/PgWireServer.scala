@@ -19,7 +19,8 @@ import graft.types.PgType
   * connection (connection counts are capped by the connector's own
   * 64-permit pool, so blocking IO is fine).
   */
-final class PgWireServer(backend: PgTransport) extends AutoCloseable {
+final class PgWireServer(backend: PgTransport,
+    auth: PgWireServer.Auth = PgWireServer.Trust) extends AutoCloseable {
 
   import PgWireProtocol._
 
@@ -99,8 +100,10 @@ final class PgWireServer(backend: PgTransport) extends AutoCloseable {
     }
   }
 
-  /** StartupMessage (length-prefixed, untagged) → AuthenticationOk +
-    * ReadyForQuery. SSLRequest is answered 'N' (not supported). */
+  /** StartupMessage (length-prefixed, untagged) → authentication
+    * exchange per the configured [[PgWireServer.Auth]] mode →
+    * AuthenticationOk + ReadyForQuery. SSLRequest is answered 'N'
+    * (plaintext loopback). */
   private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
     var len = in.readInt() - 4
     var code = in.readInt()
@@ -114,15 +117,111 @@ final class PgWireServer(backend: PgTransport) extends AutoCloseable {
       return false
     }
     val rest = new Array[Byte](len - 4)
-    in.readFully(rest) // user/database pairs — single-tenant, ignored
-    // AuthenticationOk
-    val auth = new ByteArrayOutputStream()
-    new DataOutputStream(auth).writeInt(0)
-    send(out, 'R', auth.toByteArray)
+    in.readFully(rest)
+    // parse the user out of the startup key/value pairs (auth needs it)
+    val params = {
+      val di = new DataInputStream(new java.io.ByteArrayInputStream(rest))
+      val kv = scala.collection.mutable.Map.empty[String, String]
+      var k = readCstr(di)
+      while (k.nonEmpty) { kv(k) = readCstr(di); k = readCstr(di) }
+      kv.toMap
+    }
+    if (!authExchange(params.getOrElse("user", ""), in, out)) return false
+    val ok = new ByteArrayOutputStream()
+    new DataOutputStream(ok).writeInt(0)
+    send(out, 'R', ok.toByteArray) // AuthenticationOk
     paramStatus(out, "server_version", "16.0 (graft InMemoryPg)")
     paramStatus(out, "standard_conforming_strings", "on")
     readyForQuery(out)
     true
+  }
+
+  private def authFail(out: DataOutputStream, user: String): Boolean = {
+    send(out, 'E', errorBody("FATAL", "28P01",
+      s"""password authentication failed for user "$user""""))
+    out.flush()
+    false
+  }
+
+  /** Run the configured authentication exchange; false aborts the
+    * connection (after a 28P01, like a live server). */
+  private def authExchange(user: String, in: DataInputStream,
+      out: DataOutputStream): Boolean = auth match {
+    case PgWireServer.Trust => true
+    case PgWireServer.Scram(users) =>
+      // AuthenticationSASL advertising SCRAM-SHA-256
+      val adv = new ByteArrayOutputStream()
+      val d = new DataOutputStream(adv)
+      d.writeInt(10)
+      d.write(cstr(PgScram.Mechanism)); d.write(0)
+      send(out, 'R', adv.toByteArray); out.flush()
+      val init = read(in)
+      if (init.tag.toChar != 'p') return authFail(out, user)
+      val ii = init.in
+      if (readCstr(ii) != PgScram.Mechanism) return authFail(out, user)
+      val ilen = ii.readInt()
+      val ibytes = new Array[Byte](ilen)
+      ii.readFully(ibytes)
+      val clientFirst = new String(ibytes, UTF_8)
+      // gs2 header "n,," (no channel binding) then client-first-bare
+      if (!clientFirst.startsWith("n,,")) return authFail(out, user)
+      val clientFirstBare = clientFirst.substring(3)
+      val cnonce = PgScram.attrs(clientFirstBare).getOrElse('r', return authFail(out, user))
+      users.get(user) match {
+        case None =>
+          // run the exchange against an unguessable verifier rather than
+          // leaking user existence up front; the proof can never match
+          authFail(out, user)
+        case Some(pw) =>
+          val rng = new java.security.SecureRandom()
+          val salt = new Array[Byte](16)
+          rng.nextBytes(salt)
+          val iters = PgScram.DefaultIterations
+          val nonce = cnonce + PgScram.nonce(rng)
+          val serverFirst = s"r=$nonce,s=${PgScram.b64(salt)},i=$iters"
+          val cont = new ByteArrayOutputStream()
+          val cd = new DataOutputStream(cont)
+          cd.writeInt(11)
+          cd.write(serverFirst.getBytes(UTF_8))
+          send(out, 'R', cont.toByteArray); out.flush()
+          val fin = read(in)
+          if (fin.tag.toChar != 'p') return authFail(out, user)
+          val clientFinal = new String(fin.body, UTF_8)
+          val a = PgScram.attrs(clientFinal)
+          val proof = a.getOrElse('p', return authFail(out, user))
+          if (!a.get('r').contains(nonce)) return authFail(out, user)
+          val noProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+          val authMsg = PgScram.authMessage(clientFirstBare, serverFirst, noProof)
+          val salted = PgScram.saltedPassword(pw, salt, iters)
+          if (!PgScram.verifyClientProof(PgScram.storedKey(salted), authMsg,
+              PgScram.unb64(proof)))
+            return authFail(out, user)
+          val sig = PgScram.serverSignature(salted, authMsg)
+          val fb = new ByteArrayOutputStream()
+          val fd = new DataOutputStream(fb)
+          fd.writeInt(12)
+          fd.write(s"v=${PgScram.b64(sig)}".getBytes(UTF_8))
+          send(out, 'R', fb.toByteArray); out.flush()
+          true
+      }
+    case PgWireServer.Md5(users) =>
+      val salt = new Array[Byte](4)
+      new java.security.SecureRandom().nextBytes(salt)
+      val req = new ByteArrayOutputStream()
+      val d = new DataOutputStream(req)
+      d.writeInt(5); d.write(salt)
+      send(out, 'R', req.toByteArray); out.flush()
+      val resp = read(in)
+      if (resp.tag.toChar != 'p') return authFail(out, user)
+      val got = readCstr(resp.in)
+      val expect = users.get(user).map { pw =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+        val inner = hex(md.digest((pw + user).getBytes(UTF_8)))
+        md.reset(); md.update(inner.getBytes(UTF_8)); md.update(salt)
+        "md5" + hex(md.digest())
+      }
+      if (!expect.contains(got)) authFail(out, user) else true
   }
 
   private def paramStatus(out: DataOutputStream, k: String, v: String): Unit = {
@@ -268,4 +367,17 @@ final class PgWireServer(backend: PgTransport) extends AutoCloseable {
         sendError(out, s"COPY failed: $msg")
     }
   }
+}
+
+object PgWireServer {
+  /** Server authentication mode — the pg_hba.conf analogue. */
+  sealed trait Auth
+  /** No credential exchange (pg_hba `trust`). */
+  case object Trust extends Auth
+  /** SCRAM-SHA-256 (RFC 7677) against a user→password map (a live
+    * server stores the derived verifier; the loopback derives it per
+    * connection from the plaintext it was configured with). */
+  final case class Scram(users: Map[String, String]) extends Auth
+  /** Legacy md5 challenge/response. */
+  final case class Md5(users: Map[String, String]) extends Auth
 }

@@ -79,15 +79,25 @@ private[graft] object PgWireProtocol {
 
 /** Socket implementation of [[PgTransport]] speaking the PostgreSQL
   * frontend protocol — the live-server counterpart of [[InMemoryPg]].
-  * DSN form: `tcp:host:port/dbname[?user=name]` (trust auth; password
-  * methods would slot into the startup exchange).
+  * DSN form: `tcp:host:port/dbname[?user=name&password=pw&sslmode=m]`.
+  *
+  * Authentication: trust, cleartext password, MD5, and SCRAM-SHA-256
+  * (RFC 7677 over the v3 SASL exchange) — the methods a stock
+  * `pg_hba.conf` hands out; the reference client inherits the same set
+  * from libpq (ref: src/postgres_connection.cpp:16-60). `sslmode` is
+  * parsed libpq-style: `disable` (default here) connects plaintext,
+  * anything that REQUIRES a TLS channel (`require`, `verify-ca`,
+  * `verify-full`) fails fast with a clear error instead of silently
+  * downgrading; `prefer`/`allow` proceed plaintext (their libpq
+  * fallback) — this offline transport implements no TLS.
   *
   * One instance per scan partition / write task, exactly like the
   * reference's one-libpq-connection-per-task model
   * (ref: src/postgres_scanner.cpp:354-383); pooling, health checks and
   * reset-on-return happen a layer up in [[PgConnectionPool]].
   */
-final class PgWireTransport(host: String, port: Int, database: String, user: String)
+final class PgWireTransport(host: String, port: Int, database: String, user: String,
+    password: Option[String] = None)
     extends PgTransport {
 
   import PgWireProtocol._
@@ -116,10 +126,7 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
     while (!ready) {
       val m = read(in)
       m.tag.toChar match {
-        case 'R' =>
-          val code = m.in.readInt()
-          if (code != 0) throw new IllegalStateException(
-            s"unsupported authentication method $code (only trust is implemented)")
+        case 'R' => authenticate(m)
         case 'S' | 'K' | 'N' => // ParameterStatus / BackendKeyData / Notice
         case 'Z' => ready = true
         case 'E' => throw serverError(m)
@@ -136,6 +143,82 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
     val f = errorFields(m)
     new RuntimeException(
       s"server error ${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "unknown")}")
+  }
+
+  private def requirePassword(method: String): String =
+    password.getOrElse(throw new IllegalStateException(
+      s"server requires $method authentication but the DSN has no password " +
+        "(tcp:host:port/db?user=u&password=pw)"))
+
+  /** One Authentication* request message (tag 'R'). Handles trust (0),
+    * cleartext (3), MD5 (5) and the SASL triple (10/11/12) for
+    * SCRAM-SHA-256. */
+  private def authenticate(m: Msg): Unit = {
+    val mi = m.in
+    mi.readInt() match {
+      case 0 => // AuthenticationOk
+      case 3 => // cleartext password
+        sendFlush(out, 'p', cstr(requirePassword("password")))
+      case 5 => // md5: md5(md5(password + user) + salt)
+        val salt = new Array[Byte](4)
+        mi.readFully(salt)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+        val inner = hex(md.digest((requirePassword("md5") + user).getBytes(UTF_8)))
+        md.reset()
+        md.update(inner.getBytes(UTF_8)); md.update(salt)
+        sendFlush(out, 'p', cstr("md5" + hex(md.digest())))
+      case 10 => // AuthenticationSASL: choose SCRAM-SHA-256
+        var mechs = List.empty[String]
+        var s = readCstr(mi)
+        while (s.nonEmpty) { mechs ::= s; s = readCstr(mi) }
+        if (!mechs.contains(PgScram.Mechanism))
+          throw new IllegalStateException(
+            s"no common SASL mechanism (server offers ${mechs.mkString(", ")}; " +
+              s"client speaks ${PgScram.Mechanism})")
+        val pw = requirePassword(PgScram.Mechanism)
+        val cnonce = PgScram.nonce(new java.security.SecureRandom())
+        val clientFirstBare = s"n=,r=$cnonce" // user comes from startup, per PG convention
+        val body = new ByteArrayOutputStream()
+        val d = new DataOutputStream(body)
+        d.write(cstr(PgScram.Mechanism))
+        val initial = ("n,," + clientFirstBare).getBytes(UTF_8)
+        d.writeInt(initial.length)
+        d.write(initial)
+        sendFlush(out, 'p', body.toByteArray)
+        // SASLContinue (R code 11)
+        val cont = read(in)
+        if (cont.tag.toChar == 'E') throw serverError(cont)
+        val ci = cont.in
+        require(cont.tag.toChar == 'R' && ci.readInt() == 11,
+          "expected AuthenticationSASLContinue")
+        val serverFirst = new String(cont.body.drop(4), UTF_8)
+        val sf = PgScram.parseServerFirst(serverFirst)
+        require(sf.nonce.startsWith(cnonce), "SCRAM server nonce does not extend client nonce")
+        val salted = PgScram.saltedPassword(pw, sf.salt, sf.iterations)
+        val clientFinalNoProof = s"c=biws,r=${sf.nonce}" // biws = b64("n,,")
+        val authMsg = PgScram.authMessage(clientFirstBare, serverFirst, clientFinalNoProof)
+        val proof = PgScram.b64(PgScram.clientProof(salted, authMsg))
+        sendFlush(out, 'p', s"$clientFinalNoProof,p=$proof".getBytes(UTF_8))
+        // SASLFinal (R code 12) carries v=ServerSignature — verifying it
+        // authenticates the SERVER to us (it proves knowledge of the
+        // stored ServerKey), which trust/md5 never did
+        val fin = read(in)
+        if (fin.tag.toChar == 'E') throw serverError(fin)
+        val fi = fin.in
+        require(fin.tag.toChar == 'R' && fi.readInt() == 12,
+          "expected AuthenticationSASLFinal")
+        val finalMsg = new String(fin.body.drop(4), UTF_8)
+        val v = PgScram.attrs(finalMsg).getOrElse('v',
+          throw new IllegalStateException(s"SCRAM final message missing v=: $finalMsg"))
+        val expect = PgScram.serverSignature(salted, authMsg)
+        if (!java.security.MessageDigest.isEqual(PgScram.unb64(v), expect))
+          throw new IllegalStateException(
+            "SCRAM server signature mismatch — server does not know the password verifier")
+      case other => throw new IllegalStateException(
+        s"unsupported authentication method $other " +
+          "(trust, password, md5 and SCRAM-SHA-256 are implemented)")
+    }
   }
 
   /** Consume messages until ReadyForQuery; rethrow any ErrorResponse. */
@@ -331,7 +414,7 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
 }
 
 object PgWireTransport {
-  /** `tcp:host:port/dbname[?user=name]` */
+  /** `tcp:host:port/dbname[?user=name&password=pw&sslmode=mode]` */
   def fromDsn(dsn: String): PgWireTransport = {
     val spec = dsn.stripPrefix("tcp:")
     val (hostPortDb, params) = spec.indexOf('?') match {
@@ -340,6 +423,19 @@ object PgWireTransport {
         val kv = spec.substring(i + 1).split('&').toSeq
           .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
         (spec.substring(0, i), kv)
+    }
+    // libpq sslmode semantics, honestly scoped: modes that REQUIRE an
+    // encrypted channel fail fast (no TLS in this transport); the
+    // opportunistic modes fall back to plaintext exactly as libpq would
+    // against a server without SSL.
+    params.get("sslmode").foreach {
+      case "disable" | "prefer" | "allow" => // plaintext path
+      case m @ ("require" | "verify-ca" | "verify-full") =>
+        throw new IllegalArgumentException(
+          s"sslmode=$m requires TLS, which the tcp: transport does not implement; " +
+            "use sslmode=disable (or prefer/allow) against a plaintext port")
+      case m => throw new IllegalArgumentException(
+        s"unknown sslmode '$m' (disable|allow|prefer|require|verify-ca|verify-full)")
     }
     val slash = hostPortDb.lastIndexOf('/')
     require(slash > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
@@ -351,6 +447,7 @@ object PgWireTransport {
       hostPort.substring(0, colon),
       hostPort.substring(colon + 1).toInt,
       db,
-      params.getOrElse("user", "spark"))
+      params.getOrElse("user", "spark"),
+      params.get("password"))
   }
 }

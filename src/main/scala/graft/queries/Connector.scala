@@ -308,11 +308,16 @@ object ConnectorOps {
   private val wireServers =
     scala.collection.mutable.Map.empty[String, graft.meta.PgWireServer]
 
+  // the loopback server REQUIRES SCRAM-SHA-256 (like any real Postgres
+  // facing non-local hosts), so every c11 connection — discovery,
+  // snapshot lease, per-partition scans — performs the full RFC 7677
+  // exchange before its COPY frames flow
   private def tcpDsn(s: SparkSession, dir: String): String = synchronized {
     ensureSeeded(s, dir)
     val srv = wireServers.getOrElseUpdate(dsnName(dir),
-      new graft.meta.PgWireServer(InMemoryPg.forName(dsnName(dir))))
-    srv.dsn("graft")
+      new graft.meta.PgWireServer(InMemoryPg.forName(dsnName(dir)),
+        graft.meta.PgWireServer.Scram(Map("graft_reader" -> "s3cret-batt3ry"))))
+    srv.dsn("graft") + "?user=graft_reader&password=s3cret-batt3ry&sslmode=prefer"
   }
 
   def c11_tcp_scan(s: SparkSession, dir: String): DataFrame =

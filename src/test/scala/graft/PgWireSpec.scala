@@ -135,6 +135,76 @@ class PgWireSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("SCRAM-SHA-256 authentication round-trips; wrong password is 28P01") {
+    seed()
+    val srv = new PgWireServer(InMemoryPg.forName(memName),
+      PgWireServer.Scram(Map("alice" -> "correct-horse")))
+    try {
+      val ok = graft.meta.PgWireTransport.fromDsn(
+        srv.dsn() + "?user=alice&password=correct-horse")
+      try {
+        // a full scan proves COPY works on an authenticated session
+        val n = new java.io.DataInputStream(
+          ok.copyOut("""COPY (SELECT "k" FROM "public"."wt") TO STDOUT (FORMAT binary)"""))
+        assert(n.read() >= 0)
+      } finally ok.close()
+      val bad = intercept[RuntimeException] {
+        graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=alice&password=nope")
+      }
+      assert(bad.getMessage.contains("28P01"), bad.getMessage)
+      val who = intercept[RuntimeException] {
+        graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=mallory&password=x")
+      }
+      assert(who.getMessage.contains("28P01"), who.getMessage)
+      val nopw = intercept[IllegalStateException] {
+        graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=alice")
+      }
+      assert(nopw.getMessage.contains("no password"), nopw.getMessage)
+    } finally srv.close()
+  }
+
+  test("md5 authentication round-trips; sslmode parses libpq-style") {
+    seed()
+    val srv = new PgWireServer(InMemoryPg.forName(memName),
+      PgWireServer.Md5(Map("bob" -> "hunter2")))
+    try {
+      val ok = graft.meta.PgWireTransport.fromDsn(
+        srv.dsn() + "?user=bob&password=hunter2&sslmode=prefer")
+      try ok.execute("SET standard_conforming_strings = on") finally ok.close()
+      val bad = intercept[RuntimeException] {
+        graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=bob&password=wrong")
+      }
+      assert(bad.getMessage.contains("28P01"), bad.getMessage)
+      // sslmode that REQUIRES TLS fails fast and clearly
+      val ssl = intercept[IllegalArgumentException] {
+        graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=bob&password=hunter2&sslmode=require")
+      }
+      assert(ssl.getMessage.contains("TLS"), ssl.getMessage)
+      val junk = intercept[IllegalArgumentException] {
+        graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=bob&password=hunter2&sslmode=bogus")
+      }
+      assert(junk.getMessage.contains("unknown sslmode"), junk.getMessage)
+    } finally srv.close()
+  }
+
+  test("SCRAM primitives agree with RFC 7677 §3's SCRAM-SHA-256 test vector") {
+    import graft.meta.PgScram
+    // RFC 7677 example: user/pass "user"/"pencil", fixed nonces
+    val clientFirstBare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    val serverFirst = "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val clientFinalNoProof = "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    val sf = PgScram.parseServerFirst(serverFirst)
+    assert(sf.iterations == 4096)
+    val salted = PgScram.saltedPassword("pencil", sf.salt, sf.iterations)
+    val authMsg = PgScram.authMessage(clientFirstBare, serverFirst, clientFinalNoProof)
+    assert(PgScram.b64(PgScram.clientProof(salted, authMsg)) ==
+      "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    assert(PgScram.b64(PgScram.serverSignature(salted, authMsg)) ==
+      "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    assert(PgScram.verifyClientProof(PgScram.storedKey(salted), authMsg,
+      PgScram.clientProof(salted, authMsg)))
+  }
+
   test("protocol framing round-trips arbitrary message bodies") {
     import java.io._
     import org.scalacheck.Gen
