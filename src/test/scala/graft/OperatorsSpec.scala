@@ -166,6 +166,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(feats.length == 1 && !feats(0).ok && feats(0).error.nonEmpty)
   }
 
+  test("RealImageDecoder decodes generated PNGs through the Spark decode stage") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(16, 8, 0xffffff), Multimodal.MediaMeta("image", 0L, "mem://a")), // white
+      (2L, png(4, 4, 0x000000), Multimodal.MediaMeta("image", 0L, "mem://b")),  // black
+      (3L, "not an image".getBytes("UTF-8"), Multimodal.MediaMeta("image", 0L, "mem://c")))
+      .toDF("doc_id", "bytes", "meta")
+    val feats = Multimodal.decodeFeatures(rows, new Multimodal.RealImageDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).ok && feats(0).width == 16 && feats(0).height == 8)
+    assert(feats(0).feature.length == 8 && feats(0).feature.forall(f => math.abs(f - 1f) < 1e-3))
+    assert(feats(1).ok && feats(1).width == 4 && feats(1).height == 4)
+    assert(feats(1).feature.forall(f => f < 1e-3))
+    assert(!feats(2).ok && feats(2).error.contains("unrecognized"))
+  }
+
   test("frame sampling keeps every k-th frame") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(5)
     val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), every = 2)
