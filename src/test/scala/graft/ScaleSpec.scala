@@ -131,6 +131,31 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"well-split corpus still full-width repartitioned:\n${fullWidth.mkString("\n")}")
   }
 
+  test("probing a persisted IVF index plans no Lloyd stage") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val path = s"/dev/shm/graft_ivf_spec_${System.nanoTime()}"
+    try {
+      graft.operators.Ann.saveIvf(
+        graft.operators.Ann.buildIvf(corpus, cells = 8, lloydIters = 1), path)
+      val loaded = graft.operators.Ann.loadIvf(spark, path)
+      val probed = graft.operators.Ann.ivfTopK(queries, corpus, loaded, k = 5, nprobe = 2)
+      val plan = probed.queryExecution.optimizedPlan.toString
+      // the Lloyd update's signature is the decimal(38,9) centroid-mean
+      // accumulator; a probe that re-trains would carry it
+      assert(!plan.contains("decimal(38,9)"),
+        s"probe plan contains a centroid-update stage:\n$plan")
+      // and the index must come from the persisted files, not a rebuild
+      assert(plan.contains(s"$path/assignments") || plan.contains("parquet"),
+        s"probe plan does not read the persisted index:\n$plan")
+      assert(probed.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    }
+  }
+
   test("battery scans keep parquet filter pushdown and column pruning") {
     val df = graft.queries.Relational.q02_filter_pushdown(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.explainString(
