@@ -206,16 +206,20 @@ object Ann {
       dim: Int,
       tables: Int = 4,
       bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      sourceSplits: Option[Int] = None): DataFrame = {
     val ps = planes(dim, tables, bits, seed)
     // Single-row-group test files scan as one partition; spread the
     // corpus before the (compute-heavy) hashing so it parallelizes.
     // Only when the source is genuinely under-split: at real scale the
     // source already has >cores splits and a full-width repartition of
     // the embedding column would be the dominant (and pointless) shuffle.
+    // `sourceSplits` lets a caller that knows its input's split count
+    // skip the `.rdd` probe, which plans the query a second time.
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val splits = sourceSplits.getOrElse(corpus.rdd.getNumPartitions)
     val spread =
-      if (corpus.rdd.getNumPartitions < math.min(parallelism, 8))
+      if (splits < math.min(parallelism, 8))
         corpus.repartition(parallelism)
       else corpus
     val hashedCorpus = bucketize(spread, "cv", ps)

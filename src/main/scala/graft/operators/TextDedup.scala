@@ -145,7 +145,7 @@ object TextDedup {
     * `refToks` the (doc_id, tok sorted-distinct array) verify relation. */
   def nearDupAgainstIndex(newDocs: DataFrame, refIndex: DataFrame,
       refToks: DataFrame, idCol: String, tokCol: String,
-      threshold: Double = 0.85): DataFrame = {
+      threshold: Double = 0.85, sourceSplits: Option[Int] = None): DataFrame = {
     val s = newDocs.sparkSession
     val newBandsRaw = signatureIndex(newDocs, idCol, tokCol)
       .select(col("doc_id").as("new_id"), col("sz").as("new_sz"),
@@ -161,9 +161,14 @@ object TextDedup {
     // test file. Spread the narrow band rows on the join key first,
     // but only when genuinely under-split (at real scale the source
     // already has >cores splits and the shuffle would be pure waste).
+    // Callers that know their input's split count pass `sourceSplits`
+    // (e.g. a streaming micro-batch with a fixed task fan-out) so the
+    // guard doesn't have to plan the query a second time through
+    // `.rdd` just to count partitions.
     val par = s.sparkContext.defaultParallelism
+    val splits = sourceSplits.getOrElse(newBandsRaw.rdd.getNumPartitions)
     val newBands =
-      if (newBandsRaw.rdd.getNumPartitions < math.min(par, 8))
+      if (splits < math.min(par, 8))
         newBandsRaw.repartition(par, col("band_idx"), col("band_hash"))
       else newBandsRaw
     val cands = newBands

@@ -56,10 +56,15 @@ object Pipeline2 {
     val docs = t(s, dir, "documents")
     val tf = docs.select(col("doc_id"), explode(tokens).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df as a window count over tf, not a second aggregate joined back:
+    // a tf-self-join plans the scan→explode→(doc_id,token) aggregation
+    // TWICE (the df branch canonicalizes to a distinct, so ReuseExchange
+    // can't fire) — the window computes df from the one materialized tf
+    // relation with a single narrow token-keyed shuffle
     val total = docs.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("token"))
-    tf.join(dfc, "token").crossJoin(broadcast(total))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(total))
       .withColumn("score", col("tf").cast("double") * col("n_total") / col("df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)

@@ -199,9 +199,14 @@ object Pipeline3 {
         transform(sequence(lit(0), size(col("tok")) - n),
           i => concat_ws(" ", (0 until n).map(o => col("tok")(i + o)): _*)))).as("sh"))
     // sh is distinct per doc, so per-shingle row count == document
-    // frequency; no countDistinct shuffle needed
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
-    sh.join(dfreq, "sh")
+    // frequency; no countDistinct shuffle needed. Window count, not a
+    // groupBy+join-back: the self-join would plan the scan→explode→
+    // distinct-shingle relation twice (its aggregate branch
+    // canonicalizes differently, so ReuseExchange can't fire) — the
+    // window computes n_docs from one materialized sh relation with a
+    // single shingle-keyed shuffle
+    sh.withColumn("n_docs",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_duplicated"))
