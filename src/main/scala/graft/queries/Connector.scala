@@ -600,6 +600,114 @@ object ConnectorOps {
     d
   }
 
+  // ---------------------------------------------------------------- //
+  // c39/c40/c41: type-family round-trips through the connector — the
+  // oracle-checked analogues of the reference's attach_geometry.test,
+  // interval.test and enum coverage. Each seeds a typed table derived
+  // deterministically from the shared parquet fixtures, reads it back
+  // through the scan, and the oracle recomputes the same values from
+  // parquet — so the geometry struct codec, the interval COPY
+  // round-trip, and enum discovery/write/read all sit under the hash
+  // compare instead of only under ScalaTests (AllTypesSpec).
+  // ---------------------------------------------------------------- //
+  private def ensureTypedSeeded(s: SparkSession, dir: String): String = synchronized {
+    val d = ensureSeeded(s, dir)
+    val pg = InMemoryPg.forName(dsnName(dir))
+    if (!pg.hasTable("public", "geo_pts")) {
+      val t = PgTransportFactory.open(d)
+      try t.execute("""CREATE TABLE "public"."geo_pts" ("id" BIGINT, "p" POINT)""")
+      finally t.close()
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          struct(col("c_acctbal").as("x"),
+            col("c_nationkey").cast("double").as("y")).as("p"))
+        .write.format("postgres")
+        .option("dsn", d).option("table", "geo_pts").mode("append").save()
+    }
+    if (!pg.hasTable("public", "segs")) {
+      val t = PgTransportFactory.open(d)
+      try {
+        t.execute("""CREATE TYPE "c_seg" AS ENUM """ +
+          "('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY')")
+        t.execute("""CREATE TABLE "public"."segs" ("id" BIGINT, "seg" "c_seg")""")
+      } finally t.close()
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"))
+        .write.format("postgres")
+        .option("dsn", d).option("table", "segs").mode("append").save()
+    }
+    if (!pg.hasTable("public", "durs")) {
+      // intervals for the 25 nation keys (dense 0..24 by construction —
+      // the oracle recomputes from the nation table), loaded through
+      // COPY FROM STDIN (FORMAT text) in the writer's ISO-8601 form:
+      // Spark's DSv2 write schema rejects CalendarIntervalType, so a
+      // table with interval columns always pre-exists server-side
+      val t = PgTransportFactory.open(d)
+      try {
+        t.execute("""CREATE TABLE "public"."durs" ("id" BIGINT, "dur" INTERVAL)""")
+        val out = t.copyIn(
+          """COPY "public"."durs" ("id", "dur") FROM STDIN (FORMAT text)""")
+        (0 until 25).foreach { id =>
+          val days = id % 28 + 1
+          val hours = id % 23 + 1
+          out.write(s"$id\tP0M${days}DT${hours * 3600}.0S\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        out.close()
+      } finally t.close()
+    }
+    d
+  }
+
+  /** geometry: points written as (x, y) structs through COPY binary,
+    * scanned back and unpacked — values recomputed from customer. */
+  def c39_pg_geometry(s: SparkSession, dir: String): DataFrame =
+    s.read.format("postgres")
+      .option("dsn", ensureTypedSeeded(s, dir))
+      .option("table", "geo_pts")
+      .option("pagesPerTask", PagesPerTask).load()
+      .select(col("id"), col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") > 1000.0)
+      .orderBy(col("id"))
+
+  val c39_sql: String =
+    """SELECT c_custkey AS id, c_acctbal AS x, CAST(c_nationkey AS DOUBLE) AS y
+      |FROM customer WHERE c_acctbal > 1000.0 ORDER BY id""".stripMargin
+
+  /** interval: the COPY-text round-trip is asserted row by row — the
+    * scanned CalendarInterval must equal the interval reconstructed
+    * from the id, so any codec drift flips `matches` and the hash. */
+  def c40_pg_interval(s: SparkSession, dir: String): DataFrame =
+    s.read.format("postgres")
+      .option("dsn", ensureTypedSeeded(s, dir))
+      .option("table", "durs").load()
+      .select(col("id"),
+        (col("id") % 28 + 1).cast("int").as("days"),
+        (col("id") % 23 + 1).cast("int").as("hours"),
+        (col("dur").cast("string") ===
+          expr("make_interval(0, 0, 0, CAST(id % 28 + 1 AS INT), CAST(id % 23 + 1 AS INT), 0, 0)")
+            .cast("string")).as("matches"))
+      .orderBy(col("id"))
+
+  val c40_sql: String =
+    """SELECT n_nationkey AS id, CAST(n_nationkey % 28 + 1 AS INT) AS days,
+      |  CAST(n_nationkey % 23 + 1 AS INT) AS hours, TRUE AS matches
+      |FROM nation ORDER BY id""".stripMargin
+
+  /** enum: discovery surfaces the labels, strings write into the enum
+    * column, and the grouped read-back matches customer segments. */
+  def c41_pg_enum(s: SparkSession, dir: String): DataFrame =
+    s.read.format("postgres")
+      .option("dsn", ensureTypedSeeded(s, dir))
+      .option("table", "segs")
+      .option("pagesPerTask", PagesPerTask).load()
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("seg"))
+
+  val c41_sql: String =
+    """SELECT c_mktsegment AS seg, count(*) AS n
+      |FROM customer GROUP BY seg ORDER BY seg""".stripMargin
+
   // the cached result of the previous st06 run — unpersisted on the
   // next invocation (the caller may still be consuming the returned
   // DataFrame, so the current run's cache can't drop eagerly; bench
@@ -697,6 +805,9 @@ object ConnectorOps {
     "c15_pg_filtered_agg" -> ((c15_pg_filtered_agg _, Some(c15_sql))),
     "c16_pg_tpch_q1" -> ((c16_pg_tpch_q1 _, Some(c16_sql))),
     "c17_pg_catalog_join" -> ((c17_pg_catalog_join _, Some(c17_sql))),
+    "c39_pg_geometry" -> ((c39_pg_geometry _, Some(c39_sql))),
+    "c40_pg_interval" -> ((c40_pg_interval _, Some(c40_sql))),
+    "c41_pg_enum" -> ((c41_pg_enum _, Some(c41_sql))),
     "st03_pg_stream" -> ((st03_pg_stream _, Some(st03_sql))),
     "st04_pg_stream_sink" -> ((st04_pg_stream_sink _, Some(st04_sql))),
     "st06_pg_stream_dedup" -> ((st06_pg_stream_dedup _, Some(st06_sql))),
