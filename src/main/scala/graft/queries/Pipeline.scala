@@ -646,8 +646,13 @@ object PipelineOps {
 
   // ---------------------------------------------------------------- //
   // s02: LSH-accelerated ANN (the scale path; see operators.Ann).
-  // No SQL oracle — the hyperplane family is engine-side; its recall
-  // vs s01 is asserted in OperatorsSpec instead.
+  // Fully oracle-checked: the deterministic hyperplane tensor (fixed
+  // seed, driver-generated) is INLINED into the oracle SQL as a nested
+  // list literal, so DuckDB replays the exact pipeline — sign-bit
+  // bucket codes per table, Hamming-1 multiprobe, candidate join,
+  // exact cosine rerank — and the approximate result itself
+  // hash-compares. (Recall ≥ 0.9 vs exact s01 is additionally asserted
+  // in OperatorsSpec.)
   // ---------------------------------------------------------------- //
   def s02_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -658,6 +663,48 @@ object PipelineOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  val s02_sql: String = {
+    // the same tensor lshTopK uses (fixed seed); Double.toString is
+    // round-trip exact and DuckDB parses E-notation, so the literal
+    // reproduces the Spark-side planes bit for bit
+    val planes = graft.operators.Ann.planes(dim = 64, tables = 10, bits = 8)
+    val planesLit = planes.map(tbl => tbl.map(p => p.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val dotE = "list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))"
+    val nq = "sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))"
+    val nc = "sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))"
+    s"""WITH pl AS (SELECT $planesLit AS planes),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cb AS (
+       |  SELECT vec_id AS neighbor_id, ts.t AS t,
+       |    CAST(list_sum(list_transform(range(1, 9), i ->
+       |      CASE WHEN list_sum(list_transform(range(1, 65), j ->
+       |        CAST(v[j] AS DOUBLE) * planes[ts.t][i][j])) > 0
+       |      THEN (1 << (i - 1)) ELSE 0 END)) AS INT) AS bucket
+       |  FROM e CROSS JOIN pl CROSS JOIN (SELECT unnest(range(1, 11)) AS t) ts),
+       |qp AS (
+       |  SELECT neighbor_id AS query_id, t,
+       |    unnest(list_prepend(bucket,
+       |      list_transform(range(0, 8), i -> xor(bucket, 1 << i)))) AS bucket
+       |  FROM cb WHERE neighbor_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT qp.query_id, cb.neighbor_id
+       |  FROM qp JOIN cb ON qp.t = cb.t AND qp.bucket = cb.bucket
+       |  WHERE qp.query_id <> cb.neighbor_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id, $dotE / ($nq * $nc) AS cos
+       |  FROM cand JOIN q ON q.query_id = cand.query_id
+       |  JOIN c ON c.neighbor_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM scored) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- //
@@ -1076,7 +1123,7 @@ object PipelineOps {
     "p14_repetition" -> ((p14_repetition _, Some(p14_sql))),
     "p15_sample_split" -> ((p15_sample_split _, Some(p15_sql))),
     "p16_decontaminate" -> ((p16_decontaminate _, Some(p16_sql))),
-    "s02_ann_lsh" -> ((s02_ann_lsh _, None)),
+    "s02_ann_lsh" -> ((s02_ann_lsh _, Some(s02_sql))),
     "s03_ann_ivf" -> ((s03_ann_ivf _, Some(s03_sql))),
     "m01_multimodal" -> ((m01_multimodal _, Some(m01_sql))),
     "p01_token_count" -> ((p01_token_count _, Some(p01_sql))),
