@@ -57,6 +57,17 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
   /** `pg_clear_cache` analogue. */
   def invalidateAll(): Unit = tableCache.clear()
 
+  /** DETACH analogue (ref: test/sql/storage/attach_detach.test): drop
+    * the discovery cache and close every pooled idle connection for
+    * this catalog's DSN. Spark unregisters catalogs per-session; this
+    * releases the server-side resources that registration acquired.
+    * The catalog object stays usable — a later query re-pools, exactly
+    * like re-attaching. */
+  def close(): Int = {
+    invalidateAll()
+    graft.meta.PgConnectionPool.drain(dsn)
+  }
+
   override def invalidateTable(ident: Identifier): Unit =
     tableCache.remove((nsOf(ident), ident.name()))
 

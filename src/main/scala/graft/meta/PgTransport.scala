@@ -210,6 +210,25 @@ object PgConnectionPool {
 
   private val pools = new ConcurrentHashMap[String, DsnPool]()
 
+  /** Detach-time cleanup (the `DETACH`/attach_detach.test analogue):
+    * close every cached idle transport for the DSN and forget the
+    * pool. In-flight transports keep their permits on the forgotten
+    * pool object and die with it; a later acquire starts a fresh pool,
+    * so detach → re-attach works like the reference's. Returns the
+    * number of idle transports closed. */
+  def drain(dsn: String): Int = {
+    val pool = pools.remove(dsn)
+    if (pool == null) return 0
+    var n = 0
+    var t = pool.idle.poll()
+    while (t != null) {
+      try t.close() catch { case _: Exception => () }
+      n += 1
+      t = pool.idle.poll()
+    }
+    n
+  }
+
   def acquire(dsn: String): PgTransport = {
     val pool = pools.computeIfAbsent(dsn, new DsnPool(_))
     pool.permits.acquire()

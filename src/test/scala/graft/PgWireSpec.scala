@@ -268,6 +268,26 @@ class PgWireSpec extends AnyFunSuite {
     assert(viaTcp.head.getAs[String]("st").contains("héllo"))
   }
 
+  test("catalog close (DETACH analogue) drains pooled sockets; re-attach re-pools") {
+    val server = new graft.meta.PgWireServer(InMemoryPg.forName("wire_detach"))
+    try {
+      val dsn = server.dsn()
+      val cat = new graft.catalog.PostgresCatalog
+      val opts = new java.util.HashMap[String, String](); opts.put("dsn", dsn)
+      cat.initialize("pgd",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+      // the init version probe pooled one idle connection
+      val drained = cat.close()
+      assert(drained >= 1, s"expected at least the probe connection drained, got $drained")
+      val before = server.connectionsAccepted
+      // detached catalog stays usable: next use dials a FRESH socket
+      assert(cat.listNamespaces().nonEmpty)
+      assert(server.connectionsAccepted > before,
+        "re-attach after close must open a new physical connection")
+      cat.close()
+    } finally server.close()
+  }
+
   test("connection pool reuses one socket when the cache is on, not when off") {
     // dedicated server: the shared one already has pooled connections
     val server = new graft.meta.PgWireServer(InMemoryPg.forName("wire_pool"))
