@@ -743,10 +743,18 @@ object ConnectorOps {
     val (refIndex, refToks) = synchronized {
       st06RefCache.getOrElseUpdate(dir, {
         val refDocs = docs.filter(length(col("source")) <= 4).withColumn("tok", tok)
+        // cache AFTER repartitioning on the band-join keys: the cached
+        // blocks then carry hashpartitioning(band_idx, band_hash), so
+        // every micro-batch's candidate join shuffles only its own
+        // (small) increment — the 8-rows-per-ref-doc index side never
+        // re-crosses the exchange (the disk analogue is
+        // writeSignatureIndex's clustered layout)
         val idx = graft.operators.TextDedup
-          .signatureIndex(refDocs, "doc_id", "tok").cache()
+          .signatureIndex(refDocs, "doc_id", "tok")
+          .repartition(col("band_idx"), col("band_hash")).cache()
         val toks = refDocs.select(col("doc_id"),
-          array_sort(array_distinct(col("tok"))).as("tok")).cache()
+          array_sort(array_distinct(col("tok"))).as("tok"))
+          .repartition(col("doc_id")).cache()
         idx.count(); toks.count()
         (idx, toks)
       })
