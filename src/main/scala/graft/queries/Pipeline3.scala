@@ -247,9 +247,21 @@ object Pipeline3 {
         transform(sequence(lit(0), size(col("tok")) - n),
           i => concat_ws(" ", (0 until n).map(o => col("tok")(i + o)): _*)))).as("sh"))
       .distinct()
-    sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    // group-by-shingle + in-row pair expansion, not a self-join: the
+    // join form computes the scan→explode→distinct relation twice (its
+    // two branches don't canonicalize to one exchange), and shuffles
+    // every (sh, source) row a second time. Here the heavy relation is
+    // aggregated ONCE on the shingle key; the source set per shingle is
+    // tiny (≤ #sources), so the ordered-pair expansion is in-row work
+    // and the second shuffle carries only (src_a, src_b) pairs.
+    sh.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)), b ->
+          |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("src_a"), col("src_b"))
   }
