@@ -636,6 +636,18 @@ object ConnectorOps {
         .write.format("postgres")
         .option("dsn", d).option("table", "segs").mode("append").save()
     }
+    if (!pg.hasTable("public", "arr_tbl")) {
+      val t = PgTransportFactory.open(d)
+      try t.execute(
+        """CREATE TABLE "public"."arr_tbl" ("id" BIGINT, "ids" BIGINT[], "tags" VARCHAR[])""")
+      finally t.close()
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          array(col("c_custkey"), col("c_custkey") + 1, col("c_custkey") * 2).as("ids"),
+          array(col("c_mktsegment"), col("c_name")).as("tags"))
+        .write.format("postgres")
+        .option("dsn", d).option("table", "arr_tbl").mode("append").save()
+    }
     if (!pg.hasTable("public", "durs")) {
       // intervals for the 25 nation keys (dense 0..24 by construction —
       // the oracle recomputes from the nation table), loaded through
@@ -707,6 +719,28 @@ object ConnectorOps {
   val c41_sql: String =
     """SELECT c_mktsegment AS seg, count(*) AS n
       |FROM customer GROUP BY seg ORDER BY seg""".stripMargin
+
+  /** arrays: bigint[]/varchar[] written through COPY binary (element
+    * type + dims in the wire format), scanned back and digested to
+    * scalars (the driver compare stays list-free) — length, head,
+    * sequential sum fold, joined text all recomputed by the oracle. */
+  def c42_pg_arrays(s: SparkSession, dir: String): DataFrame =
+    s.read.format("postgres")
+      .option("dsn", ensureTypedSeeded(s, dir))
+      .option("table", "arr_tbl")
+      .option("pagesPerTask", PagesPerTask).load()
+      .select(col("id"),
+        size(col("ids")).as("n_ids"),
+        element_at(col("ids"), 1).as("first_id"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"),
+        array_join(col("tags"), "|").as("tags_txt"))
+      .orderBy(col("id"))
+
+  val c42_sql: String =
+    """SELECT c_custkey AS id, CAST(3 AS INT) AS n_ids, c_custkey AS first_id,
+      |  CAST(4 * c_custkey + 1 AS BIGINT) AS sum_ids,
+      |  c_mktsegment || '|' || c_name AS tags_txt
+      |FROM customer ORDER BY id""".stripMargin
 
   // the cached result of the previous st06 run — unpersisted on the
   // next invocation (the caller may still be consuming the returned
@@ -816,6 +850,7 @@ object ConnectorOps {
     "c39_pg_geometry" -> ((c39_pg_geometry _, Some(c39_sql))),
     "c40_pg_interval" -> ((c40_pg_interval _, Some(c40_sql))),
     "c41_pg_enum" -> ((c41_pg_enum _, Some(c41_sql))),
+    "c42_pg_arrays" -> ((c42_pg_arrays _, Some(c42_sql))),
     "st03_pg_stream" -> ((st03_pg_stream _, Some(st03_sql))),
     "st04_pg_stream_sink" -> ((st04_pg_stream_sink _, Some(st04_sql))),
     "st06_pg_stream_dedup" -> ((st06_pg_stream_dedup _, Some(st06_sql))),
