@@ -248,9 +248,11 @@ final class InMemoryPg(val name: String) extends PgTransport {
     val dt = PgType.toSpark(t.colTypes(i))
     val integralLit = """[+-]?\d+""".r
     (dt, l) match {
-      case (LongType, lv: Long) => // timestamp/time instants pre-converted by litValue
+      // timestamp/time instants pre-converted to micros by litValue;
+      // all three types store Long micros in the row
+      case (LongType | TimestampType | TimestampNTZType, lv: Long) =>
         r => java.lang.Long.compare(r.getLong(i), lv)
-      case (IntegerType, lv: Int) => // date days
+      case (IntegerType | DateType, lv: Int) => // date days
         r => java.lang.Integer.compare(r.getInt(i), lv)
       case (LongType, s: String) if integralLit.matches(s) =>
         val lv = s.toLong; r => java.lang.Long.compare(r.getLong(i), lv)
