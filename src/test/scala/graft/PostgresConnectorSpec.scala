@@ -103,6 +103,46 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(n.count() == 2)
   }
 
+  test("property: random pushed filter trees return exactly the host-side rows") {
+    pg
+    // the OR-binding regression class: any boolean tree the connector
+    // pushes must yield the same rows the same predicate selects on the
+    // unfiltered data, regardless of how the remote evaluator binds it
+    // (bound exactly, bound partially, or served as a superset with a
+    // host residual)
+    val base = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people").load()
+    val all = base.collect().toSet
+    val rnd = new scala.util.Random(20260813L)
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(6) match {
+      case 0 => col("id") === rnd.nextInt(320)
+      case 1 => col("id") < rnd.nextInt(320)
+      case 2 => col("id") >= rnd.nextInt(320)
+      case 3 => col("name") === s"name_${rnd.nextInt(320)}"
+      case 4 => col("score") > new java.math.BigDecimal(rnd.nextInt(3200)).movePointLeft(1).doubleValue()
+      case 5 => col("name").startsWith(s"name_${rnd.nextInt(10)}")
+    }
+    def tree(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => tree(depth - 1) && tree(depth - 1)
+        case 1 => tree(depth - 1) || tree(depth - 1)
+        case 2 => !tree(depth - 1)
+        case _ => leaf()
+      }
+    // reference relation: the same rows materialized OUTSIDE the
+    // connector, so Spark evaluates every predicate itself
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(all.toSeq, 4), base.schema).cache()
+    (1 to 40).foreach { i =>
+      val pred = tree(2 + rnd.nextInt(2))
+      val viaConnector = base.filter(pred).collect().toSet
+      val viaSpark = local.filter(pred).collect().toSet
+      assert(viaConnector == viaSpark, s"tree #$i: $pred")
+    }
+    local.unpersist()
+  }
+
   test("count(*) prunes to NULL projection") {
     pg
     val n = spark.read.format("postgres")
