@@ -143,6 +143,23 @@ class PostgresConnectorSpec extends AnyFunSuite {
     local.unpersist()
   }
 
+  test("case-sensitive and keyword identifiers round-trip through the catalog") {
+    // ref: attach_case_sensitive_tables/columns.test, attach_keywords
+    // .test — mixed-case names and reserved words must stay quoted on
+    // every generated statement (DDL, COPY, pushdown WHERE)
+    pg
+    spark.sql("""CREATE TABLE pg.public.`CaseTable` (`CamelCol` BIGINT, `select` STRING)""")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "order by")).toDF("CamelCol", "select")
+      .writeTo("pg.public.`CaseTable`").append()
+    val back = spark.sql(
+      """SELECT `CamelCol`, `select` FROM pg.public.`CaseTable`
+        |WHERE `CamelCol` >= 2 ORDER BY `CamelCol`""".stripMargin).collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(back.map(_.getString(1)).toSeq == Seq("b", "order by"))
+    spark.sql("DROP TABLE pg.public.`CaseTable`")
+  }
+
   test("count(*) prunes to NULL projection") {
     pg
     val n = spark.read.format("postgres")
