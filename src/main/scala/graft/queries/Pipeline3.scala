@@ -522,6 +522,43 @@ object Pipeline3 {
       |ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // m03: cross-document FRAME dedup — the multimodal pipeline composed
+  // end to end: window the payload into frames (m02's operator,
+  // every=1), fingerprint each frame (md5 — the stand-in for a
+  // perceptual hash), and report per document how many of its distinct
+  // frames also occur in other documents. The n_docs count is a window
+  // over the one materialized frame relation (the p26/p27 single-pass
+  // shape) — at scale this is the near-dup-detection loop run on video
+  // frames instead of text shingles: one shuffle on the fingerprint.
+  // ---------------------------------------------------------------- //
+  def m03_frame_dedup(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.asMedia(t(s, dir, "documents"))
+    val frames = graft.operators.Multimodal.sampleFrames(media, every = 1)
+      .select(col("doc_id"), md5(col("frame")).as("fh")).distinct()
+    frames
+      .withColumn("n_docs", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m03_sql: String =
+    """WITH f AS (
+      |  SELECT DISTINCT doc_id, md5(frame) AS fh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(0, CAST(ceil(length(text) / 32.0) AS INT)),
+      |        i -> substring(text, CAST(i * 32 + 1 AS INT), 32))) AS frame
+      |    FROM documents)
+      |  WHERE length(frame) > 0),
+      |cnt AS (SELECT fh, COUNT(*) AS n_docs FROM f GROUP BY fh)
+      |SELECT doc_id, COUNT(*) AS n_frames,
+      |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |FROM f JOIN cnt USING (fh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // st05: watermarked stream-stream inner join — the Structured
   // Streaming operator family member st01-st04 don't cover (windowed
   // agg, custom state, source, sink are). Purchases join the same
@@ -586,6 +623,7 @@ object Pipeline3 {
     "s05_ann_ivf_trained" -> ((s05_ann_ivf_trained _, Some(s05_sql))),
     "s06_ann_ivf_q8" -> ((s06_ann_ivf_q8 _, Some(s06_sql))),
     "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),
+    "m03_frame_dedup" -> ((m03_frame_dedup _, Some(m03_sql))),
     "st05_stream_join" -> ((st05_stream_join _, Some(st05_sql))),
   )
 }
