@@ -185,11 +185,64 @@ object Tpcds {
       |  FROM part LEFT OUTER JOIN sales ON p_partkey = l_partkey)
       |WHERE rk <= 3 ORDER BY p_type, rk""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // c43-c45: the same TPC-DS shapes run THROUGH the attached catalog
+  // (the reference's tpcds.test analogue) — rollup-with-subtotals,
+  // full-outer aggregate merge, and rank-over-outer-join planned by
+  // Catalyst over connector relations instead of parquet. The SQL is
+  // identical to the q-series oracle modulo the catalog prefix, so the
+  // comparison isolates the connector path.
+  // ---------------------------------------------------------------- //
+  private def q40CatSql(p: String): String =
+    s"""SELECT r_name, n_name, c_mktsegment, COUNT(*) AS n_cust,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       |FROM ${p}customer JOIN ${p}nation ON c_nationkey = n_nationkey
+       |JOIN ${p}region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name, c_mktsegment)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST,
+       |  c_mktsegment ASC NULLS FIRST""".stripMargin
+
+  private def q42CatSql(p: String): String =
+    s"""WITH j AS (SELECT l_returnflag, p_brand, l_extendedprice
+       |           FROM ${p}lineitem JOIN ${p}part ON l_partkey = p_partkey),
+       |a AS (SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_a
+       |      FROM j WHERE l_returnflag = 'A' GROUP BY p_brand),
+       |r AS (SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev_r
+       |      FROM j WHERE l_returnflag = 'R' GROUP BY p_brand)
+       |SELECT p_brand, COALESCE(rev_a, 0.0) AS rev_a, COALESCE(rev_r, 0.0) AS rev_r,
+       |  COALESCE(rev_a, 0.0) + COALESCE(rev_r, 0.0) AS total
+       |FROM a FULL OUTER JOIN r USING (p_brand)
+       |ORDER BY p_brand""".stripMargin
+
+  private def q44CatSql(p: String): String =
+    s"""WITH sales AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+       |  FROM ${p}lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY l_partkey)
+       |SELECT p_type, rk, p_partkey, rev FROM (
+       |  SELECT p_type, p_partkey, COALESCE(rev, 0.0) AS rev,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY p_type ORDER BY COALESCE(rev, 0.0) DESC, p_partkey) AS INT) AS rk
+       |  FROM ${p}part LEFT OUTER JOIN sales ON p_partkey = l_partkey)
+       |WHERE rk <= 3 ORDER BY p_type, rk""".stripMargin
+
+  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
+    ConnectorOps.ensureTpchSeeded(s, dir)
+    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q40_deep_rollup" -> ((q40_deep_rollup _, Some(q40_sql))),
     "q41_yoy_monthly" -> ((q41_yoy_monthly _, Some(q41_sql))),
     "q42_channel_merge" -> ((q42_channel_merge _, Some(q42_sql))),
     "q43_present_absent" -> ((q43_present_absent _, Some(q43_sql))),
     "q44_rank_zero_sales" -> ((q44_rank_zero_sales _, Some(q44_sql))),
+    "c43_ds_cat_rollup" -> ((viaCatalog(q40CatSql) _, Some(q40CatSql("")))),
+    "c44_ds_cat_channel" -> ((viaCatalog(q42CatSql) _, Some(q42CatSql("")))),
+    "c45_ds_cat_rank" -> ((viaCatalog(q44CatSql) _, Some(q44CatSql("")))),
   )
 }
