@@ -131,6 +131,34 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"well-split corpus still full-width repartitioned:\n${fullWidth.mkString("\n")}")
   }
 
+  test("bucketed signature index joins with no exchange on the stored side") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("tok", split(trim(col("text")), "\\s+"))
+    val ref = docs.filter(length(col("source")) <= 4)
+    val inc = docs.filter(length(col("source")) > 4)
+    val refToks = ref.select(col("doc_id"),
+      array_sort(array_distinct(col("tok"))).as("tok"))
+    graft.operators.TextDedup.writeSignatureIndexBucketed(
+      ref, "doc_id", "tok", "sig_idx_spec", buckets = 8)
+    try {
+      val viaBucketed = graft.operators.TextDedup.nearDupAgainstIndex(
+        inc, spark.table("sig_idx_spec"), refToks, "doc_id", "tok")
+      val viaPlain = graft.operators.TextDedup.nearDupAgainstIndex(
+        inc, graft.operators.TextDedup.signatureIndex(ref, "doc_id", "tok"),
+        refToks, "doc_id", "tok")
+      // identical pairs either way
+      assert(viaBucketed.collect().toSet == viaPlain.collect().toSet)
+      // and the bucketed plan carries strictly fewer band-key exchanges
+      // (the stored side reads pre-bucketed; only the increment shuffles)
+      def bandExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning\\(band_idx".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(bandExchanges(viaBucketed) < bandExchanges(viaPlain),
+        "bucketed index side still exchanges on the band keys")
+    } finally spark.sql("DROP TABLE IF EXISTS sig_idx_spec")
+  }
+
   test("probing a persisted IVF index plans no Lloyd stage") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
