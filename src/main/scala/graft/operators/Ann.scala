@@ -139,6 +139,24 @@ object Ann {
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assignments"))
 
+  /** Persist the IVF assignments as a BUCKETED catalog table on the
+    * cell id (centroids stay a tiny parquet — they broadcast anyway).
+    * The bucketing survives to read time, so a probe's
+    * candidates-by-cell join pays no exchange on the stored corpus
+    * assignment — only the per-query probe rows shuffle. The
+    * 10⁹-vector corollary of [[TextDedup.writeSignatureIndexBucketed]]. */
+  def saveIvfBucketed(index: IvfIndex, table: String, centroidPath: String,
+      buckets: Int = 64): Unit = {
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(centroidPath)
+    index.assignments.write.mode("overwrite")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+  }
+
+  def loadIvfBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+      centroidPath: String): IvfIndex =
+    IvfIndex(spark.read.parquet(centroidPath), spark.table(table))
+
   /** IVF cosine top-k against a prebuilt index: queries probe their
     * `nprobe` nearest cells (same squared-L2 metric the index was
     * built with), and only corpus vectors assigned to probed cells are

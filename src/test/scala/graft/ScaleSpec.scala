@@ -184,6 +184,31 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("bucketed IVF assignments probe with no exchange on the stored side") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val idx = graft.operators.Ann.buildIvf(corpus, cells = 8, lloydIters = 1)
+    val cpath = s"/dev/shm/graft_ivfb_spec_${System.nanoTime()}"
+    graft.operators.Ann.saveIvfBucketed(idx, "ivf_asgn_spec", cpath, buckets = 8)
+    try {
+      val loaded = graft.operators.Ann.loadIvfBucketed(spark, "ivf_asgn_spec", cpath)
+      val viaBucketed = graft.operators.Ann.ivfTopK(queries, corpus, loaded, k = 5, nprobe = 2)
+      val viaPlain = graft.operators.Ann.ivfTopK(queries, corpus, idx, k = 5, nprobe = 2)
+      assert(viaBucketed.collect().toSet == viaPlain.collect().toSet)
+      def cidExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning\\(cid".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(cidExchanges(viaBucketed) < math.max(cidExchanges(viaPlain), 1),
+        "bucketed assignment side still exchanges on cid")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_asgn_spec")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cpath))
+    }
+  }
+
   test("battery scans keep parquet filter pushdown and column pruning") {
     val df = graft.queries.Relational.q02_filter_pushdown(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.explainString(
