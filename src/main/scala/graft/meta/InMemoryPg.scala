@@ -420,11 +420,19 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val CtidRangeRe: Regex =
     """ctid BETWEEN '\((\d+),0\)'::tid AND '\((\d+),0\)'::tid""".r.unanchored
 
-  /** every COPY OUT statement served, for test assertions */
+  /** Recent COPY OUT statements, for test assertions. Bounded: tests
+    * clear() right before the scan they observe, so only a recent
+    * window matters — an unbounded log would grow for the life of a
+    * bench JVM (entries × partitions × reruns) for nobody's benefit. */
   val copyOutStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+  private val copyOutLogCap = 512
 
   override def copyOut(sql: String): InputStream = {
-    copyOutStatements.synchronized { copyOutStatements += sql }
+    copyOutStatements.synchronized {
+      if (copyOutStatements.length >= copyOutLogCap)
+        copyOutStatements.remove(0, copyOutStatements.length - copyOutLogCap + 1)
+      copyOutStatements += sql
+    }
     val (base, orderBy, limit) = stripScanTail(sql)
     copyOut0(base, orderBy, limit)
   }
@@ -1342,17 +1350,17 @@ final class InMemoryPg(val name: String) extends PgTransport {
         // pushed-down SQL DELETE (SupportsDelete.deleteWhere): evaluate
         // the conjunction of simple predicates and kill matching slots
         val t = getTable(sch, tbl)
-        val preds: Seq[InternalRow => Boolean] =
-          if (where.trim == "TRUE") Seq(_ => true)
-          else where.split("\\) AND \\(").toSeq.map { raw =>
-            val p = raw.trim.stripPrefix("(").stripSuffix(")")
-            parseWherePred(t, p)
-          }
+        // the whole WHERE goes to the tree-aware parser: a top-level OR
+        // of parenthesized conjunctions (e.g. ((a OR b) AND c) OR d)
+        // must not be string-split on ") AND ("
+        val pred: InternalRow => Boolean =
+          if (where.trim == "TRUE") _ => true
+          else parseWherePred(t, where)
         t.synchronized {
           var slot = 0
           while (slot < t.slots.length) {
             t.slots(slot) match {
-              case Some(r) if preds.forall(_(r)) => t.slots(slot) = None
+              case Some(r) if pred(r) => t.slots(slot) = None
               case _ =>
             }
             slot += 1

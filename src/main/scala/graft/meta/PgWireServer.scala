@@ -15,12 +15,16 @@ import graft.types.PgType
   * run the whole connector stack (discovery, parallel COPY-OUT scans,
   * COPY-IN writes, Parse/Describe binding) through actual protocol
   * bytes rather than in-process calls — the same framing a live
-  * PostgreSQL would exchange. Trust auth only; one thread per
-  * connection (connection counts are capped by the connector's own
-  * 64-permit pool, so blocking IO is fine).
+  * PostgreSQL would exchange. Auth per [[PgWireServer.Auth]]
+  * (trust/md5/SCRAM); with `tls` set, an SSLRequest is answered 'S'
+  * and the connection upgrades to TLS before the StartupMessage,
+  * like a server with ssl=on (without it, SSLRequest is answered
+  * 'N'). One thread per connection (connection counts are capped by
+  * the connector's own 64-permit pool, so blocking IO is fine).
   */
 final class PgWireServer(backend: PgTransport,
-    auth: PgWireServer.Auth = PgWireServer.Trust) extends AutoCloseable {
+    auth: PgWireServer.Auth = PgWireServer.Trust,
+    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
   import PgWireProtocol._
 
@@ -56,12 +60,34 @@ final class PgWireServer(backend: PgTransport,
 
   // ------------------------------------------------------------------ //
 
-  private def serve(sock: Socket): Unit = {
-    sock.setTcpNoDelay(true)
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+  private def serve(raw: Socket): Unit = {
+    raw.setTcpNoDelay(true)
+    var sock: Socket = raw
+    var out: DataOutputStream = null
     try {
-      if (!startup(in, out)) return
+      // SSLRequest phase runs on the undecorated stream: the client
+      // waits for our one-byte answer before sending anything more, so
+      // nothing can be over-read into a buffer here.
+      val rin = new DataInputStream(raw.getInputStream)
+      var len = rin.readInt() - 4
+      var code = rin.readInt()
+      if (code == PgTls.SslRequestCode) {
+        tls match {
+          case Some(ctx) =>
+            raw.getOutputStream.write('S'); raw.getOutputStream.flush()
+            sock = PgTls.serverWrap(ctx, raw) // handshake on first IO
+          case None =>
+            raw.getOutputStream.write('N'); raw.getOutputStream.flush()
+        }
+      }
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+      out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+      if (code == PgTls.SslRequestCode) {
+        // post-negotiation the client re-sends its startup packet
+        len = in.readInt() - 4
+        code = in.readInt()
+      }
+      if (!startup(len, code, in, out)) return
       var open = true
       var parsedSql = "" // unnamed prepared statement from Parse
       while (open) {
@@ -90,27 +116,29 @@ final class PgWireServer(backend: PgTransport,
     } catch {
       case _: java.io.EOFException =>
       case _: SocketException =>
+      case _: javax.net.ssl.SSLException => // failed/aborted handshake
       case e: Throwable =>
         try {
-          sendError(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
-          readyForQuery(out)
+          if (out != null) {
+            sendError(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            readyForQuery(out)
+          }
         } catch { case _: Throwable => }
     } finally {
       try sock.close() catch { case _: Throwable => }
+      try raw.close() catch { case _: Throwable => }
     }
   }
 
-  /** StartupMessage (length-prefixed, untagged) → authentication
-    * exchange per the configured [[PgWireServer.Auth]] mode →
-    * AuthenticationOk + ReadyForQuery. SSLRequest is answered 'N'
-    * (plaintext loopback). */
-  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
-    var len = in.readInt() - 4
-    var code = in.readInt()
-    if (code == 80877103) { // SSLRequest
-      out.writeByte('N'); out.flush()
-      len = in.readInt() - 4
-      code = in.readInt()
+  /** StartupMessage (length-prefixed, untagged; first length+code
+    * already consumed by the SSLRequest phase in `serve`) →
+    * authentication exchange per the configured [[PgWireServer.Auth]]
+    * mode → AuthenticationOk + ReadyForQuery. */
+  private def startup(len: Int, code: Int, in: DataInputStream,
+      out: DataOutputStream): Boolean = {
+    if (code == PgTls.SslRequestCode) {
+      sendError(out, "duplicate SSLRequest"); out.flush()
+      return false
     }
     if (code != ProtocolV3) {
       sendError(out, s"unsupported protocol version $code")
@@ -166,14 +194,20 @@ final class PgWireServer(backend: PgTransport,
       // gs2 header "n,," (no channel binding) then client-first-bare
       if (!clientFirst.startsWith("n,,")) return authFail(out, user)
       val clientFirstBare = clientFirst.substring(3)
-      val cnonce = PgScram.attrs(clientFirstBare).getOrElse('r', return authFail(out, user))
-      users.get(user) match {
-        case None =>
-          // run the exchange against an unguessable verifier rather than
-          // leaking user existence up front; the proof can never match
-          authFail(out, user)
-        case Some(pw) =>
+      val cnonce: String =
+        PgScram.attrs(clientFirstBare).getOrElse('r', return authFail(out, user))
+      // unknown users get an unguessable random password and run the
+      // FULL exchange, failing only after client-final — the same
+      // protocol step as a wrong password, so user existence is not
+      // enumerable from where the failure happens (a live server's
+      // mock-authentication behaves the same way)
+      locally {
           val rng = new java.security.SecureRandom()
+          val pw = users.getOrElse(user, {
+            val decoy = new Array[Byte](18)
+            rng.nextBytes(decoy)
+            PgScram.b64(decoy)
+          })
           val salt = new Array[Byte](16)
           rng.nextBytes(salt)
           val iters = PgScram.DefaultIterations

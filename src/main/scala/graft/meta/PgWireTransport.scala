@@ -85,11 +85,13 @@ private[graft] object PgWireProtocol {
   * (RFC 7677 over the v3 SASL exchange) — the methods a stock
   * `pg_hba.conf` hands out; the reference client inherits the same set
   * from libpq (ref: src/postgres_connection.cpp:16-60). `sslmode` is
-  * parsed libpq-style: `disable` (default here) connects plaintext,
-  * anything that REQUIRES a TLS channel (`require`, `verify-ca`,
-  * `verify-full`) fails fast with a clear error instead of silently
-  * downgrading; `prefer`/`allow` proceed plaintext (their libpq
-  * fallback) — this offline transport implements no TLS.
+  * parsed libpq-style and TLS is negotiated via the protocol's
+  * SSLRequest packet before the StartupMessage (see [[PgTls]] for the
+  * full mode semantics, incl. `verify-ca`/`verify-full` root-cert
+  * verification) — the reference gets the same flow from libpq and
+  * tests it in test/sql/scanner/ssl.test:9-15. Authentication —
+  * including the SCRAM exchange — runs over the negotiated channel, so
+  * with TLS the credentials never cross plaintext.
   *
   * One instance per scan partition / write task, exactly like the
   * reference's one-libpq-connection-per-task model
@@ -97,13 +99,17 @@ private[graft] object PgWireProtocol {
   * reset-on-return happen a layer up in [[PgConnectionPool]].
   */
 final class PgWireTransport(host: String, port: Int, database: String, user: String,
-    password: Option[String] = None)
+    password: Option[String] = None, sslmode: String = "disable",
+    sslrootcert: Option[String] = None)
     extends PgTransport {
 
   import PgWireProtocol._
 
-  private val socket = new Socket(host, port)
-  socket.setTcpNoDelay(true)
+  private val socket: Socket = {
+    val plain = new Socket(host, port)
+    plain.setTcpNoDelay(true)
+    PgTls.clientNegotiate(plain, host, port, sslmode, sslrootcert)
+  }
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
   private var closed = false
@@ -414,7 +420,7 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
 }
 
 object PgWireTransport {
-  /** `tcp:host:port/dbname[?user=name&password=pw&sslmode=mode]` */
+  /** `tcp:host:port/dbname[?user=name&password=pw&sslmode=mode&sslrootcert=path]` */
   def fromDsn(dsn: String): PgWireTransport = {
     val spec = dsn.stripPrefix("tcp:")
     val (hostPortDb, params) = spec.indexOf('?') match {
@@ -424,19 +430,8 @@ object PgWireTransport {
           .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
         (spec.substring(0, i), kv)
     }
-    // libpq sslmode semantics, honestly scoped: modes that REQUIRE an
-    // encrypted channel fail fast (no TLS in this transport); the
-    // opportunistic modes fall back to plaintext exactly as libpq would
-    // against a server without SSL.
-    params.get("sslmode").foreach {
-      case "disable" | "prefer" | "allow" => // plaintext path
-      case m @ ("require" | "verify-ca" | "verify-full") =>
-        throw new IllegalArgumentException(
-          s"sslmode=$m requires TLS, which the tcp: transport does not implement; " +
-            "use sslmode=disable (or prefer/allow) against a plaintext port")
-      case m => throw new IllegalArgumentException(
-        s"unknown sslmode '$m' (disable|allow|prefer|require|verify-ca|verify-full)")
-    }
+    val sslmode = params.getOrElse("sslmode", "disable")
+    PgTls.validateMode(sslmode)
     val slash = hostPortDb.lastIndexOf('/')
     require(slash > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
     val db = hostPortDb.substring(slash + 1)
@@ -448,6 +443,8 @@ object PgWireTransport {
       hostPort.substring(colon + 1).toInt,
       db,
       params.getOrElse("user", "spark"),
-      params.get("password"))
+      params.get("password"),
+      sslmode,
+      params.get("sslrootcert"))
   }
 }

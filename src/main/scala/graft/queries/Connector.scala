@@ -335,6 +335,48 @@ object ConnectorOps {
       |WHERE c_acctbal > 2000.0 ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // c46: the socket transport over TLS — the loopback server runs with
+  // ssl=on (self-signed identity for 127.0.0.1) AND requires SCRAM, the
+  // client DSN demands sslmode=verify-full with the server's root cert,
+  // so every connection negotiates SSLRequest → TLS1.3 handshake →
+  // full-chain + hostname verification → SCRAM over the encrypted
+  // channel before any COPY frame flows. The reference covers the same
+  // surface via libpq SSL DSNs (ref: test/sql/scanner/ssl.test:9-15).
+  // ---------------------------------------------------------------- //
+  private val tlsWireServers =
+    scala.collection.mutable.Map.empty[String, graft.meta.PgWireServer]
+
+  private def tlsDsn(s: SparkSession, dir: String): String = synchronized {
+    ensureSeeded(s, dir)
+    val mat = graft.meta.PgTlsTestMaterial.material
+    val srv = tlsWireServers.getOrElseUpdate(dsnName(dir),
+      new graft.meta.PgWireServer(InMemoryPg.forName(dsnName(dir)),
+        graft.meta.PgWireServer.Scram(Map("graft_tls" -> "tls-batt3ry-pw")),
+        tls = Some(graft.meta.PgTls.serverContext(
+          mat.keystorePath, graft.meta.PgTlsTestMaterial.StorePass.toCharArray))))
+    srv.dsn("graft") + "?user=graft_tls&password=tls-batt3ry-pw" +
+      s"&sslmode=verify-full&sslrootcert=${mat.rootCertPath}"
+  }
+
+  def c46_tls_scan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("postgres")
+      .option("dsn", tlsDsn(s, dir))
+      .option("table", "customer")
+      .option("pagesPerTask", PagesPerTask)
+      .load()
+      .filter(col("c_nationkey") < 13)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  val c46_sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer WHERE c_nationkey < 13
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // c12: LIMIT pushdown — each ctid task's COPY carries `LIMIT 50`, so
   // a probe query moves partitions×50 rows instead of the table. The
   // count on top makes the result deterministic (any 50 rows count the
@@ -751,12 +793,19 @@ object ConnectorOps {
   // the path — deleting it under a live result would fail that re-read.
   private var st06PrevResult: Option[DataFrame] = None
   private var st06PrevScratch: Option[String] = None
+  // the final run's scratch dir has no "next invocation" to delete it;
+  // /dev/shm is tmpfs, so reclaim it at JVM exit
+  private lazy val st06CleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      synchronized(st06PrevScratch).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))))
   // (sf dir) → cached (signature index, sorted-token verify relation);
   // lives for the JVM like a loaded production index
   private val st06RefCache =
     scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
 
   def st06_pg_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    st06CleanupHook
     synchronized {
       st06PrevResult.foreach(_.unpersist())
       st06PrevResult = None
@@ -841,6 +890,7 @@ object ConnectorOps {
     "c09_pg_update" -> ((c09_pg_update _, Some(c09_sql))),
     "c10_pg_merge" -> ((c10_pg_merge _, Some(c10_sql))),
     "c11_tcp_scan" -> ((c11_tcp_scan _, Some(c11_sql))),
+    "c46_tls_scan" -> ((c46_tls_scan _, Some(c46_sql))),
     "c12_pg_limit" -> ((c12_pg_limit _, Some(c12_sql))),
     "c13_pg_topn" -> ((c13_pg_topn _, Some(c13_sql))),
     "c14_pg_runtime_filter" -> ((c14_pg_runtime_filter _, Some(c14_sql))),

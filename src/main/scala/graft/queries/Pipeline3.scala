@@ -290,11 +290,18 @@ object Pipeline3 {
   // index was probed in memory or from disk.
   // ---------------------------------------------------------------- //
   private val ivfIndexPaths = scala.collection.mutable.Map.empty[String, String]
+  // /dev/shm is tmpfs (RAM) and outlives the JVM — without this hook
+  // every bench run would leave its index dirs resident until reboot
+  private lazy val ivfCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ivfIndexPaths.values.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))))
 
   /** Build + persist the shared 16-cell IVF index once per (JVM, sf
     * dir); s05 and s06 probe the same artifact, like production query
-    * batches sharing one index build. */
+    * batches sharing one index build. Deleted at JVM exit. */
   private def ensureIvfIndex(s: SparkSession, dir: String): String = synchronized {
+    ivfCleanupHook
     ivfIndexPaths.getOrElseUpdate(dir, {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))

@@ -175,16 +175,135 @@ class PgWireSpec extends AnyFunSuite {
         graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=bob&password=wrong")
       }
       assert(bad.getMessage.contains("28P01"), bad.getMessage)
-      // sslmode that REQUIRES TLS fails fast and clearly
-      val ssl = intercept[IllegalArgumentException] {
+      // sslmode that REQUIRES TLS refuses the plaintext-only server's
+      // 'N' answer instead of silently downgrading (libpq behavior)
+      val ssl = intercept[IllegalStateException] {
         graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=bob&password=hunter2&sslmode=require")
       }
-      assert(ssl.getMessage.contains("TLS"), ssl.getMessage)
+      assert(ssl.getMessage.contains("does not support SSL"), ssl.getMessage)
       val junk = intercept[IllegalArgumentException] {
         graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=bob&password=hunter2&sslmode=bogus")
       }
       assert(junk.getMessage.contains("unknown sslmode"), junk.getMessage)
     } finally srv.close()
+  }
+
+  // ------------------------------------------------------------------ //
+  // TLS: SSLRequest negotiation + JSSE handshake, the sslmode matrix,
+  // and chain/hostname verification — the repo-side equivalent of the
+  // reference's libpq SSL DSN coverage (test/sql/scanner/ssl.test).
+  // ------------------------------------------------------------------ //
+
+  private def tlsServer(auth: PgWireServer.Auth = PgWireServer.Trust): PgWireServer = {
+    val mat = graft.meta.PgTlsTestMaterial.material
+    new PgWireServer(InMemoryPg.forName(memName), auth,
+      tls = Some(graft.meta.PgTls.serverContext(
+        mat.keystorePath, graft.meta.PgTlsTestMaterial.StorePass.toCharArray)))
+  }
+
+  test("TLS handshake: sslmode=require/verify-ca/verify-full all work against an ssl=on server") {
+    seed()
+    val mat = graft.meta.PgTlsTestMaterial.material
+    val srv = tlsServer()
+    try {
+      for (mode <- Seq(s"sslmode=require",
+        s"sslmode=verify-ca&sslrootcert=${mat.rootCertPath}",
+        s"sslmode=verify-full&sslrootcert=${mat.rootCertPath}",
+        // libpq documents require+rootcert as verifying like verify-ca
+        s"sslmode=require&sslrootcert=${mat.rootCertPath}")) {
+        val t = graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=x&" + mode)
+        try {
+          // COPY bytes over the encrypted channel prove the data path
+          val in = new java.io.DataInputStream(
+            t.copyOut("""COPY (SELECT "k" FROM "public"."wt") TO STDOUT (FORMAT binary)"""))
+          assert(in.read() >= 0, mode)
+          in.close()
+        } finally t.close()
+      }
+    } finally srv.close()
+  }
+
+  test("TLS: full connector scan (parallel COPY) and COPY IN over an encrypted channel") {
+    seed()
+    val mat = graft.meta.PgTlsTestMaterial.material
+    val srv = tlsServer()
+    try {
+      val dsn = srv.dsn() +
+        s"?user=x&sslmode=verify-full&sslrootcert=${mat.rootCertPath}"
+      val df = spark.read.format("postgres")
+        .option("dsn", dsn).option("table", "wt")
+        .option("pagesPerTask", "2") // several parallel TLS connections
+        .load()
+      assert(df.count() == 500)
+      import spark.implicits._
+      val t = PgTransportFactory.open(dsn)
+      try t.execute("""CREATE TABLE IF NOT EXISTS "public"."wt_tls" ("k" INTEGER)""")
+      finally t.close()
+      Seq(7, 8, 9).toDF("k").write.format("postgres")
+        .option("dsn", dsn).option("table", "wt_tls").mode("overwrite").save()
+      val back = spark.read.format("postgres")
+        .option("dsn", dsn).option("table", "wt_tls").load()
+        .orderBy(col("k")).collect().map(_.getInt(0)).toSeq
+      assert(back == Seq(7, 8, 9))
+    } finally srv.close()
+  }
+
+  test("TLS: SCRAM runs over the encrypted channel; wrong password still 28P01") {
+    seed()
+    val mat = graft.meta.PgTlsTestMaterial.material
+    val srv = tlsServer(PgWireServer.Scram(Map("carol" -> "tls-pass")))
+    try {
+      val dsn = srv.dsn() +
+        s"?user=carol&sslmode=verify-full&sslrootcert=${mat.rootCertPath}"
+      val ok = graft.meta.PgWireTransport.fromDsn(dsn + "&password=tls-pass")
+      try {
+        val in = new java.io.DataInputStream(
+          ok.copyOut("""COPY (SELECT "k" FROM "public"."wt") TO STDOUT (FORMAT binary)"""))
+        assert(in.read() >= 0)
+        in.close()
+      } finally ok.close()
+      val bad = intercept[RuntimeException] {
+        graft.meta.PgWireTransport.fromDsn(dsn + "&password=wrong")
+      }
+      assert(bad.getMessage.contains("28P01"), bad.getMessage)
+    } finally srv.close()
+  }
+
+  test("TLS: verify-ca rejects a chain anchored at a different CA; require still connects") {
+    seed()
+    val rogue = graft.meta.PgTlsTestMaterial.generate() // unrelated CA
+    val srv = tlsServer()
+    try {
+      val rejected = intercept[Exception] {
+        graft.meta.PgWireTransport.fromDsn(srv.dsn() +
+          s"?user=x&sslmode=verify-ca&sslrootcert=${rogue.rootCertPath}")
+      }
+      def chainFailure(e: Throwable): Boolean =
+        e != null && (e.isInstanceOf[javax.net.ssl.SSLHandshakeException] ||
+          e.isInstanceOf[java.security.cert.CertificateException] ||
+          chainFailure(e.getCause))
+      assert(chainFailure(rejected), rejected.toString)
+      // require (no root cert) = encrypt without authenticating: connects
+      val t = graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=x&sslmode=require")
+      try t.execute("SET standard_conforming_strings = on") finally t.close()
+      // missing root cert for verify-* is a clear config error
+      val noCert = intercept[IllegalArgumentException] {
+        graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=x&sslmode=verify-ca")
+      }
+      assert(noCert.getMessage.contains("sslrootcert"), noCert.getMessage)
+    } finally srv.close()
+  }
+
+  test("TLS: prefer upgrades to TLS when offered, falls back to plaintext when not") {
+    seed()
+    val srv = tlsServer()
+    try {
+      // against ssl=on: prefer takes the TLS path (require-without-cert trust)
+      val t = graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=x&sslmode=prefer")
+      try t.execute("SET standard_conforming_strings = on") finally t.close()
+    } finally srv.close()
+    // against plaintext-only: prefer falls back (covered above in the
+    // md5 test via sslmode=prefer against the non-TLS server)
   }
 
   test("SCRAM primitives agree with RFC 7677 §3's SCRAM-SHA-256 test vector") {
