@@ -240,15 +240,26 @@ object Ann {
       if (splits < math.min(parallelism, 8))
         corpus.repartition(parallelism)
       else corpus
+    // Ids-only through every exchange: the bucket join and the
+    // candidate dedup shuffle (id, table, bucket) rows — a few longs —
+    // never the embedding vectors. A candidate that collides in c of
+    // the L·(bits+1) probe combinations would otherwise drag its
+    // vectors across the join exchange c times and the distinct once
+    // more; instead each side's vectors re-attach ONCE by id after the
+    // dedup (the same contract the cross-corpus dedup path pins in
+    // ScaleSpec's "no wide column in any Exchange" test).
     val hashedCorpus = bucketize(spread, "cv", ps)
-      .select(col("neighbor_id"), col("cv"), col("table"), col("bucket"))
+      .select(col("neighbor_id"), col("table"), col("bucket"))
     val hashedQueries = bucketize(queries, "qv", ps)
       .withColumn("probe", explode(probes(col("bucket"), bits)))
-      .select(col("query_id"), col("qv"), col("table"), col("probe").as("bucket"))
-    val candidates = hashedQueries.join(hashedCorpus, Seq("table", "bucket"))
+      .select(col("query_id"), col("table"), col("probe").as("bucket"))
+    val candidateIds = hashedQueries.join(hashedCorpus, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val candidates = candidateIds
+      .join(spread.select(col("neighbor_id"), col("cv")), "neighbor_id")
+      .join(queries.select(col("query_id"), col("qv")), "query_id")
     // topk_by instead of a row_number window: partial k-element heaps
     // per partition mean the final exchange carries ≤ k rows per query
     // rather than every scored candidate (see TopKAggregate).

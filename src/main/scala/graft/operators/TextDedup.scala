@@ -27,9 +27,22 @@ object TextDedup {
     * hot shuffle and re-attach by joining back on doc id (strategy
     * left to AQE). A conservative size-ratio prefilter prunes
     * exact-verify work, never results; the exact verify is a codegen'd
-    * sorted-merge intersection count. */
+    * sorted-merge intersection count.
+    *
+    * Hot buckets: a degenerate band bucket (boilerplate documents
+    * sharing a signature) would put O(m²) in-row pair work — and one
+    * m-element collected list — in a single task. Buckets above
+    * `hotBucketCap` members therefore skip the collect_list path
+    * entirely and expand through a triangle-salted self-join: members
+    * split into `hotBucketSalts` groups by id hash, group pair (i, j)
+    * i ≤ j computed by its own task, so one hot bucket spreads over
+    * g·(g+1)/2 cells with (m/g)² work each. Same emission contract
+    * (first colliding band + size-ratio), so results are identical and
+    * no cross-path duplicates are possible — a pair is emitted only at
+    * its first colliding band whichever path that band's bucket took. */
   def nearDupPairs(docs: DataFrame, idCol: String, blockCol: String,
-      tokCol: String, threshold: Double = 0.85): DataFrame = {
+      tokCol: String, threshold: Double = 0.85,
+      hotBucketCap: Int = 1024, hotBucketSalts: Int = 16): DataFrame = {
     val s = docs.sparkSession
     val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       array_sort(array_distinct(col(tokCol))).as("tok"))
@@ -45,9 +58,16 @@ object TextDedup {
     // slack below the implied min(|A|,|B|)/max bound so float rounding
     // can never drop a true pair
     val sizeRatio = math.max(0.0, threshold - 0.01)
-    val cands = banded
+    val parted = banded
       .repartition(s.sparkContext.defaultParallelism,
         col("block"), col("band_idx"), col("band_hash"))
+    // per-bucket member count over the partitioning just established —
+    // a window, not another aggregate+join, so the common path pays a
+    // local sort but no additional exchange
+    val tagged = parted.withColumn("bsz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("block"), col("band_idx"), col("band_hash"))))
+    val smallCands = tagged.filter(col("bsz") <= hotBucketCap)
       .groupBy(col("block"), col("band_idx"), col("band_hash"))
       .agg(collect_list(struct(col("doc_id"), col("bhs"), col("sz"))).as("members"))
       .filter(size(col("members")) > 1)
@@ -62,6 +82,34 @@ object TextDedup {
            |    y -> struct(least(x.doc_id, y.doc_id) AS doc_a,
            |                greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // triangle-salted expansion for oversized buckets: a member of
+    // group s joins as the A side of cells (s, j ≥ s) and the B side of
+    // cells (i ≤ s, s); an unordered pair {a, b} lands in exactly cell
+    // (min(gₐ, g_b), max(gₐ, g_b)) — twice when gₐ = g_b, which the
+    // id_a < id_b condition dedups
+    val g = hotBucketSalts
+    val big = tagged.filter(col("bsz") > hotBucketCap)
+      .withColumn("gs", pmod(hash(col("doc_id")), lit(g)))
+    val bKeys = Seq("block", "band_idx", "band_hash")
+    val lefts = big
+      .withColumn("gj", explode(sequence(col("gs"), lit(g - 1))))
+      .select(bKeys.map(col) ++ Seq(col("gs").as("gi"), col("gj"),
+        col("doc_id").as("id_a"), col("bhs").as("bhs_a"), col("sz").as("sz_a")): _*)
+    val rights = big
+      .withColumn("gi", explode(sequence(lit(0), col("gs"))))
+      .select(bKeys.map(col) ++ Seq(col("gi"), col("gs").as("gj"),
+        col("doc_id").as("id_b"), col("bhs").as("bhs_b"), col("sz").as("sz_b")): _*)
+    val bigCands = lefts.join(rights, bKeys ++ Seq("gi", "gj"))
+      .filter(col("gi") < col("gj") || col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(sizeRatio) * greatest(col("sz_a"), col("sz_b")))
+      .filter(!exists(
+        zip_with(slice(col("bhs_a"), lit(1), col("band_idx")),
+          slice(col("bhs_b"), lit(1), col("band_idx")),
+          (ha, hb) => ha === hb), c => c))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    val cands = smallCands.union(bigCands)
     graft.functions.SortedIntersectFunctions.register(s)
     val tx = toks.select(col("doc_id"), col("tok"))
     val inter = graft.functions.SortedIntersectFunctions

@@ -131,6 +131,81 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"well-split corpus still full-width repartitioned:\n${fullWidth.mkString("\n")}")
   }
 
+  test("hot band buckets take the triangle-salted path with identical results") {
+    import spark.implicits._
+    // one degenerate bucket per band: 40 boilerplate docs share every
+    // band signature; a handful of distinct docs ride along
+    val boiler = (0L until 40L).map(i => (i, "blk", "common boilerplate text shared by every degenerate document"))
+    val normal = (100L until 110L).map(i => (i, "blk", s"unique document number $i with its own words ${i * 7} ${i * 13}"))
+    val docs = (boiler ++ normal).toDF("doc_id", "src", "text")
+      .withColumn("tok", split(col("text"), " "))
+    def pairs(cap: Int, salts: Int) = graft.operators.TextDedup
+      .nearDupPairs(docs, "doc_id", "src", "tok", 0.8,
+        hotBucketCap = cap, hotBucketSalts = salts)
+    // cap above any bucket: pure in-row path (the former behavior)
+    val viaSmall = pairs(cap = 10000, salts = 4)
+    // cap below the degenerate bucket: boilerplate pairs via the salted join
+    val viaSalted = pairs(cap = 8, salts = 4)
+    assert(viaSmall.collect().toSet == viaSalted.collect().toSet,
+      "salted path changed the result set")
+    assert(viaSalted.count() >= (40 * 39) / 2, "boilerplate pairs missing")
+    // the hot path's join must key on the salt cells so one bucket
+    // spreads over g·(g+1)/2 tasks instead of serializing in one
+    val plan = viaSalted.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*gi[^)]*gj".r.findFirstIn(plan).isDefined,
+      s"no salt-cell exchange in the hot-bucket plan:\n$plan")
+  }
+
+  test("s02 LSH top-k shuffles carry ids, never embedding vectors") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // sourceSplits declares the source well-split, so no spread
+    // repartition is injected and every remaining shuffle is the
+    // operator's own
+    val out = graft.operators.Ann.lshTopK(queries, corpus, 5, dim = 64,
+      sourceSplits = Some(16))
+    // structural walk (incl. under AQE): every shuffle's row payload —
+    // initialPlan, because AQE materializes exchanges lazily and the
+    // pre-execution inputPlan has none yet
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        shuffles(a.initialPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shuffles(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        shuffles(r.child)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e +: e.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles)
+    }
+    val ex = shuffles(out.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected shuffles in the LSH plan")
+    // the candidate-duplication-prone exchanges — the (table, bucket)
+    // join and the (query_id, neighbor_id) dedup, where one collision
+    // per probe combination multiplies the payload — must carry ids
+    // only; vectors may ride only the single-id re-attach joins (and
+    // with small query batches AQE turns those into broadcasts)
+    ex.foreach { e =>
+      val keys = e.outputPartitioning.toString
+      val names = e.output.map(_.name)
+      if (names.contains("qv") || names.contains("cv")) {
+        assert(!keys.contains("bucket"),
+          s"vectors ride the bucket-join shuffle: $e")
+        assert(!(keys.contains("query_id") && keys.contains("neighbor_id")),
+          s"vectors ride the candidate-dedup shuffle: $e")
+      }
+    }
+    // and the dedup exchange itself exists, ids-only
+    assert(ex.exists { e =>
+      val keys = e.outputPartitioning.toString
+      keys.contains("query_id") && keys.contains("neighbor_id") &&
+        e.output.map(_.name).forall(n => n == "query_id" || n == "neighbor_id")
+    }, s"no ids-only dedup exchange found in:\n${ex.mkString("\n")}")
+  }
+
   test("bucketed signature index joins with no exchange on the stored side") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
