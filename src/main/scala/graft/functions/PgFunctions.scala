@@ -49,6 +49,98 @@ object PgFunctions {
     created
   }
 
+  /** `COPY FROM DATABASE` analogue (ref: test/sql/storage/
+    * attach_copy_from_database.test): copy a schema — table definitions
+    * + data — from one server to another in one call.
+    *
+    * Per table: the destination definition is rebuilt from the source's
+    * catalog (`tableInfo` names/types/typmods/dims/nullability), then
+    * rows stream as COPY OUT → COPY IN. In binary mode the PGCOPY
+    * stream is a self-contained format, so the bytes pass through with
+    * NO decode/re-encode; text mode decodes and re-emits text rows —
+    * the same fallback the write sink offers for servers or poolers
+    * that reject binary COPY. Each table copies inside ONE destination
+    * transaction (BEGIN … COMMIT; a failure rolls that table back
+    * without poisoning tables already copied). Tables copy sequentially
+    * on the driver — bulk catalog cloning is a one-off admin operation;
+    * for a single huge table the parallel write path
+    * (`df.write.format("postgres")`) is the scale tool.
+    *
+    * Returns the copied table names. */
+  def copyDatabase(srcDsn: String, dstDsn: String,
+      schema: String = "public",
+      dstSchema: Option[String] = None,
+      overwrite: Boolean = false,
+      useTextFormat: Boolean = false): Seq[String] = {
+    val target = dstSchema.getOrElse(schema)
+    val src = PgTransportFactory.open(srcDsn)
+    try {
+      val tables = src.query(PgCatalogQueries.listTables(schema)).map(_.head)
+      locally {
+        val d = PgTransportFactory.open(dstDsn)
+        try d.execute(s"CREATE SCHEMA IF NOT EXISTS ${PgSqlGen.quoteIdent(target)}")
+        finally d.close()
+      }
+      tables.foreach { tbl =>
+        val info = src.query(PgCatalogQueries.tableInfo(schema, tbl))
+        val pgTypes = info.map { r =>
+          graft.types.PgType.fromName(r(1), r(2).toInt, r(3).toInt)
+        }
+        val colDefs = info.zip(pgTypes).map { case (r, pt) =>
+          s"${PgSqlGen.quoteIdent(r.head)} ${graft.types.PgType.typeString(pt)}" +
+            (if (r(4) == "t" || r(4) == "true") " NOT NULL" else "")
+        }.mkString(", ")
+        val colList = info.map(r => PgSqlGen.quoteIdent(r.head)).mkString(", ")
+        val srcName = s"${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(tbl)}"
+        val dstName = s"${PgSqlGen.quoteIdent(target)}.${PgSqlGen.quoteIdent(tbl)}"
+        val dst = PgTransportFactory.open(dstDsn)
+        try {
+          dst.execute("BEGIN")
+          try {
+            if (overwrite) dst.execute(s"DROP TABLE IF EXISTS $dstName")
+            dst.execute(s"CREATE TABLE $dstName ($colDefs)")
+            val in = src.copyOut(
+              s"COPY (SELECT $colList FROM $srcName) TO STDOUT (FORMAT binary)")
+            try {
+              if (!useTextFormat) {
+                val out = dst.copyIn(
+                  s"COPY $dstName ($colList) FROM STDIN (FORMAT binary)")
+                try {
+                  val buf = new Array[Byte](1 << 16)
+                  var n = in.read(buf)
+                  while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+                } finally out.close()
+              } else {
+                val sparkTypes = pgTypes.map(graft.types.PgType.toSpark)
+                val reader = new graft.codec.PgBinaryReader(pgTypes, sparkTypes)
+                val writer = new graft.codec.PgTextWriter(pgTypes, sparkTypes)
+                val din = new java.io.DataInputStream(
+                  new java.io.BufferedInputStream(in, 1 << 16))
+                reader.readHeader(din)
+                val out = dst.copyIn(
+                  s"COPY $dstName ($colList) FROM STDIN (FORMAT text)")
+                try {
+                  var row = reader.readRow(din)
+                  while (row.isDefined) {
+                    out.write(writer.rowText(row.get).getBytes("UTF-8"))
+                    out.write('\n')
+                    row = reader.readRow(din)
+                  }
+                } finally out.close()
+              }
+            } finally in.close()
+            dst.execute("COMMIT")
+          } catch {
+            case e: Throwable =>
+              try dst.execute("ROLLBACK") catch { case _: Throwable => () }
+              throw e
+          }
+        } finally dst.close()
+      }
+      tables
+    } finally src.close()
+  }
+
   /** UPDATE by row id, using the reference's update-sink protocol
     * (ref: src/storage/postgres_update.cpp:31-153): per partition,
     *   1. CREATE TEMPORARY TABLE update_data_<uuid>(cols…,

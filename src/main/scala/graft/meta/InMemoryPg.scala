@@ -1087,7 +1087,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
   // execute: DDL / DML forwarding targets
   // ---------------------------------------------------------------- //
   private val CreateTableRe: Regex =
-    """(?s)CREATE TABLE (?:IF NOT EXISTS )?"([^"]+)"\."([^"]+)" \((.*)\)""".r
+    """(?s)CREATE TABLE (IF NOT EXISTS )?"([^"]+)"\."([^"]+)" \((.*)\)""".r
   private val DropTableRe: Regex =
     """DROP TABLE (?:IF EXISTS )?"([^"]+)"\."([^"]+)"""".r
   private val TruncateRe: Regex = """TRUNCATE (?:TABLE )?"([^"]+)"\."([^"]+)"""".r
@@ -1284,8 +1284,14 @@ final class InMemoryPg(val name: String) extends PgTransport {
             case None =>
           }
         }
-      case CreateTableRe(sch, tbl, colDefs) =>
-        createTable(sch, tbl, parseColumns(colDefs))
+      case CreateTableRe(ifNotExists, sch, tbl, colDefs) =>
+        // PG semantics: plain CREATE TABLE on an existing relation is
+        // 42P07; IF NOT EXISTS is a no-op that keeps the existing table
+        if (tables.containsKey((sch, tbl))) {
+          if (ifNotExists == null)
+            throw new IllegalArgumentException(
+              s"""relation "$tbl" already exists (42P07)""")
+        } else createTable(sch, tbl, parseColumns(colDefs))
       case DropTableRe(sch, tbl) => tables.remove((sch, tbl))
       case TruncateRe(sch, tbl) => getTable(sch, tbl).slots.clear()
       case AddColumnRe(sch, tbl, colName, tpe) =>

@@ -1198,4 +1198,60 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(servedRows(
       """COPY (SELECT "id" FROM "public"."people" WHERE ("name" IN ('name_1', 'no_such'))) TO STDOUT (FORMAT binary)""") == 1)
   }
+
+  test("copyDatabase clones a schema across servers: definitions + data, binary and text modes") {
+    import spark.implicits._
+    val srcDsn = "mem:copydb_src"
+    val dstDsn = "mem:copydb_dst"
+    // seed the source through the connector's own write path with a
+    // types table that exercises the binary codec broadly (numeric,
+    // bpchar, timestamps, arrays, geometry) plus a plain table
+    locally {
+      val t = graft.meta.PgTransportFactory.open(srcDsn)
+      try {
+        t.execute("""CREATE TABLE "public"."cp_typed" ("id" BIGINT, "nm" VARCHAR, """ +
+          """"amt" DECIMAL(12,3), "tag" CHAR(4), "ts" TIMESTAMP, "ids" BIGINT[], "pt" POINT)""")
+        t.execute("""CREATE TABLE "public"."cp_plain" ("k" INTEGER, "v" VARCHAR)""")
+      } finally t.close()
+    }
+    (0 until 40).map(i => (i.toLong, s"n_$i", BigDecimal(i) + BigDecimal("0.125"),
+        s"t$i", java.sql.Timestamp.valueOf(s"2024-01-0${i % 9 + 1} 10:00:00"),
+        Seq(i.toLong, i * 2L), s"($i,${i * 2})"))
+      .toDF("id", "nm", "amt", "tag", "ts", "ids", "pt")
+      .select($"id", $"nm", $"amt".cast("decimal(12,3)"), $"tag", $"ts", $"ids",
+        expr("named_struct('x', CAST(id AS DOUBLE), 'y', CAST(id * 2 AS DOUBLE))").as("pt"))
+      .write.format("postgres").option("dsn", srcDsn).option("table", "cp_typed")
+      .mode("append").save()
+    Seq((1, "a"), (2, null.asInstanceOf[String])).toDF("k", "v")
+      .write.format("postgres").option("dsn", srcDsn).option("table", "cp_plain")
+      .mode("append").save()
+
+    val copied = PgFunctions.copyDatabase(srcDsn, dstDsn)
+    assert(copied.toSet == Set("cp_typed", "cp_plain"))
+    def readAll(dsn: String, tbl: String) = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", tbl).load()
+      .orderBy(col(spark.read.format("postgres").option("dsn", dsn)
+        .option("table", tbl).load().columns.head))
+    for (tbl <- copied) {
+      val a = readAll(srcDsn, tbl).collect().toSeq
+      val b = readAll(dstDsn, tbl).collect().toSeq
+      assert(a == b, s"$tbl differs after binary copy")
+      assert(a.nonEmpty)
+    }
+    // text mode round-trips the same rows through the text COPY fallback
+    // (the plain table: the text writer's supported surface)
+    val dstTxt = "mem:copydb_dst_txt"
+    val copiedTxt = PgFunctions.copyDatabase(srcDsn, dstTxt, useTextFormat = true)
+    assert(copiedTxt.toSet == Set("cp_typed", "cp_plain"))
+    for (tbl <- copiedTxt) {
+      val a = readAll(srcDsn, tbl).collect().toSeq
+      val b = readAll(dstTxt, tbl).collect().toSeq
+      assert(a == b, s"$tbl differs after text copy")
+    }
+    // re-copy without overwrite fails (table exists), with overwrite wins
+    intercept[Exception] { PgFunctions.copyDatabase(srcDsn, dstDsn) }
+    val again = PgFunctions.copyDatabase(srcDsn, dstDsn, overwrite = true)
+    assert(again.toSet == Set("cp_typed", "cp_plain"))
+    assert(readAll(dstDsn, "cp_plain").count() == 2)
+  }
 }
