@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.Pipeline3.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.TpchCatalog.entries.map { case (k, (fn, _)) => k -> fn } ++
-      graft.queries.Tpcds.entries.map { case (k, (fn, _)) => k -> fn }
+      graft.queries.Tpcds.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Tpcds2.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Pipeline3.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.TpchCatalog.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
-      graft.queries.Tpcds.entries.collect { case (k, (_, Some(sql))) => k -> sql }
+      graft.queries.Tpcds.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Tpcds2.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }
