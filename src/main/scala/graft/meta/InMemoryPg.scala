@@ -427,14 +427,93 @@ final class InMemoryPg(val name: String) extends PgTransport {
   val copyOutStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
   private val copyOutLogCap = 512
 
+  /** Served-scan cache. A real server reads COPY payloads out of its
+    * native heap storage — work proportional to the data; this double
+    * would otherwise re-ENCODE InternalRows to PGCOPY bytes on every
+    * scan, charging repeated catalog queries a cost no server pays.
+    * Identical scan statements therefore serve the previously encoded
+    * bytes, invalidated wholesale by a generation counter that every
+    * mutation path bumps (DDL/DML execute, COPY IN commit). Bounded:
+    * oversized streams aren't recorded; total is capped with
+    * access-order eviction. Only streams consumed to EOF are inserted
+    * (a partially-read scan has incomplete bytes). */
+  private val scanGen = new java.util.concurrent.atomic.AtomicLong()
+  private[meta] def bumpGeneration(): Unit = scanGen.incrementAndGet()
+  /** Order-independent fingerprint of table row counts: catches the
+    * mutation paths that bypass execute/copyIn entirely (tests seed by
+    * appending to `MemTable.slots` directly). In-place row REPLACEMENT
+    * without a length change would evade this, but every such path
+    * (UPDATE/DELETE/TRUNCATE) goes through execute, which bumps the
+    * generation. */
+  private def dataFingerprint(): Long = {
+    var fp = 0L
+    val it = tables.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      fp ^= e.getKey.hashCode.toLong * 0x9E3779B97F4A7C15L +
+        e.getValue.slots.length.toLong * 1099511628211L
+    }
+    fp
+  }
+  private def cacheEpoch(): (Long, Long) = (scanGen.get(), dataFingerprint())
+  private val copyCache =
+    new java.util.LinkedHashMap[String, ((Long, Long), Array[Byte])](64, 0.75f, true)
+  private val copyCacheMaxEntry = 96 << 20
+  private val copyCacheMaxTotal = 384 << 20
+  private var copyCacheTotal = 0L // guarded by copyCache's monitor
+
+  private def copyCacheInsert(sql: String, gen: (Long, Long), bytes: Array[Byte]): Unit =
+    copyCache.synchronized {
+      val prev = copyCache.remove(sql)
+      if (prev != null) copyCacheTotal -= prev._2.length
+      val it = copyCache.entrySet().iterator()
+      while (copyCacheTotal + bytes.length > copyCacheMaxTotal && it.hasNext) {
+        val e = it.next(); it.remove(); copyCacheTotal -= e.getValue._2.length
+      }
+      if (copyCacheTotal + bytes.length <= copyCacheMaxTotal) {
+        copyCache.put(sql, (gen, bytes)); copyCacheTotal += bytes.length
+      }
+    }
+
   override def copyOut(sql: String): InputStream = {
     copyOutStatements.synchronized {
       if (copyOutStatements.length >= copyOutLogCap)
         copyOutStatements.remove(0, copyOutStatements.length - copyOutLogCap + 1)
       copyOutStatements += sql
     }
+    val gen = cacheEpoch()
+    copyCache.synchronized {
+      val hit = copyCache.get(sql)
+      if (hit != null && hit._1 == gen)
+        return new java.io.ByteArrayInputStream(hit._2)
+    }
     val (base, orderBy, limit) = stripScanTail(sql)
-    copyOut0(base, orderBy, limit)
+    val raw = copyOut0(base, orderBy, limit)
+    new InputStream {
+      private val rec = new ByteArrayOutputStream(1 << 16)
+      private var over = false
+      private var inserted = false
+      override def read(): Int = {
+        val b = raw.read()
+        if (b >= 0) { if (!over) record1(b) } else finish()
+        b
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = raw.read(b, off, len)
+        if (n > 0) { if (!over) record(b, off, n) } else if (n < 0) finish()
+        n
+      }
+      private def record1(b: Int): Unit =
+        if (rec.size + 1 > copyCacheMaxEntry) over = true else rec.write(b)
+      private def record(b: Array[Byte], off: Int, n: Int): Unit =
+        if (rec.size + n > copyCacheMaxEntry) over = true else rec.write(b, off, n)
+      // cache only when EOF was reached AND no mutation raced the scan
+      private def finish(): Unit = if (!inserted) {
+        inserted = true
+        if (!over && cacheEpoch() == gen) copyCacheInsert(sql, gen, rec.toByteArray)
+      }
+      override def close(): Unit = raw.close()
+    }
   }
 
   /** One pushed sort key: (column, ascending, nullsFirst). */
@@ -870,7 +949,18 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
   override def copyIn(sql: String): OutputStream = {
     copyInStatements.synchronized { copyInStatements += sql }
-    copyIn0(sql)
+    // bump eagerly (not just on close): a scan racing an in-flight COPY
+    // must not insert bytes that miss the copy's rows
+    bumpGeneration()
+    val out = copyIn0(sql)
+    new java.io.FilterOutputStream(out) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = {
+        super.close()
+        bumpGeneration() // rows are visible now; invalidate served scans
+      }
+    }
   }
 
   private def copyIn0(sql: String): OutputStream = sql match {
@@ -1209,6 +1299,11 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
   override def execute(sql: String): Unit = {
     executedStatements.synchronized { executedStatements += sql }
+    sql match {
+      case s if s.startsWith("BEGIN") || s.startsWith("COMMIT") ||
+        s.startsWith("ROLLBACK") || s.startsWith("SET ") => ()
+      case _ => bumpGeneration() // every other statement may mutate
+    }
     sql match {
       case s if s.startsWith("BEGIN") || s.startsWith("COMMIT") ||
         s.startsWith("ROLLBACK") || s.startsWith("SET ") => ()
