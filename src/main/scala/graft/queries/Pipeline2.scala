@@ -29,10 +29,16 @@ object Pipeline2 {
   // long tail before the final (tiny) sort.
   // ---------------------------------------------------------------- //
   def p19_vocab(s: SparkSession, dir: String): DataFrame =
+    // two explicit aggregation levels instead of COUNT(DISTINCT): the
+    // (doc_id, token) pre-aggregate combines map-side (documents repeat
+    // tokens heavily) and leaves rows that are distinct per (doc,
+    // token), so the second level's plain COUNT(*) IS the document
+    // frequency — no Expand duplication, no distinct machinery
     t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
       .groupBy(col("token"))
-      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 20)
       .orderBy(desc("n_occ"), asc("token"))
 
@@ -54,16 +60,28 @@ object Pipeline2 {
   // ---------------------------------------------------------------- //
   def p20_tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val tf = docs.select(col("doc_id"), explode(tokens).as("token"))
+    // single-row-group test files scan as one partition; spread the
+    // rows before the (compute-heavy) tokenize+explode so it
+    // parallelizes — only when genuinely under-split (at real scale the
+    // source already has >cores splits)
+    val par = math.min(s.sparkContext.defaultParallelism, 16)
+    val raw = docs.select(col("doc_id"), col("text"))
+    val spread = if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    // tf materializes ONCE (localCheckpoint) so the df branch reads the
+    // same blocks instead of re-planning the scan→explode→aggregate
+    // chain (its aggregate branch canonicalizes to a distinct, so
+    // ReuseExchange can't fire). df then comes from a plain hash
+    // aggregate — no token-keyed window SORT over the whole tf
+    // relation — and joins back as a broadcast: the df relation is one
+    // row per distinct token, bounded by the vocabulary, which for word
+    // tokens stays broadcastable at any corpus size.
+    val tf = spread.select(col("doc_id"), explode(tokens).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    // df as a window count over tf, not a second aggregate joined back:
-    // a tf-self-join plans the scan→explode→(doc_id,token) aggregation
-    // TWICE (the df branch canonicalizes to a distinct, so ReuseExchange
-    // can't fire) — the window computes df from the one materialized tf
-    // relation with a single narrow token-keyed shuffle
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("token"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+    tf.join(broadcast(dfreq), "token")
       .crossJoin(broadcast(total))
       .withColumn("score", col("tf").cast("double") * col("n_total") / col("df"))
       .withColumn("rk", row_number().over(w))

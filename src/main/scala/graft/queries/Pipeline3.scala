@@ -240,12 +240,26 @@ object Pipeline3 {
   def p27_source_overlap(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val n = 5
+    // shingles reduce to 64-bit fingerprints INSIDE the build lambda
+    // (xxhash64 over the 5 tokens — no shingle string is ever
+    // materialized), so the distinct and the shingle-keyed shuffle move
+    // 8-byte longs instead of ~40-byte strings. The overlap counts are
+    // identical barring a 64-bit fingerprint collision (~1e-8 at 1e6
+    // distinct shingles); the oracle recomputes with real strings, so a
+    // collision would surface as a count mismatch rather than hide.
+    // explode shingle START INDICES, then hash at top level: higher-
+    // order-function lambdas evaluate interpreted per element, while a
+    // top-level xxhash64 over GetArrayItem lands inside whole-stage
+    // codegen. The global distinct() that follows subsumes the in-doc
+    // array_distinct the lambda form needed.
     val sh = t(s, dir, "documents")
       .select(col("source"), toks.as("tok"))
       .filter(size(col("tok")) >= n)
-      .select(col("source"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("tok")) - n),
-          i => concat_ws(" ", (0 until n).map(o => col("tok")(i + o)): _*)))).as("sh"))
+      .select(col("source"), col("tok"),
+        explode(sequence(lit(0), size(col("tok")) - n)).as("i"))
+      .select(col("source"),
+        xxhash64((0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)
+          .as("sh"))
       .distinct()
     // group-by-shingle + in-row pair expansion, not a self-join: the
     // join form computes the scan→explode→distinct relation twice (its
