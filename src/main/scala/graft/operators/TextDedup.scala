@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -18,33 +18,77 @@ object TextDedup {
   /** Verified near-dup pairs (doc_a < doc_b, jaccard >= `threshold`)
     * over token sets, blocked by `blockCol` (pairs never cross blocks).
     *
-    * 100 TB shape: K=16 minhashes, 8 bands of 2 rows; candidates are
-    * generated with ONE shuffle — groupBy (block, band_idx, band_hash)
-    * → per-bucket member list → in-bucket pair expansion, each pair
-    * emitted only at its FIRST colliding band (already distinct, no
-    * second dedup shuffle over the pair blow-up). Band rows carry a
-    * narrow fixed-size payload; the wide token arrays stay out of the
-    * hot shuffle and re-attach by joining back on doc id (strategy
-    * left to AQE). A conservative size-ratio prefilter prunes
-    * exact-verify work, never results; the exact verify is a codegen'd
-    * sorted-merge intersection count.
+    * 100 TB shape: K=16 minhashes, 8 bands of 2 rows; candidates come
+    * from an in-bucket SELF-JOIN on (block, band_idx, band_hash) —
+    * both sides read the one banded exchange (ReuseExchange), each
+    * unordered pair survives once via id_a < id_b, and every predicate
+    * (size-ratio prefilter, first-colliding-band dedup) is a plain
+    * whole-stage-codegen boolean over the fixed-width signature
+    * arrays, so the pair blow-up never touches an interpreted lambda
+    * and no second dedup shuffle is needed. Band rows carry a narrow
+    * fixed-size payload; the bare winning pair ids are materialized
+    * (localCheckpoint) before the verify joins, and the wide token
+    * arrays re-attach by doc id against that known-small relation. The
+    * exact verify is a codegen'd sorted-merge intersection count.
     *
     * Hot buckets: a degenerate band bucket (boilerplate documents
-    * sharing a signature) would put O(m²) in-row pair work — and one
-    * m-element collected list — in a single task. Buckets above
-    * `hotBucketCap` members therefore skip the collect_list path
-    * entirely and expand through a triangle-salted self-join: members
+    * sharing a signature) would land one bucket's O(m²) join output in
+    * a single task. Buckets above `hotBucketCap` members therefore
+    * route to a triangle-salted variant of the same join: members
     * split into `hotBucketSalts` groups by id hash, group pair (i, j)
     * i ≤ j computed by its own task, so one hot bucket spreads over
-    * g·(g+1)/2 cells with (m/g)² work each. Same emission contract
-    * (first colliding band + size-ratio), so results are identical and
-    * no cross-path duplicates are possible — a pair is emitted only at
-    * its first colliding band whichever path that band's bucket took. */
+    * g·(g+1)/2 cells with (m/g)² work each. Same emission contract,
+    * so results are identical and no cross-path duplicates are
+    * possible — a pair is emitted only at its first colliding band
+    * whichever path that band's bucket took. */
   def nearDupPairs(docs: DataFrame, idCol: String, blockCol: String,
       tokCol: String, threshold: Double = 0.85,
-      hotBucketCap: Int = 1024, hotBucketSalts: Int = 16): DataFrame = {
+      hotBucketCap: Int = 1024, hotBucketSalts: Int = 16,
+      sourceSplits: Option[Int] = None): DataFrame = {
     val s = docs.sparkSession
-    val toks = docs.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
+    // One spread decision shared by the candidate build AND the verify
+    // tokenization (both re-tokenize; an under-split source would run
+    // each single-threaded). The candidate pair ids then materialize
+    // (localCheckpoint) BEFORE the verify joins: the pair set is orders
+    // smaller than the corpus (banding keeps it sparse), and without
+    // this Spark's size estimates pick the expensive expansion subtree
+    // as a broadcast build side — re-evaluating the whole
+    // scan->minhash->expansion chain inside single-threaded broadcast
+    // construction, once per verify join.
+    val par = math.min(s.sparkContext.defaultParallelism, 16)
+    val splits = sourceSplits.getOrElse(docs.rdd.getNumPartitions)
+    val spread = if (splits < par) docs.repartition(par) else docs
+    val cands = nearDupCandidatePairs(spread, idCol, blockCol, tokCol, threshold,
+      hotBucketCap, hotBucketSalts, sourceSplits = Some(par)).localCheckpoint()
+    val toks = spread.select(col(idCol).as("doc_id"),
+      array_sort(array_distinct(col(tokCol))).as("tok"))
+    graft.functions.SortedIntersectFunctions.register(s)
+    val tx = toks.select(col("doc_id"), col("tok"))
+    val inter = graft.functions.SortedIntersectFunctions
+      .sorted_intersect_size(col("ta.tok"), col("tb.tok")).cast("double")
+    cands
+      .join(tx.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tx.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .withColumn("jac",
+        inter / (size(col("ta.tok")) + size(col("tb.tok")) - inter))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** The candidate half of [[nearDupPairs]] (pre-verify, not yet
+    * materialized) — the relation whose plan shape the skew tests pin. */
+  private[graft] def nearDupCandidatePairs(docs: DataFrame, idCol: String,
+      blockCol: String, tokCol: String, threshold: Double,
+      hotBucketCap: Int, hotBucketSalts: Int,
+      sourceSplits: Option[Int]): DataFrame = {
+    val s = docs.sparkSession
+    // single-row-group test files scan as one partition; spread before
+    // the (compute-heavy) minhash so it parallelizes — only when
+    // genuinely under-split (see lshTopK's identical guard)
+    val par = math.min(s.sparkContext.defaultParallelism, 16)
+    val splits = sourceSplits.getOrElse(docs.rdd.getNumPartitions)
+    val spread = if (splits < par) docs.repartition(par) else docs
+    val toks = spread.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       array_sort(array_distinct(col(tokCol))).as("tok"))
     graft.functions.MinhashFunctions.register(s)
     val withSig = toks.withColumn("sig",
@@ -67,21 +111,33 @@ object TextDedup {
     val tagged = parted.withColumn("bsz", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("block"), col("band_idx"), col("band_hash"))))
-    val smallCands = tagged.filter(col("bsz") <= hotBucketCap)
-      .groupBy(col("block"), col("band_idx"), col("band_hash"))
-      .agg(collect_list(struct(col("doc_id"), col("bhs"), col("sz"))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(expr(
-        s"""flatten(transform(members, (x, i) ->
-           |  transform(
-           |    filter(slice(members, i + 2, size(members)), y ->
-           |      least(x.sz, y.sz) >= $sizeRatio * greatest(x.sz, y.sz)
-           |      AND NOT exists(
-           |        zip_with(slice(x.bhs, 1, band_idx), slice(y.bhs, 1, band_idx),
-           |          (ha, hb) -> ha = hb), c -> c)),
-           |    y -> struct(least(x.doc_id, y.doc_id) AS doc_a,
-           |                greatest(x.doc_id, y.doc_id) AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    // "emitted only at the FIRST colliding band" as a codegen-able
+    // predicate: for every band j earlier than this row's band, the two
+    // signatures must DIFFER (K/2 is a compile-time constant, so the
+    // check unrolls into a plain boolean chain over GetArrayItem —
+    // higher-order zip_with/exists lambdas would evaluate interpreted,
+    // which measured ~20x slower over the pair blow-up)
+    def firstCollidingBand: Column =
+      (0 until K / 2).map { j =>
+        (col("band_idx") <= j) ||
+          (element_at(col("bhs_a"), j + 1) =!= element_at(col("bhs_b"), j + 1))
+      }.reduce(_ && _)
+    def sizeGate: Column =
+      least(col("sz_a"), col("sz_b")) >=
+        lit(sizeRatio) * greatest(col("sz_a"), col("sz_b"))
+    val bKeys = Seq("block", "band_idx", "band_hash")
+    def side(d: DataFrame, sfx: String): DataFrame =
+      d.select(bKeys.map(col) ++ Seq(col("doc_id").as(s"id_$sfx"),
+        col("bhs").as(s"bhs_$sfx"), col("sz").as(s"sz_$sfx")): _*)
+    // small buckets: plain in-bucket self-join (both sides read the ONE
+    // banded exchange via ReuseExchange); id_a < id_b keeps each
+    // unordered pair once, and every predicate is whole-stage codegen
+    val small = tagged.filter(col("bsz") <= hotBucketCap)
+    val smallCands = side(small, "a").join(side(small, "b"), bKeys)
+      .filter(col("id_a") < col("id_b"))
+      .filter(sizeGate)
+      .filter(firstCollidingBand)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     // triangle-salted expansion for oversized buckets: a member of
     // group s joins as the A side of cells (s, j ≥ s) and the B side of
     // cells (i ≤ s, s); an unordered pair {a, b} lands in exactly cell
@@ -90,7 +146,6 @@ object TextDedup {
     val g = hotBucketSalts
     val big = tagged.filter(col("bsz") > hotBucketCap)
       .withColumn("gs", pmod(hash(col("doc_id")), lit(g)))
-    val bKeys = Seq("block", "band_idx", "band_hash")
     val lefts = big
       .withColumn("gj", explode(sequence(col("gs"), lit(g - 1))))
       .select(bKeys.map(col) ++ Seq(col("gs").as("gi"), col("gj"),
@@ -101,26 +156,11 @@ object TextDedup {
         col("doc_id").as("id_b"), col("bhs").as("bhs_b"), col("sz").as("sz_b")): _*)
     val bigCands = lefts.join(rights, bKeys ++ Seq("gi", "gj"))
       .filter(col("gi") < col("gj") || col("id_a") < col("id_b"))
-      .filter(least(col("sz_a"), col("sz_b")) >=
-        lit(sizeRatio) * greatest(col("sz_a"), col("sz_b")))
-      .filter(!exists(
-        zip_with(slice(col("bhs_a"), lit(1), col("band_idx")),
-          slice(col("bhs_b"), lit(1), col("band_idx")),
-          (ha, hb) => ha === hb), c => c))
+      .filter(sizeGate)
+      .filter(firstCollidingBand)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"))
-    val cands = smallCands.union(bigCands)
-    graft.functions.SortedIntersectFunctions.register(s)
-    val tx = toks.select(col("doc_id"), col("tok"))
-    val inter = graft.functions.SortedIntersectFunctions
-      .sorted_intersect_size(col("ta.tok"), col("tb.tok")).cast("double")
-    cands
-      .join(tx.as("ta"), col("doc_a") === col("ta.doc_id"))
-      .join(tx.as("tb"), col("doc_b") === col("tb.doc_id"))
-      .withColumn("jac",
-        inter / (size(col("ta.tok")) + size(col("tb.tok")) - inter))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+    smallCands.union(bigCands)
   }
 
   /** Narrow per-document LSH signature rows: (doc_id, sz, bhs

@@ -151,7 +151,12 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(viaSalted.count() >= (40 * 39) / 2, "boilerplate pairs missing")
     // the hot path's join must key on the salt cells so one bucket
     // spreads over g·(g+1)/2 tasks instead of serializing in one
-    val plan = viaSalted.queryExecution.executedPlan.toString
+    // (asserted on the candidate relation — the full query checkpoints
+    // it, which hides the expansion stages from the final plan)
+    val plan = graft.operators.TextDedup
+      .nearDupCandidatePairs(docs, "doc_id", "src", "tok", 0.8,
+        hotBucketCap = 8, hotBucketSalts = 4, sourceSplits = None)
+      .queryExecution.executedPlan.toString
     assert("hashpartitioning\\([^)]*gi[^)]*gj".r.findFirstIn(plan).isDefined,
       s"no salt-cell exchange in the hot-bucket plan:\n$plan")
   }
