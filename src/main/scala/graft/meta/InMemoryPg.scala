@@ -439,6 +439,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
     * (a partially-read scan has incomplete bytes). */
   private val scanGen = new java.util.concurrent.atomic.AtomicLong()
   private[meta] def bumpGeneration(): Unit = scanGen.incrementAndGet()
+  // kill switch for A/B runs (GRAFT_NO_SCAN_CACHE=1): serves every scan
+  // by re-encoding, as before the cache existed
+  private val scanCacheEnabled = !sys.env.contains("GRAFT_NO_SCAN_CACHE")
   /** Order-independent fingerprint of table row counts: catches the
     * mutation paths that bypass execute/copyIn entirely (tests seed by
     * appending to `MemTable.slots` directly). In-place row REPLACEMENT
@@ -480,6 +483,10 @@ final class InMemoryPg(val name: String) extends PgTransport {
       if (copyOutStatements.length >= copyOutLogCap)
         copyOutStatements.remove(0, copyOutStatements.length - copyOutLogCap + 1)
       copyOutStatements += sql
+    }
+    if (!scanCacheEnabled) {
+      val (b0, o0, l0) = stripScanTail(sql)
+      return copyOut0(b0, o0, l0)
     }
     val gen = cacheEpoch()
     copyCache.synchronized {
