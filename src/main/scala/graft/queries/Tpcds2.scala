@@ -271,8 +271,12 @@ object Tpcds2 {
   // ---------------------------------------------------------------- //
   def q51_multi_supplier(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val multiSupp = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("ns"))
+    // two-level instead of COUNT(DISTINCT): the (order, supplier)
+    // pre-aggregate leaves distinct rows, so a plain count per order is
+    // the supplier cardinality — no Expand duplication over the fact
+    val multiSupp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"))
       .filter(col("ns") > 1)
       .select(col("l_orderkey"))
     val returned = li.filter(col("l_returnflag") === "R")
