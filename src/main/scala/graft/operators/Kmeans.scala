@@ -71,6 +71,13 @@ object Kmeans {
   /** Element-wise decimal-exact mean per cluster:
     * (cid, centroid array<double>). Drops empty clusters (no rows).
     *
+    * One whole-array aggregate (`vec_decimal_sum`), NOT posexplode +
+    * groupBy(cid, pos): exploding puts `dim` rows per vector on the
+    * shuffle — 768 × 10⁹ rows at production embedding dims — while the
+    * aggregate folds vectors into per-group decimal arrays map-side,
+    * so the exchange carries one dim-element partial per (cluster,
+    * partition) regardless of corpus size.
+    *
     * Scale 9 (not more) is deliberate: with unit-magnitude components
     * the unscaled decimal sum stays under 2^53 for clusters up to ~10⁶
     * rows, so BOTH the exact accumulation and the final decimal→double
@@ -80,15 +87,19 @@ object Kmeans {
     * the oracle to the engine's decimal→double double-rounding.) */
   def centroidsOf(
       assigned: DataFrame, // (vecCol, cid)
-      vecCol: String): DataFrame =
+      vecCol: String): DataFrame = {
+    graft.functions.VecSumFunctions.register(assigned.sparkSession)
+    import graft.functions.VecSumFunctions.vec_decimal_sum
     assigned
-      .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos"))
-      .agg((sum(col("x").cast(DecimalType(38, 9))).cast("double") /
-        count(lit(1))).as("m"))
+      // the SAME per-element float→decimal(38,9) cast the exploded
+      // form applied, so the accumulated values are bit-identical
+      .select(col("cid"),
+        transform(col(vecCol), x => x.cast(DecimalType(38, 9))).as("dv"))
       .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+      .agg(vec_decimal_sum(col("dv")).as("sums"), count(col("dv")).as("n"))
+      .select(col("cid"),
+        transform(col("sums"), s => s.cast("double") / col("n")).as("centroid"))
+  }
 
   /** Run `iters` Lloyd iterations from deterministic seeds (the `k`
     * corpus vectors with the smallest ids) and return the final

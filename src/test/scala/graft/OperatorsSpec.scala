@@ -341,4 +341,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getSeq[Long](row.fieldIndex("bhs")).size == 8)
     assert(row.getAs[Int]("sz") == 20)
   }
+
+  test("vec_decimal_sum matches the exploded decimal aggregation under any partitioning") {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.VecSumFunctions.register(spark)
+    import graft.functions.VecSumFunctions.vec_decimal_sum
+    val assigned = emb.select((col("vec_id") % 4).as("cid"), col("embedding").as("v"))
+    def viaAgg(parts: Int) = assigned.repartition(parts)
+      .select(col("cid"), transform(col("v"), x => x.cast(DecimalType(38, 9))).as("dv"))
+      .groupBy(col("cid"))
+      .agg(vec_decimal_sum(col("dv")).as("sums"), count(col("dv")).as("n"))
+      .select(col("cid"), transform(col("sums"), s => s.cast("double") / col("n")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(38, 9))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        st => st.getField("m")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // bit-identical (decimal accumulation is exact), and invariant to
+    // how rows are spread across partitions
+    assert(viaAgg(1) == viaExplode)
+    assert(viaAgg(7) == viaExplode)
+    // null vectors are ignored consistently in sum AND count
+    import spark.implicits._
+    val withNull = Seq((0L, Seq(1.0f, 2.0f)), (0L, null.asInstanceOf[Seq[Float]]),
+      (0L, Seq(3.0f, 4.0f))).toDF("cid", "v")
+      .select(col("cid"), transform(col("v"), x => x.cast(DecimalType(38, 9))).as("dv"))
+      .groupBy(col("cid"))
+      .agg(vec_decimal_sum(col("dv")).as("sums"), count(col("dv")).as("n"))
+      .select(transform(col("sums"), s => s.cast("double") / col("n")).as("m"))
+      .head.getSeq[Double](0)
+    assert(withNull == Seq(2.0, 3.0))
+  }
 }
