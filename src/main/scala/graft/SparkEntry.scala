@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.TpchCatalog.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds.entries.map { case (k, (fn, _)) => k -> fn } ++
-      graft.queries.Tpcds2.entries.map { case (k, (fn, _)) => k -> fn }
+      graft.queries.Tpcds2.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Tpcds3.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.TpchCatalog.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
-      graft.queries.Tpcds2.entries.collect { case (k, (_, Some(sql))) => k -> sql }
+      graft.queries.Tpcds2.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Tpcds3.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }
