@@ -145,6 +145,107 @@ object Multimodal {
     }
   }
 
+  /** One resized thumbnail's features: `rows` holds the per-thumbnail-
+    * row mean intensity in [0,1] (th entries; double, and accumulated
+    * in a fixed left-to-right fold so the fake path is bit-identical
+    * to an oracle recomputing the same chain). */
+  final case class ThumbRow(
+      doc_id: Long,
+      ok: Boolean,
+      tw: Int,
+      th: Int,
+      checksum: Long,
+      rows: Array[Double])
+
+  /** The resize seam — same contract as [[MediaDecoder]]: Serializable,
+    * cheap per partition. */
+  trait Thumbnailer extends Serializable {
+    def thumb(docId: Long, bytes: Array[Byte], tw: Int, th: Int): ThumbRow
+  }
+
+  /** Real image resize on the pure-JVM stack: javax.imageio decode →
+    * Graphics2D bilinear scale into a tw×th BufferedImage → per-row
+    * mean luminance. Exercised by the operator specs against generated
+    * PNGs; the oracle battery runs the deterministic fake (DuckDB
+    * cannot decode PNG, so a real-codec entry would have no oracle). */
+  final class RealThumbnailer extends Thumbnailer {
+    override def thumb(docId: Long, bytes: Array[Byte], tw: Int, th: Int): ThumbRow = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return ThumbRow(docId, ok = false, 0, 0, 0L, Array.empty)
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, tw, th, null)
+      g.dispose()
+      val rows = new Array[Double](th)
+      var checksum = 0L
+      var y = 0
+      while (y < th) {
+        var sum = 0.0
+        var x = 0
+        while (x < tw) {
+          val rgb = out.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          sum += lum / 255.0
+          checksum += (rgb & 0xffffff)
+          x += 1
+        }
+        rows(y) = sum / tw
+        y += 1
+      }
+      ThumbRow(docId, ok = true, tw, th, checksum, rows)
+    }
+  }
+
+  /** Deterministic stand-in resize: the "thumbnail" subsamples the
+    * payload bytes at a fixed stride (len / (tw·th), the nearest-
+    * neighbor analogue), pixel intensity = byte value / 255. Exactly
+    * recomputable in SQL from the document text, which is what gives
+    * the battery entry its oracle. Payloads shorter than tw·th bytes
+    * come back ok=false (nothing to subsample). */
+  final class FakeThumbnailer extends Thumbnailer {
+    override def thumb(docId: Long, bytes: Array[Byte], tw: Int, th: Int): ThumbRow = {
+      val n = tw * th
+      if (bytes == null || bytes.length < n)
+        return ThumbRow(docId, ok = false, 0, 0, 0L, Array.empty)
+      val stride = bytes.length / n
+      val rows = new Array[Double](th)
+      var checksum = 0L
+      var y = 0
+      while (y < th) {
+        var sum = 0.0
+        var x = 0
+        while (x < tw) {
+          val px = bytes((y * tw + x) * stride) & 0xff
+          sum += px / 255.0
+          checksum += px
+          x += 1
+        }
+        rows(y) = sum / tw
+        y += 1
+      }
+      ThumbRow(docId, ok = true, tw, th, checksum, rows)
+    }
+  }
+
+  /** Stage 2b: partition-wise resize — the same mapPartitions shape as
+    * [[decodeFeatures]] (per-partition thumbnailer instance, streaming
+    * iterator, constant memory). */
+  def resizeFeatures(media: DataFrame, tw: Int, th: Int,
+      thumbnailer: Thumbnailer = new FakeThumbnailer): Dataset[ThumbRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val t = thumbnailer
+      rows.map(r => t.thumb(r.doc_id, r.bytes, tw, th))
+    }
+  }
+
   /** Stage 3: deterministic frame/sample selection — keep every k-th
     * byte-window "frame" of the payload, as a stand-in for video frame
     * sampling; pure Spark built-ins. */

@@ -633,6 +633,43 @@ object Pipeline3 {
       | AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // m04: thumbnail resize — the missing stage between decode (m01) and
+  // frame dedup (m03): every payload resizes to an 8×8 "thumbnail"
+  // through the partition-wise resize seam (Multimodal.resizeFeatures,
+  // the mapInPandas shape), emitting per-row mean intensities + a
+  // pixel checksum. The battery runs the deterministic subsample
+  // thumbnailer so DuckDB can recompute every pixel from the text
+  // payload; the REAL Graphics2D bilinear resize runs behind the same
+  // seam and is asserted in OperatorsSpec against generated PNGs.
+  // ---------------------------------------------------------------- //
+  def m04_thumbnails(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.asMedia(t(s, dir, "documents"))
+    val thumbs = graft.operators.Multimodal.resizeFeatures(media, tw = 8, th = 8)
+    val rowCols = (0 until 8).map(r =>
+      round(element_at(col("rows"), r + 1), 6).as(s"m$r"))
+    thumbs.filter(col("ok"))
+      .select(Seq(col("doc_id"), col("tw"), col("th"), col("checksum")) ++ rowCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val m04_sql: String = {
+    // pixel i (0-based) = byte at 1 + i*stride, stride = len/64; the
+    // row means repeat the Spark fold exactly: left-to-right sum of
+    // px/255.0 terms, divided by 8, rounded at output only
+    def px(i: String) = s"ascii(substring(text, 1 + ($i) * (length(text) // 64), 1))"
+    val checksum = (0 until 64).map(i => px(i.toString)).mkString(" + ")
+    val rowCols = (0 until 8).map { r =>
+      val terms = (0 until 8).map(c => s"${px((r * 8 + c).toString)} / 255.0").mkString(" + ")
+      s"round(($terms) / 8, 6) AS m$r"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, CAST(8 AS INT) AS tw, CAST(8 AS INT) AS th,
+       |  CAST($checksum AS BIGINT) AS checksum,
+       |  $rowCols
+       |FROM documents WHERE length(text) >= 64
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** name → (query fn, Some(oracle sql) | None = rows-only check) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "s04_ann_q8" -> ((s04_ann_q8 _, Some(s04_sql))),
@@ -645,6 +682,7 @@ object Pipeline3 {
     "s06_ann_ivf_q8" -> ((s06_ann_ivf_q8 _, Some(s06_sql))),
     "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),
     "m03_frame_dedup" -> ((m03_frame_dedup _, Some(m03_sql))),
+    "m04_thumbnails" -> ((m04_thumbnails _, Some(m04_sql))),
     "st05_stream_join" -> ((st05_stream_join _, Some(st05_sql))),
   )
 }

@@ -377,4 +377,32 @@ class OperatorsSpec extends AnyFunSuite {
       .head.getSeq[Double](0)
     assert(withNull == Seq(2.0, 3.0))
   }
+
+  test("RealThumbnailer resizes a generated PNG and preserves intensity structure") {
+    import graft.operators.Multimodal
+    // 64x32 PNG: top half black, bottom half white
+    val img = new java.awt.image.BufferedImage(64, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, if (y < 16) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val t = new Multimodal.RealThumbnailer
+    val thumb = t.thumb(7L, bos.toByteArray, tw = 8, th = 8)
+    assert(thumb.ok && thumb.tw == 8 && thumb.th == 8)
+    assert(thumb.rows.length == 8)
+    // top rows dark, bottom rows bright (bilinear scale keeps the split)
+    assert(thumb.rows.take(3).forall(_ < 0.1), thumb.rows.mkString(","))
+    assert(thumb.rows.drop(5).forall(_ > 0.9), thumb.rows.mkString(","))
+    // garbage bytes degrade to ok=false, not an exception
+    val bad = t.thumb(8L, Array[Byte](1, 2, 3, 4), 8, 8)
+    assert(!bad.ok)
+    // the fake thumbnailer is deterministic and length-gated
+    val fake = new Multimodal.FakeThumbnailer
+    val payload = Array.tabulate[Byte](128)(i => (i * 2).toByte)
+    val a = fake.thumb(1L, payload, 8, 8)
+    val b = fake.thumb(1L, payload, 8, 8)
+    assert(a.ok && a.checksum == b.checksum && a.rows.toSeq == b.rows.toSeq)
+    assert(!fake.thumb(2L, Array.fill[Byte](63)(1), 8, 8).ok)
+  }
 }

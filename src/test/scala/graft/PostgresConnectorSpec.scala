@@ -1199,6 +1199,46 @@ class PostgresConnectorSpec extends AnyFunSuite {
       """COPY (SELECT "id" FROM "public"."people" WHERE ("name" IN ('name_1', 'no_such'))) TO STDOUT (FORMAT binary)""") == 1)
   }
 
+  test("served-scan cache: identical scans serve cached bytes, every mutation path invalidates") {
+    val pg = InMemoryPg.forName("scan_cache_spec")
+    val t = graft.meta.PgTransportFactory.open("mem:scan_cache_spec")
+    try {
+      t.execute("""CREATE TABLE "public"."sc" ("k" BIGINT)""")
+      val stmt = """COPY (SELECT "k" FROM "public"."sc") TO STDOUT (FORMAT binary)"""
+      def served(): Seq[Long] = {
+        val in = new java.io.DataInputStream(pg.copyOut(stmt))
+        val r = new graft.codec.PgBinaryReader(Seq(PgInt8))
+        r.readHeader(in)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var row = r.readRow(in)
+        while (row.isDefined) { out += row.get.getLong(0); row = r.readRow(in) }
+        in.close()
+        out.toSeq
+      }
+      import spark.implicits._
+      Seq(1L, 2L, 3L).toDF("k").write.format("postgres")
+        .option("dsn", "mem:scan_cache_spec").option("table", "sc")
+        .mode("append").save()
+      assert(served().sorted == Seq(1L, 2L, 3L))
+      // repeat: identical statement, identical rows (the cached path)
+      assert(served().sorted == Seq(1L, 2L, 3L))
+      // COPY IN invalidates
+      Seq(4L).toDF("k").write.format("postgres")
+        .option("dsn", "mem:scan_cache_spec").option("table", "sc")
+        .mode("append").save()
+      assert(served().sorted == Seq(1L, 2L, 3L, 4L))
+      // pushed DML through execute invalidates
+      t.execute("""DELETE FROM "public"."sc" WHERE ("k" = 2)""")
+      assert(served().sorted == Seq(1L, 3L, 4L))
+      // direct slot seeding (the test-double back door) invalidates via
+      // the row-count fingerprint
+      val mt = pg.getTable("public", "sc")
+      mt.slots += Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](9L)))
+      assert(served().sorted == Seq(1L, 3L, 4L, 9L))
+    } finally t.close()
+  }
+
   test("copyDatabase clones a schema across servers: definitions + data, binary and text modes") {
     import spark.implicits._
     val srcDsn = "mem:copydb_src"
