@@ -78,6 +78,55 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
     if (ext > 0) PgWire.skipFully(in, ext)
   }
 
+  // Per-column readers compiled once: fixed-width primitives read
+  // straight off the stream (no per-field byte-array + ByteBuffer
+  // allocation — the decode loop runs per field per row on every scan
+  // task); everything else falls back to the general byte-slice path.
+  // Monomorphic array dispatch also replaces the per-field type match.
+  private val fieldReaders: Array[(DataInputStream, Int) => Any] =
+    types.zip(targets).map { case (t, target) =>
+      def slice: (DataInputStream, Int) => Any = { (in, len) =>
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        readValue(bytes, t, target)
+      }
+      val reader: (DataInputStream, Int) => Any = t match {
+        case PgBool => (in, _) => in.readByte() != 0
+        case PgInt2 => (in, _) => in.readShort()
+        case PgInt4 => (in, _) => in.readInt()
+        case PgInt8 => (in, _) => in.readLong()
+        case PgOid => (in, _) => in.readInt().toLong & 0xffffffffL
+        case PgFloat4 => (in, _) => in.readFloat()
+        case PgFloat8 => (in, _) => in.readDouble()
+        case PgDate => (in, _) => {
+          val d = in.readInt()
+          if (d == PgWire.PgDateInf) Int.MaxValue
+          else if (d == PgWire.PgDateNegInf) Int.MinValue
+          else d + PgWire.DateEpochShiftDays
+        }
+        case PgTime => (in, _) => in.readLong()
+        case PgTimestamp | PgTimestampTz => (in, _) => {
+          val us = in.readLong()
+          if (us == PgWire.PgTsInf) Long.MaxValue
+          else if (us == PgWire.PgTsNegInf) Long.MinValue
+          else us + PgWire.TsEpochShiftMicros
+        }
+        case PgCtid => (in, _) => {
+          val page = in.readInt().toLong & 0xffffffffL
+          val off = in.readShort().toLong & 0xffffL
+          (page << 16) | off
+        }
+        case PgText | PgVarchar | PgJson | _: PgUnknown | _: PgEnum =>
+          (in, len) => {
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            UTF8String.fromBytes(bytes)
+          }
+        case _ => slice
+      }
+      reader
+    }.toArray
+
   /** Read one tuple; None at the -1 trailer (or clean EOF). */
   def readRow(in: DataInputStream): Option[InternalRow] = {
     val nfields =
@@ -91,11 +140,7 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
     while (i < nfields) {
       val len = in.readInt()
       if (len < 0) row.setNullAt(i)
-      else {
-        val bytes = new Array[Byte](len)
-        in.readFully(bytes)
-        row.update(i, readValue(bytes, types(i), targets(i)))
-      }
+      else row.update(i, fieldReaders(i)(in, len))
       i += 1
     }
     Some(row)

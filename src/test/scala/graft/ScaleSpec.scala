@@ -161,6 +161,29 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"no salt-cell exchange in the hot-bucket plan:\n$plan")
   }
 
+  test("triangle-salted and in-row paths agree on random corpora for any cap/salt") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa")
+    // random docs with planted duplicate groups so pairs exist
+    val docs = (0 until 120).map { i =>
+      val base = if (i % 3 == 0) Seq.fill(12)(words(i % 5)) // boilerplate cluster
+        else Seq.fill(8 + rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+      (i.toLong, s"s${i % 2}", base.mkString(" "))
+    }.toDF("doc_id", "src", "text").withColumn("tok", split(col("text"), " "))
+    val reference = graft.operators.TextDedup
+      .nearDupPairs(docs, "doc_id", "src", "tok", 0.7, hotBucketCap = 1000000)
+      .collect().toSet
+    for ((cap, salts) <- Seq((1, 2), (2, 3), (5, 4), (16, 8))) {
+      val got = graft.operators.TextDedup
+        .nearDupPairs(docs, "doc_id", "src", "tok", 0.7,
+          hotBucketCap = cap, hotBucketSalts = salts)
+        .collect().toSet
+      assert(got == reference, s"cap=$cap salts=$salts diverged")
+    }
+  }
+
   test("s02 LSH top-k shuffles carry ids, never embedding vectors") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
