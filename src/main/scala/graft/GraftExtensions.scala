@@ -1,61 +1,68 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-
-import graft.functions.{LshBuckets, MinhashFunctions, MinhashSig, PgCtidPack, PgCtidText, PgCtidUnpack, SortedIntersectSize, TopKBy, VecDistSq, VecDot}
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-/** `--conf spark.sql.extensions=graft.GraftExtensions` — registers the
-  * engine's SQL surface: the ctid pack/unpack expressions (SURVEY.md
-  * §7.3) and the codegen'd `vec_dot` embedding fold. Everything else
-  * in the engine is standard DSv2/catalog plumbing that needs no
-  * Catalyst extension.
+/** `SparkSessionExtensions` installer for the library's Catalyst
+  * surface — the deployment path for a cluster where every session
+  * should see the codegen'd expressions and aggregates WITHOUT
+  * per-call temp registration:
+  *
+  * {{{
+  * spark.sql.extensions = graft.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder.withExtensions(new GraftExtensions)`).
+  * The per-object `register(spark)` helpers remain for ad-hoc
+  * sessions; both paths bind the same expression builders, so plans
+  * are identical either way. Injected functions resolve in SQL text
+  * too (`SELECT minhash_sig(tok) FROM docs`), which the extensions
+  * spec asserts.
   */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
-    e.injectFunction((
-      FunctionIdentifier("vec_dist_sq"),
-      new ExpressionInfo(classOf[VecDistSq].getName, "vec_dist_sq"),
-      (args: Seq[Expression]) => VecDistSq(args(0), args(1))))
-    e.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinhashSig(args(0), MinhashFunctions.DefaultK)))
-    e.injectFunction((
-      FunctionIdentifier("sorted_intersect_size"),
-      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
-      (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
-    e.injectFunction((
-      FunctionIdentifier("lsh_buckets"),
-      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
-      (args: Seq[Expression]) => LshBuckets(args(0), args(1))))
-    e.injectFunction((
-      FunctionIdentifier("topk_by"),
-      new ExpressionInfo(classOf[TopKBy].getName, "topk_by"),
-      (args: Seq[Expression]) => args match {
-        case Seq(s, i, Literal(k: Int, IntegerType)) => TopKBy(s, i, k)
-        case _ => throw new IllegalArgumentException(
-          "topk_by(score double, id bigint, k int-literal)")
-      }))
-    e.injectFunction((
-      FunctionIdentifier("pg_ctid_pack"),
-      new ExpressionInfo(classOf[PgCtidPack].getName, "pg_ctid_pack"),
-      (args: Seq[Expression]) => PgCtidPack(args(0), args(1))))
-    e.injectFunction((
-      FunctionIdentifier("pg_ctid_unpack"),
-      new ExpressionInfo(classOf[PgCtidUnpack].getName, "pg_ctid_unpack"),
-      (args: Seq[Expression]) => PgCtidUnpack(args.head)))
-    e.injectFunction((
-      FunctionIdentifier("pg_ctid_text"),
-      new ExpressionInfo(classOf[PgCtidText].getName, "pg_ctid_text"),
-      (args: Seq[Expression]) => PgCtidText(args.head)))
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+    inject("vec_dot", "_FUNC_(a, b) - sequential-fold dot product") { a =>
+      graft.functions.VecDot(a(0), a(1))
+    }
+    inject("vec_dist_sq", "_FUNC_(a, b) - sequential-fold squared L2 distance") { a =>
+      graft.functions.VecDistSq(a(0), a(1))
+    }
+    inject("minhash_sig", "_FUNC_(tokens) - K-row minhash signature") { a =>
+      graft.functions.MinhashSig(a(0), graft.functions.MinhashFunctions.DefaultK)
+    }
+    inject("lsh_buckets", "_FUNC_(vec, planes) - per-table LSH bucket codes") { a =>
+      graft.functions.LshBuckets(a(0), a(1))
+    }
+    inject("sorted_intersect_size",
+      "_FUNC_(a, b) - intersection size of two sorted arrays") { a =>
+      graft.functions.SortedIntersectSize(a(0), a(1))
+    }
+    inject("topk_by", "_FUNC_(score, id, k) - bounded-heap top-k aggregate") {
+      case Seq(s, i, Literal(k: Int, IntegerType)) => graft.functions.TopKBy(s, i, k)
+      case _ => throw new IllegalArgumentException(
+        "topk_by(score double, id bigint, k int-literal)")
+    }
+    inject("vec_decimal_sum",
+      "_FUNC_(array<decimal(38,9)>) - exact element-wise vector sum aggregate") { a =>
+      graft.functions.DecimalVecSum(a(0))
+    }
+    inject("pg_ctid_pack", "_FUNC_(page, row) - pack a ctid into bigint") { a =>
+      graft.functions.PgCtidPack(a(0), a(1))
+    }
+    inject("pg_ctid_unpack", "_FUNC_(packed) - unpack bigint to (page, row)") { a =>
+      graft.functions.PgCtidUnpack(a.head)
+    }
+    inject("pg_ctid_text", "_FUNC_(packed) - ctid as '(page,row)' text") { a =>
+      graft.functions.PgCtidText(a.head)
+    }
   }
 }

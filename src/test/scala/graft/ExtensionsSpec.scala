@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cluster-deployment path: `spark.sql.extensions =
+  * graft.GraftExtensions` must make every custom expression and
+  * aggregate resolvable from SQL text with no per-call registration. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val base = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("GraftExtensions injects the whole function suite into a new session") {
+    base // ensure the shared context exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // builds a NEW SparkSession over the existing context, with the
+      // extensions applied at construction — the spark.sql.extensions
+      // code path
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "vec_dist_sq(array(0.0d), array(2.0d)) AS d2, " +
+          "minhash_sig(array('a', 'b')) AS sig, " +
+          "sorted_intersect_size(array('a', 'b', 'c'), array('b', 'c', 'd')) AS n, " +
+          "pg_ctid_text(pg_ctid_pack(CAST(3 AS BIGINT), 7)) AS ct").head
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == 4.0)
+      assert(r.getSeq[Long](2).length == graft.functions.MinhashFunctions.DefaultK)
+      assert(r.getInt(3) == 2)
+      assert(r.getString(4) == "(3,7)")
+      // the aggregates resolve from SQL too
+      import s2.implicits._
+      val top = Seq((1L, 2.0), (1L, 9.0), (2L, 5.0)).toDF("id", "s")
+        .groupBy($"id")
+        .agg(expr("topk_by(s, id, 1)").as("t"))
+        .select($"id", element_at($"t", 1).getField("score").as("best"))
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(top == Map(1L -> 9.0, 2L -> 5.0))
+      val vs = Seq(Seq(BigDecimal(1), BigDecimal(2)), Seq(BigDecimal(3), BigDecimal(4)))
+        .toDF("v")
+        .select(expr("vec_decimal_sum(transform(v, x -> CAST(x AS DECIMAL(38,9))))").as("s"))
+        .head.getSeq[java.math.BigDecimal](0)
+      assert(vs.map(_.doubleValue()) == Seq(4.0, 6.0))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
