@@ -485,8 +485,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
       copyOutStatements += sql
     }
     if (!scanCacheEnabled) {
-      val (b0, o0, l0) = stripScanTail(sql)
-      return copyOut0(b0, o0, l0)
+      val (b0, o0, l0, f0) = stripScanTail(sql)
+      return copyOut0(b0, o0, l0, f0)
     }
     val gen = cacheEpoch()
     copyCache.synchronized {
@@ -494,8 +494,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
       if (hit != null && hit._1 == gen)
         return new java.io.ByteArrayInputStream(hit._2)
     }
-    val (base, orderBy, limit) = stripScanTail(sql)
-    val raw = copyOut0(base, orderBy, limit)
+    val (base, orderBy, limit, offset) = stripScanTail(sql)
+    val raw = copyOut0(base, orderBy, limit, offset)
     new InputStream {
       private val rec = new ByteArrayOutputStream(1 << 16)
       private var over = false
@@ -532,18 +532,20 @@ final class InMemoryPg(val name: String) extends PgTransport {
     ("""(?s)^(.*?)""" +
       """((?: ORDER BY "[^"]*" (?:ASC|DESC) NULLS (?:FIRST|LAST)""" +
       """(?:, "[^"]*" (?:ASC|DESC) NULLS (?:FIRST|LAST))*)?)""" +
-      """((?: LIMIT \d+)?)\) TO STDOUT \(FORMAT binary\)$""").r
+      """((?: LIMIT \d+)?)((?: OFFSET \d+)?)\) TO STDOUT \(FORMAT binary\)$""").r
 
-  private def stripScanTail(sql: String): (String, Seq[OrderKey], Option[Int]) =
+  private def stripScanTail(sql: String)
+      : (String, Seq[OrderKey], Option[Int], Option[Int]) =
     sql match {
-      case ScanTailRe(prefix, ob, lim) if ob.nonEmpty || lim.nonEmpty =>
+      case ScanTailRe(prefix, ob, lim, off) if ob.nonEmpty || lim.nonEmpty || off.nonEmpty =>
         val OrdItem = """"([^"]*)" (ASC|DESC) NULLS (FIRST|LAST)""".r
         val orders = OrdItem.findAllMatchIn(ob).map(m =>
           (m.group(1).replace("\"\"", "\""), m.group(2) == "ASC",
             m.group(3) == "FIRST")).toSeq
         val limit = """\d+""".r.findFirstIn(lim).map(_.toInt)
-        (prefix + ") TO STDOUT (FORMAT binary)", orders, limit)
-      case _ => (sql, Nil, None)
+        val offset = """\d+""".r.findFirstIn(off).map(_.toInt)
+        (prefix + ") TO STDOUT (FORMAT binary)", orders, limit, offset)
+      case _ => (sql, Nil, None, None)
     }
 
   /** split a projection on top-level commas (not inside parens) */
@@ -566,7 +568,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private def copyOut0(
       sql: String,
       orderBy: Seq[OrderKey] = Nil,
-      limit: Option[Int] = None): InputStream = sql match {
+      limit: Option[Int] = None,
+      offset: Option[Int] = None): InputStream = sql match {
     case CopyOutAggRe(proj, sch, tbl, whereOrNull, groupByOrNull) if
         splitTop(proj).exists(AggItemRe.pattern.matcher(_).matches()) =>
       serveAggregate(sch, tbl, proj, Option(whereOrNull), Option(groupByOrNull))
@@ -603,9 +606,39 @@ final class InMemoryPg(val name: String) extends PgTransport {
     case CopyOutAnySubqueryRe(proj, innerSql, _) =>
       // arbitrary bound subquery (postgres_query form): evaluate the
       // inner SELECT, apply the outer projection; pushed outer filters
-      // are ignored — Spark re-applies them (reference contract)
-      val (shape, rows) = evalSelect(innerSql)
+      // are ignored — Spark re-applies them (reference contract). The
+      // pushed tail is applied like a server would: sort, then OFFSET
+      // (a FULLY pushed operator — Spark removes its Offset node, so
+      // the server MUST skip the rows), then LIMIT.
+      val (shape, rows0) = evalSelect(innerSql)
       val names = shape.map(_._1)
+      val sortedRows =
+        if (orderBy.isEmpty) rows0
+        else {
+          val keys = orderBy.map { case (c, asc, nullsFirst) =>
+            val i = names.indexOf(c)
+            require(i >= 0, s"pushed ORDER BY column $c not in subquery output")
+            (i, asc, nullsFirst)
+          }.toIndexedSeq
+          rows0.sortWith { (a, b) =>
+            var verdict = 0
+            var k = 0
+            while (verdict == 0 && k < keys.length) {
+              val (i, asc, nullsFirst) = keys(k)
+              val cmp = (a(i), b(i)) match {
+                case (null, null) => 0
+                case (null, _) => if (nullsFirst) -1 else 1
+                case (_, null) => if (nullsFirst) 1 else -1
+                case (x, y) => cmpAny(x, y)
+              }
+              verdict = if (asc) cmp else -cmp
+              k += 1
+            }
+            verdict < 0
+          }
+        }
+      val afterOffset = offset.map(sortedRows.drop).getOrElse(sortedRows)
+      val rows = limit.map(afterOffset.take).getOrElse(afterOffset)
       val (outTypes, idx): (Seq[PgType], Seq[Int]) =
         if (proj.trim == "NULL") (Seq(PgText), Seq(-1))
         else {
@@ -656,6 +689,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
       serveRows(t, projCols, pageRange,
         if (unbound) Nil else orderBy,
         if (unbound) None else limit,
+        if (unbound) None else offset,
         preds.toSeq)
     case other =>
       throw new IllegalArgumentException(s"InMemoryPg: unsupported COPY OUT: $other")
@@ -720,6 +754,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
       pageRange: Option[(Long, Long)],
       orderBy: Seq[OrderKey] = Nil,
       limit: Option[Int] = None,
+      offset: Option[Int] = None,
       preds: Seq[InternalRow => Boolean] = Nil): InputStream = {
     // a live server rejects unknown columns up front — keep the message
     // shape ("does not exist") so connector-side staleness detection
@@ -791,7 +826,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
           verdict < 0
         }
       }
-    val served = limit.map(sorted.take).getOrElse(sorted)
+    val afterOffset = offset.map(sorted.drop).getOrElse(sorted)
+    val served = limit.map(afterOffset.take).getOrElse(afterOffset)
     served.foreach { case (slot, row) =>
       val page = slot / RowsPerPage
       val vals: Array[Any] =

@@ -377,6 +377,28 @@ object ConnectorOps {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // c50: OFFSET pushdown — the ad-hoc `query` scan is a single server-
+  // side cursor, so ORDER BY + LIMIT + OFFSET all push FULLY (Spark
+  // drops its own Sort/Limit/Offset nodes) and the wire moves exactly
+  // the page of rows requested — the "paginate a remote table" shape.
+  // The parallel ctid scan refuses the offset (each task skipping m
+  // rows would drop m×tasks globally); PostgresConnectorSpec pins both
+  // sides of that contract.
+  // ---------------------------------------------------------------- //
+  def c50_pg_offset(s: SparkSession, dir: String): DataFrame =
+    s.read.format("postgres")
+      .option("dsn", ensureSeeded(s, dir))
+      .option("query", "SELECT c_custkey, c_name, c_acctbal FROM public.customer")
+      .load()
+      .orderBy(col("c_custkey"))
+      .offset(40)
+      .limit(25)
+
+  val c50_sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_custkey LIMIT 25 OFFSET 40""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // c12: LIMIT pushdown — each ctid task's COPY carries `LIMIT 50`, so
   // a probe query moves partitions×50 rows instead of the table. The
   // count on top makes the result deterministic (any 50 rows count the
@@ -891,6 +913,7 @@ object ConnectorOps {
     "c10_pg_merge" -> ((c10_pg_merge _, Some(c10_sql))),
     "c11_tcp_scan" -> ((c11_tcp_scan _, Some(c11_sql))),
     "c46_tls_scan" -> ((c46_tls_scan _, Some(c46_sql))),
+    "c50_pg_offset" -> ((c50_pg_offset _, Some(c50_sql))),
     "c12_pg_limit" -> ((c12_pg_limit _, Some(c12_sql))),
     "c13_pg_topn" -> ((c13_pg_topn _, Some(c13_sql))),
     "c14_pg_runtime_filter" -> ((c14_pg_runtime_filter _, Some(c14_sql))),

@@ -326,7 +326,8 @@ final class PostgresScanBuilder(table: PostgresTable)
     with SupportsPushDownFilters
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
 
   import org.apache.spark.sql.connector.expressions.{
     NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
@@ -336,6 +337,7 @@ final class PostgresScanBuilder(table: PostgresTable)
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[PushedAggregation] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedOffset: Option[Int] = None
   private var pushedOrderSql: Seq[String] = Nil
   private var aggSafeFilters: Boolean = true
 
@@ -404,7 +406,24 @@ final class PostgresScanBuilder(table: PostgresTable)
   override def pushLimit(limit: Int): Boolean =
     pushedAgg.isEmpty && { pushedLimit = Some(limit); true }
 
-  override def isPartiallyPushed(): Boolean = true
+  /** OFFSET pushdown — beyond the reference, and deliberately scoped:
+    * Spark removes its Offset node when this returns true (a FULL
+    * push, unlike the partial LIMIT), so it is only correct when ONE
+    * task serves the whole scan with a total order — the ad-hoc
+    * `query` scan, which plans a single partition. The parallel
+    * ctid-range scan refuses: each task skipping `offset` rows would
+    * drop offset×partitions rows globally. */
+  override def pushOffset(offset: Int): Boolean =
+    table.opts.query.isDefined && pushedAgg.isEmpty &&
+      { pushedOffset = Some(offset); true }
+
+  /** Partial for parallel ctid scans (each task cuts its own range;
+    * Spark re-applies the global limit/order). FULL for the ad-hoc
+    * `query` scan: ONE task serves the whole subquery with the pushed
+    * ORDER BY/LIMIT applied globally, so Spark can drop its own nodes —
+    * which is also what unlocks pushOffset (Spark only fully removes
+    * an Offset below a fully-pushed top-N). */
+  override def isPartiallyPushed(): Boolean = table.opts.query.isEmpty
 
   override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
     if (pushedAgg.isDefined) return false
@@ -496,7 +515,8 @@ final class PostgresScanBuilder(table: PostgresTable)
     // with a pushed (partial) aggregate the scan's output schema IS the
     // aggregate schema: group columns followed by partial agg values
     val schema = pushedAgg.map(_.schema).getOrElse(required)
-    new PostgresScan(table, schema, pushedSql, pushedAgg, pushedOrderSql, pushedLimit)
+    new PostgresScan(table, schema, pushedSql, pushedAgg, pushedOrderSql, pushedLimit,
+      pushedOffset)
   }
 }
 
@@ -588,7 +608,8 @@ final class PostgresScan(
     pushedSql: Seq[String],
     pushedAgg: Option[PushedAggregation] = None,
     pushedOrderSql: Seq[String] = Nil,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    pushedOffset: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -663,7 +684,11 @@ final class PostgresScan(
       case Some(q) =>
         // single-threaded streaming scan over the subquery form
         Array(PostgresInputPartition(opts.dsn,
-          PgSqlGen.copyQuerySql(q, scanColumns, allPushedSql, pushedOrderSql, pushedLimit),
+          // Spark's pushed top-N limit counts PRE-offset rows; SQL's
+          // LIMIT applies after OFFSET, so shrink it by the offset
+          PgSqlGen.copyQuerySql(q, scanColumns, allPushedSql, pushedOrderSql,
+            pushedLimit.map(l => pushedOffset.fold(l)(o => math.max(0, l - o))),
+            pushedOffset),
           None))
       case None =>
         val ranges =

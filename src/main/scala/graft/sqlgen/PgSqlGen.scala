@@ -68,12 +68,14 @@ object PgSqlGen {
       cols: Seq[ScanColumn],
       filters: Seq[String],
       orderBy: Seq[String] = Nil,
-      limit: Option[Int] = None): String = {
+      limit: Option[Int] = None,
+      offset: Option[Int] = None): String = {
     val where = if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
     val ord = if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
+    val off = offset.map(n => s" OFFSET $n").getOrElse("")
     val inner = sql.trim.stripSuffix(";")
-    s"COPY (SELECT ${projection(cols)} FROM ($inner) AS __unnamed_subquery$where$ord$lim) " +
+    s"COPY (SELECT ${projection(cols)} FROM ($inner) AS __unnamed_subquery$where$ord$lim$off) " +
       "TO STDOUT (FORMAT binary)"
   }
 

@@ -1239,6 +1239,31 @@ class PostgresConnectorSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("OFFSET pushes to the single-partition query scan, never to parallel ctid scans") {
+    pg
+    pg.copyOutStatements.clear()
+    val viaQuery = PgFunctions
+      .postgresQuery(spark, dsn, """SELECT "id", "name" FROM "public"."people"""")
+      .orderBy(col("id")).offset(280).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaQuery == (280L until 290L))
+    val pushed = pg.copyOutStatements.filter(_.contains("OFFSET"))
+    assert(pushed.nonEmpty, s"OFFSET not pushed: ${pg.copyOutStatements}")
+    assert(pushed.exists(s => s.contains("OFFSET 280") && s.contains("ORDER BY")),
+      s"pushed statement malformed: $pushed")
+    // the parallel ctid scan must NOT push (a full offset per task would
+    // drop rows globally); Spark applies it host-side instead
+    pg.copyOutStatements.clear()
+    val viaScan = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("pagesPerTask", "2").load()
+      .orderBy(col("id")).offset(280).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaScan == (280L until 290L))
+    assert(pg.copyOutStatements.forall(!_.contains("OFFSET")),
+      s"parallel scan pushed OFFSET: ${pg.copyOutStatements.filter(_.contains("OFFSET"))}")
+  }
+
   test("copyDatabase clones a schema across servers: definitions + data, binary and text modes") {
     import spark.implicits._
     val srcDsn = "mem:copydb_src"
