@@ -614,7 +614,12 @@ object Pipeline3 {
       joined.writeStream.outputMode("append")
         .format("memory").queryName(name)
         .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
+        // Trigger.Once, not AvailableNow: one batch processes the whole
+        // (finite) input, halving the per-batch machinery (offset WAL,
+        // state-store open/commit) a one-shot run pays. AvailableNow's
+        // admission control matters for unbounded sources — st06 keeps
+        // it, since bounded catch-up batches ARE its semantics.
+        .trigger(Trigger.Once()).start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
