@@ -90,28 +90,40 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
         in.readFully(bytes)
         readValue(bytes, t, target)
       }
+      // A fixed-width reader verifies the wire-declared length before
+      // trusting it: a mismatched len (corrupt stream or type-mapping
+      // bug) read at the expected width would consume the wrong byte
+      // count and silently desync the PGCOPY framing for every
+      // following field. One int compare per field; a mismatch fails
+      // locally naming the type instead of corrupting downstream rows.
+      def fixed(width: Int)(f: DataInputStream => Any): (DataInputStream, Int) => Any =
+        (in, len) => {
+          if (len != width) throw new IllegalStateException(
+            s"PGCOPY field of type $t declared $len bytes, expected $width")
+          f(in)
+        }
       val reader: (DataInputStream, Int) => Any = t match {
-        case PgBool => (in, _) => in.readByte() != 0
-        case PgInt2 => (in, _) => in.readShort()
-        case PgInt4 => (in, _) => in.readInt()
-        case PgInt8 => (in, _) => in.readLong()
-        case PgOid => (in, _) => in.readInt().toLong & 0xffffffffL
-        case PgFloat4 => (in, _) => in.readFloat()
-        case PgFloat8 => (in, _) => in.readDouble()
-        case PgDate => (in, _) => {
+        case PgBool => fixed(1)(_.readByte() != 0)
+        case PgInt2 => fixed(2)(_.readShort())
+        case PgInt4 => fixed(4)(_.readInt())
+        case PgInt8 => fixed(8)(_.readLong())
+        case PgOid => fixed(4)(_.readInt().toLong & 0xffffffffL)
+        case PgFloat4 => fixed(4)(_.readFloat())
+        case PgFloat8 => fixed(8)(_.readDouble())
+        case PgDate => fixed(4) { in =>
           val d = in.readInt()
           if (d == PgWire.PgDateInf) Int.MaxValue
           else if (d == PgWire.PgDateNegInf) Int.MinValue
           else d + PgWire.DateEpochShiftDays
         }
-        case PgTime => (in, _) => in.readLong()
-        case PgTimestamp | PgTimestampTz => (in, _) => {
+        case PgTime => fixed(8)(_.readLong())
+        case PgTimestamp | PgTimestampTz => fixed(8) { in =>
           val us = in.readLong()
           if (us == PgWire.PgTsInf) Long.MaxValue
           else if (us == PgWire.PgTsNegInf) Long.MinValue
           else us + PgWire.TsEpochShiftMicros
         }
-        case PgCtid => (in, _) => {
+        case PgCtid => fixed(6) { in =>
           val page = in.readInt().toLong & 0xffffffffL
           val off = in.readShort().toLong & 0xffffL
           (page << 16) | off

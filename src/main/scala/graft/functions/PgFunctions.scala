@@ -61,9 +61,15 @@ object PgFunctions {
     * the same fallback the write sink offers for servers or poolers
     * that reject binary COPY. Each table copies inside ONE destination
     * transaction (BEGIN … COMMIT; a failure rolls that table back
-    * without poisoning tables already copied). Tables copy sequentially
-    * on the driver — bulk catalog cloning is a one-off admin operation;
-    * for a single huge table the parallel write path
+    * without poisoning tables already copied). The SOURCE side runs
+    * entirely inside one REPEATABLE READ READ ONLY transaction — table
+    * list, catalog definitions, and every COPY OUT see a single
+    * snapshot, so a concurrently-mutating source still yields a
+    * cross-table-consistent clone (matching the reference, which scopes
+    * COPY FROM DATABASE in one transaction —
+    * ref: src/storage/postgres_transaction.cpp:34-50). Tables copy
+    * sequentially on the driver — bulk catalog cloning is a one-off
+    * admin operation; for a single huge table the parallel write path
     * (`df.write.format("postgres")`) is the scale tool.
     *
     * Returns the copied table names. */
@@ -75,6 +81,7 @@ object PgFunctions {
     val target = dstSchema.getOrElse(schema)
     val src = PgTransportFactory.open(srcDsn)
     try {
+      src.execute(PgCatalogQueries.beginReadOnly)
       val tables = src.query(PgCatalogQueries.listTables(schema)).map(_.head)
       locally {
         val d = PgTransportFactory.open(dstDsn)
@@ -137,6 +144,7 @@ object PgFunctions {
           }
         } finally dst.close()
       }
+      src.execute("COMMIT")
       tables
     } finally src.close()
   }

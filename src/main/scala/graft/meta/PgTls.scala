@@ -22,10 +22,10 @@ import javax.net.ssl.{KeyManagerFactory, SSLContext, SSLSocket, TrustManager, Tr
   * `sslmode` semantics follow libpq:
   *  - `disable`: plaintext, no SSLRequest.
   *  - `allow` / `prefer`: opportunistic — `prefer` asks for TLS and
-  *    falls back to plaintext on 'N'; `allow` starts plaintext (the
-  *    retry-on-server-demand half of libpq's `allow` has no trigger
-  *    against servers that accept plaintext, which is the only kind a
-  *    fallback would continue against).
+  *    falls back to plaintext on 'N'; `allow` starts plaintext and,
+  *    when the SERVER refuses the attempt (hostssl-only pg_hba),
+  *    retries the whole connection once over TLS — libpq's
+  *    two-attempt flow, implemented in `PgWireTransport.fromDsn`.
   *  - `require`: TLS mandatory; certificate NOT verified unless a
   *    root cert is supplied (libpq's documented behavior — with
   *    `sslrootcert` present, `require` verifies like `verify-ca`).

@@ -19,12 +19,16 @@ import graft.types.PgType
   * (trust/md5/SCRAM); with `tls` set, an SSLRequest is answered 'S'
   * and the connection upgrades to TLS before the StartupMessage,
   * like a server with ssl=on (without it, SSLRequest is answered
-  * 'N'). One thread per connection (connection counts are capped by
+  * 'N'). With `tlsOnly` set, a startup on a plaintext connection is
+  * refused with the error a hostssl-only pg_hba.conf produces — the
+  * server shape libpq's `sslmode=allow` retry-with-TLS exists for.
+  * One thread per connection (connection counts are capped by
   * the connector's own 64-permit pool, so blocking IO is fine).
   */
 final class PgWireServer(backend: PgTransport,
     auth: PgWireServer.Auth = PgWireServer.Trust,
-    tls: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+    tls: Option[javax.net.ssl.SSLContext] = None,
+    tlsOnly: Boolean = false) extends AutoCloseable {
 
   import PgWireProtocol._
 
@@ -86,6 +90,13 @@ final class PgWireServer(backend: PgTransport,
         // post-negotiation the client re-sends its startup packet
         len = in.readInt() - 4
         code = in.readInt()
+      }
+      if (tlsOnly && (sock eq raw)) {
+        // hostssl-only pg_hba: plaintext connections are rejected at
+        // startup, the same error a real server produces with SSL off
+        sendError(out, "no pg_hba.conf entry for host, SSL off")
+        out.flush()
+        return
       }
       if (!startup(len, code, in, out)) return
       var open = true

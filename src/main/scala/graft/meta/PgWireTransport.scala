@@ -420,7 +420,14 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
 }
 
 object PgWireTransport {
-  /** `tcp:host:port/dbname[?user=name&password=pw&sslmode=mode&sslrootcert=path]` */
+  /** `tcp:host:port/dbname[?user=name&password=pw&sslmode=mode&sslrootcert=path]`
+    *
+    * `sslmode=allow` follows libpq's two-attempt flow: connect
+    * plaintext first; if the SERVER refuses the attempt (an
+    * ErrorResponse during startup — e.g. a hostssl-only pg_hba), retry
+    * the whole connection once asking for TLS. Client-side failures
+    * (unknown host, refused socket) are not retried — TLS would not
+    * change them. */
   def fromDsn(dsn: String): PgWireTransport = {
     val spec = dsn.stripPrefix("tcp:")
     val (hostPortDb, params) = spec.indexOf('?') match {
@@ -438,13 +445,27 @@ object PgWireTransport {
     val hostPort = hostPortDb.substring(0, slash)
     val colon = hostPort.lastIndexOf(':')
     require(colon > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
-    new PgWireTransport(
+    def connect(mode: String) = new PgWireTransport(
       hostPort.substring(0, colon),
       hostPort.substring(colon + 1).toInt,
       db,
       params.getOrElse("user", "spark"),
       params.get("password"),
-      sslmode,
+      mode,
       params.get("sslrootcert"))
+    if (sslmode == "allow") {
+      // plaintext first; on a server-sent refusal, one retry over TLS
+      // ("require" — the server just demanded it; no cert verification
+      // unless sslrootcert is present, same as libpq's allow)
+      try connect("disable")
+      catch {
+        case first: RuntimeException
+            if first.getMessage != null && first.getMessage.startsWith("server error") =>
+          try connect("require")
+          catch {
+            case second: Throwable => second.addSuppressed(first); throw second
+          }
+      }
+    } else connect(sslmode)
   }
 }

@@ -36,19 +36,29 @@ object Ann {
 
   import VectorFunctions.{vec_dot, vec_cosine}
 
-  /** Exact brute-force cosine top-k for each query vector. */
+  /** Exact brute-force cosine top-k for each query vector.
+    *
+    * Top-k via the bounded-heap `topk_by` aggregate (same as its
+    * quantized/LSH siblings), NOT a row_number window: the window form
+    * shuffles every scored candidate (|Q|·n rows), while the aggregate
+    * reduces each partition to ≤k rows per query map-side — the
+    * exchange carries |Q|·k·16 bytes regardless of corpus size. The
+    * heap's total order (score desc, id asc) is bit-identical to
+    * `row_number() OVER (ORDER BY cos DESC, neighbor_id ASC)`. */
   def bruteTopK(
       queries: DataFrame, // (query_id, qv)
       corpus: DataFrame, // (neighbor_id, cv)
       k: Int): DataFrame = {
     VectorFunctions.register(queries.sparkSession)
-    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+    graft.functions.TopKFunctions.register(queries.sparkSession)
+    import graft.functions.TopKFunctions.topk_by
+    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", vec_cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos"))
   }
 
   /** Scalar int8 quantization of an embedding column (the classic SQ8
@@ -233,9 +243,10 @@ object Ann {
     // source already has >cores splits and a full-width repartition of
     // the embedding column would be the dominant (and pointless) shuffle.
     // `sourceSplits` lets a caller that knows its input's split count
-    // skip the `.rdd` probe, which plans the query a second time.
+    // pin the decision; otherwise a logical-stats estimate decides —
+    // never a `.rdd` probe, which would plan the query a second time.
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
-    val splits = sourceSplits.getOrElse(corpus.rdd.getNumPartitions)
+    val splits = sourceSplits.getOrElse(Scale.estimatedSplits(corpus))
     val spread =
       if (splits < math.min(parallelism, 8))
         corpus.repartition(parallelism)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions._
 
 /** Scale-out join strategies: bucketed co-located joins (no shuffle at
@@ -50,5 +51,34 @@ object Scale {
     val replicated = right.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Estimate how many partitions executing `df` would plan, WITHOUT
+    * physically planning it. The `.rdd` probe this replaces plans the
+    * whole query a second time (and for connector sources even opens a
+    * scan lease that lingers until the cleaner fires). This walks only
+    * the optimized LOGICAL plan: an explicit repartition pins the
+    * count, a shuffle-introducing operator yields
+    * `spark.sql.shuffle.partitions`, and a leaf contributes its stats
+    * size over `files.maxPartitionBytes` — the same ratio the file
+    * bin-packer uses. The under-split guards only need "would this
+    * plan with fewer splits than cores"; an estimate that errs large
+    * skips the spread repartition, which is exactly right at real
+    * scale where sources already carry >cores splits. */
+  def estimatedSplits(df: DataFrame): Int = {
+    val conf = df.sparkSession.sessionState.conf
+    val maxBytes = math.max(1L, conf.filesMaxPartitionBytes)
+    val shufflePartitions = math.max(1, conf.numShufflePartitions)
+    def walk(p: LogicalPlan): Int = p match {
+      case r: Repartition => r.numPartitions
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.getOrElse(shufflePartitions)
+      case _: Join | _: Aggregate | _: Sort | _: Window => shufflePartitions
+      case l: LeafNode =>
+        val est = l.stats.sizeInBytes / maxBytes + 1
+        if (est > Int.MaxValue.toLong) Int.MaxValue else est.toInt
+      case other => other.children.map(walk).foldLeft(1)(math.max)
+    }
+    walk(df.queryExecution.optimizedPlan)
   }
 }

@@ -56,7 +56,7 @@ object TextDedup {
     // scan->minhash->expansion chain inside single-threaded broadcast
     // construction, once per verify join.
     val par = math.min(s.sparkContext.defaultParallelism, 16)
-    val splits = sourceSplits.getOrElse(docs.rdd.getNumPartitions)
+    val splits = sourceSplits.getOrElse(Scale.estimatedSplits(docs))
     val spread = if (splits < par) docs.repartition(par) else docs
     val cands = nearDupCandidatePairs(spread, idCol, blockCol, tokCol, threshold,
       hotBucketCap, hotBucketSalts, sourceSplits = Some(par)).localCheckpoint()
@@ -86,7 +86,7 @@ object TextDedup {
     // the (compute-heavy) minhash so it parallelizes — only when
     // genuinely under-split (see lshTopK's identical guard)
     val par = math.min(s.sparkContext.defaultParallelism, 16)
-    val splits = sourceSplits.getOrElse(docs.rdd.getNumPartitions)
+    val splits = sourceSplits.getOrElse(Scale.estimatedSplits(docs))
     val spread = if (splits < par) docs.repartition(par) else docs
     val toks = spread.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       array_sort(array_distinct(col(tokCol))).as("tok"))
@@ -268,11 +268,11 @@ object TextDedup {
     // but only when genuinely under-split (at real scale the source
     // already has >cores splits and the shuffle would be pure waste).
     // Callers that know their input's split count pass `sourceSplits`
-    // (e.g. a streaming micro-batch with a fixed task fan-out) so the
-    // guard doesn't have to plan the query a second time through
-    // `.rdd` just to count partitions.
+    // (e.g. a streaming micro-batch with a fixed task fan-out);
+    // otherwise a logical-stats estimate decides — never a `.rdd`
+    // probe, which would physically plan the query a second time.
     val par = s.sparkContext.defaultParallelism
-    val splits = sourceSplits.getOrElse(newBandsRaw.rdd.getNumPartitions)
+    val splits = sourceSplits.getOrElse(Scale.estimatedSplits(newBandsRaw))
     val newBands =
       if (splits < math.min(par, 8))
         newBandsRaw.repartition(par, col("band_idx"), col("band_hash"))

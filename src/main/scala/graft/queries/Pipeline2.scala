@@ -66,7 +66,9 @@ object Pipeline2 {
     // source already has >cores splits)
     val par = math.min(s.sparkContext.defaultParallelism, 16)
     val raw = docs.select(col("doc_id"), col("text"))
-    val spread = if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    val spread =
+      if (graft.operators.Scale.estimatedSplits(raw) < par) raw.repartition(par)
+      else raw
     // tf materializes ONCE (localCheckpoint) so the df branch reads the
     // same blocks instead of re-planning the scan→explode→aggregate
     // chain (its aggregate branch canonicalizes to a distinct, so

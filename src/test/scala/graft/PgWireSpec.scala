@@ -306,6 +306,25 @@ class PgWireSpec extends AnyFunSuite {
     // md5 test via sslmode=prefer against the non-TLS server)
   }
 
+  test("sslmode=allow retries over TLS against a hostssl-only server") {
+    seed()
+    val mat = graft.meta.PgTlsTestMaterial.material
+    val srv = new PgWireServer(InMemoryPg.forName(memName), PgWireServer.Trust,
+      tls = Some(graft.meta.PgTls.serverContext(
+        mat.keystorePath, graft.meta.PgTlsTestMaterial.StorePass.toCharArray)),
+      tlsOnly = true)
+    try {
+      // a direct plaintext startup is refused (the pg_hba analogue)…
+      val refused = intercept[RuntimeException] {
+        new graft.meta.PgWireTransport("127.0.0.1", srv.port, "graft", "x")
+      }
+      assert(refused.getMessage.contains("server error"), refused.getMessage)
+      // …and allow's second attempt reconnects over TLS (libpq flow)
+      val t = graft.meta.PgWireTransport.fromDsn(srv.dsn() + "?user=x&sslmode=allow")
+      try t.execute("SET standard_conforming_strings = on") finally t.close()
+    } finally srv.close()
+  }
+
   test("SCRAM primitives agree with RFC 7677 §3's SCRAM-SHA-256 test vector") {
     import graft.meta.PgScram
     // RFC 7677 example: user/pass "user"/"pencil", fixed nonces

@@ -312,6 +312,59 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("estimatedSplits decides the spread guard without launching work") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // tiny single-row-group file → genuinely under-split
+    assert(Scale.estimatedSplits(docs) < 8,
+      "small test file should read as under-split")
+    // an explicit repartition pins the estimate — the guard must not
+    // stack a second repartition on an already-spread source
+    assert(Scale.estimatedSplits(docs.repartition(16)) == 16)
+    // shuffle-introducing operators produce shuffle.partitions splits
+    val agg = docs.groupBy(col("source")).count()
+    assert(Scale.estimatedSplits(agg) ==
+      spark.sessionState.conf.numShufflePartitions)
+    // the probe is plan-only: no Spark job may start
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Scale.estimatedSplits(docs)
+      Scale.estimatedSplits(agg)
+      Thread.sleep(200) // let any (unexpected) async job events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, "estimatedSplits launched a Spark job")
+  }
+
+  test("bruteTopK aggregates map-side instead of window-sorting all candidates") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val out = graft.operators.Ann.bruteTopK(queries, corpus, 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by"),
+      s"expected the bounded-heap aggregate in:\n$plan")
+    assert(!plan.contains("Window"),
+      s"brute top-k must not window-sort the |Q|·n scored relation:\n$plan")
+    // and the selection/order still matches the window form exactly
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.functions.VectorFunctions.vec_cosine
+    val w = W.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val ref = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", vec_cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet == ref.toSet, "heap top-k diverged from the window form")
+  }
+
   test("battery scans keep parquet filter pushdown and column pruning") {
     val df = graft.queries.Relational.q02_filter_pushdown(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.explainString(
