@@ -23,18 +23,32 @@ object Tables {
 
   private def load0(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw nanos and convert to a micros
-      // timestamp (lossless: driver data is micro-precision, and the
-      // DuckDB oracle also reads it as micros TIMESTAMP).
+      // nanosAsLong must be set before the read in case the file is
+      // TIMESTAMP(NANOS), which the vectorized reader otherwise rejects
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // integer `div`, NOT `/`: epoch nanos exceed double's 53-bit
-      // mantissa, so floating division would round some values by ±1µs
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      withEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Normalize the events `ts` column to TimestampType. The driver's
+    * testdata has shipped `ts` as both parquet TIMESTAMP(NANOS) (read
+    * as raw nanos under `nanosAsLong`) and TIMESTAMP(MICROS) (read
+    * natively as TIMESTAMP_NTZ) across rounds; queries must not depend
+    * on which. Works on batch and streaming frames alike. */
+  def withEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: epoch nanos exceed double's 53-bit
+        // mantissa, floating division would round some values by ±1µs
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // driver data is UTC and Verify/Bench pin the session timezone
+        // to UTC, so this cast is value-preserving
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()

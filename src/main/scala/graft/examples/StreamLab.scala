@@ -35,8 +35,7 @@ object StreamLab {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val q0 =
         if (!agg) src.groupBy().count()
-        else src
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else graft.Tables.withEventTs(src)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n"),

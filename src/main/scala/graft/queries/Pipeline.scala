@@ -468,9 +468,8 @@ object PipelineOps {
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source lists a directory; select just the
     // events table out of the shared sfDir via a glob filter
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.withEventTs(s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -520,9 +519,9 @@ object PipelineOps {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val evs2 = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"))
+    val evs2 = Tables.withEventTs(s.readStream.schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
       .as[StEv]
 
     def sessionize(uid: Long, events: Iterator[StEv],

@@ -593,9 +593,8 @@ object Pipeline3 {
     import org.apache.spark.sql.streaming.Trigger
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    def src = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = Tables.withEventTs(s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
       .withWatermark("pts", "1 hour")
