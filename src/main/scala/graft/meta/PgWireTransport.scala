@@ -14,6 +14,12 @@ import graft.types.PgType
   * the reference reaches the same wire through libpq
   * (ref: src/postgres_connection.cpp:16-60).
   */
+/** A server-sent ErrorResponse ('E'), carrying the SQLSTATE so callers
+  * branch on the error class instead of the message text (the
+  * sslmode=allow retry keys on this type, not a string prefix). */
+private[graft] final class PgServerErrorException(
+    val sqlState: String, message: String) extends RuntimeException(message)
+
 private[graft] object PgWireProtocol {
   val ProtocolV3 = 196608 // 3 << 16
 
@@ -147,8 +153,9 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
 
   private def serverError(m: Msg): RuntimeException = {
     val f = errorFields(m)
-    new RuntimeException(
-      s"server error ${f.getOrElse('C', "?????")}: ${f.getOrElse('M', "unknown")}")
+    val state = f.getOrElse('C', "?????")
+    new PgServerErrorException(state,
+      s"server error $state: ${f.getOrElse('M', "unknown")}")
   }
 
   private def requirePassword(method: String): String =
@@ -459,8 +466,7 @@ object PgWireTransport {
       // unless sslrootcert is present, same as libpq's allow)
       try connect("disable")
       catch {
-        case first: RuntimeException
-            if first.getMessage != null && first.getMessage.startsWith("server error") =>
+        case first: PgServerErrorException =>
           try connect("require")
           catch {
             case second: Throwable => second.addSuppressed(first); throw second

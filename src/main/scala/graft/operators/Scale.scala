@@ -69,14 +69,35 @@ object Scale {
     val conf = df.sparkSession.sessionState.conf
     val maxBytes = math.max(1L, conf.filesMaxPartitionBytes)
     val shufflePartitions = math.max(1, conf.numShufflePartitions)
+    val broadcastThreshold = conf.autoBroadcastJoinThreshold
+    def clamp(est: BigInt): Int =
+      if (est > Int.MaxValue) Int.MaxValue else math.max(1, est.toInt)
     def walk(p: LogicalPlan): Int = p match {
       case r: Repartition => r.numPartitions
       case r: RepartitionByExpression =>
         r.optNumPartitions.getOrElse(shufflePartitions)
-      case _: Join | _: Aggregate | _: Sort | _: Window => shufflePartitions
+      case u: Union =>
+        // a union concatenates its children's partitions
+        clamp(u.children.map(c => BigInt(walk(c))).sum)
+      case j: Join =>
+        // a side small enough to broadcast doesn't shuffle — the join
+        // inherits the probe side's partitioning
+        if (broadcastThreshold > 0 && j.right.stats.sizeInBytes <= broadcastThreshold)
+          walk(j.left)
+        else if (broadcastThreshold > 0 && j.left.stats.sizeInBytes <= broadcastThreshold)
+          walk(j.right)
+        else shufflePartitions
+      case _: Aggregate | _: Sort | _: Window => shufflePartitions
       case l: LeafNode =>
-        val est = l.stats.sizeInBytes / maxBytes + 1
-        if (est > Int.MaxValue.toLong) Int.MaxValue else est.toInt
+        val size = l.stats.sizeInBytes
+        // DataSourceV2 reports spark.sql.defaultSizeInBytes
+        // (Long.MaxValue unless tuned) when the source returned no
+        // statistics — e.g. the Postgres scan on a relpages=0 table
+        // before its first ANALYZE. That is "unknown", not "huge":
+        // treat it as a single split so the under-split guards spread;
+        // callers with real knowledge pass sourceSplits explicitly.
+        if (size >= BigInt(conf.defaultSizeInBytes)) 1
+        else clamp(size / maxBytes + 1)
       case other => other.children.map(walk).foldLeft(1)(math.max)
     }
     walk(df.queryExecution.optimizedPlan)

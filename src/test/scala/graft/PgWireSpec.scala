@@ -315,7 +315,9 @@ class PgWireSpec extends AnyFunSuite {
       tlsOnly = true)
     try {
       // a direct plaintext startup is refused (the pg_hba analogue)…
-      val refused = intercept[RuntimeException] {
+      // the refusal must surface as the TYPED server error: the allow
+      // retry dispatches on the type, not the message text
+      val refused = intercept[graft.meta.PgServerErrorException] {
         new graft.meta.PgWireTransport("127.0.0.1", srv.port, "graft", "x")
       }
       assert(refused.getMessage.contains("server error"), refused.getMessage)

@@ -339,6 +339,31 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(jobs == 0, "estimatedSplits launched a Spark job")
   }
 
+  test("estimatedSplits: union sums, broadcast join keeps probe side, unknown stats spread") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // a union concatenates its children's partitions
+    assert(Scale.estimatedSplits(docs.repartition(4).union(docs.repartition(6))) == 10)
+    // a broadcast-sized build side doesn't force shuffle.partitions —
+    // the join inherits the probe side's estimate
+    val probe = docs.repartition(12)
+    val dim = docs.select(col("doc_id")).limit(5)
+    val sp = spark.sessionState.conf.numShufflePartitions
+    assert(sp != 12, "test needs shuffle.partitions != probe partitioning")
+    // this suite disables broadcast globally; the estimate honors that
+    assert(Scale.estimatedSplits(probe.join(dim, "doc_id")) == sp)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try assert(Scale.estimatedSplits(probe.join(dim, "doc_id")) == 12)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // a leaf with no statistics reports defaultSizeInBytes (Long.MaxValue):
+    // that's unknown, not huge — must estimate 1 so the guard spreads
+    val noStats = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    assert(Scale.estimatedSplits(noStats) == 1)
+  }
+
   test("bruteTopK aggregates map-side instead of window-sorting all candidates") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
