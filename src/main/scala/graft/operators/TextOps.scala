@@ -78,15 +78,22 @@ object TextOps {
     * memory, which benchmark suites do by orders of magnitude.) */
   def decontaminate(docs: DataFrame, idCol: String, tokensCol: String,
       isEval: Column, shingleSize: Int = 5): DataFrame = {
-    val sh = docs
+    // spread each under-split branch AFTER its eval/train filter but
+    // before the compute-heavy shingle explode (a single-row-group file
+    // otherwise shingles on one task; repartitioning before the filter
+    // doesn't help, since the filter pushes below the repartition)
+    val par = math.min(docs.sparkSession.sparkContext.defaultParallelism, 16)
+    def spread(d: DataFrame): DataFrame =
+      if (Scale.estimatedSplits(d) < par) d.repartition(par) else d
+    def shingles(d: DataFrame): DataFrame = d
       .filter(size(col(tokensCol)) >= shingleSize)
-      .select(col(idCol), isEval.as("is_eval"), explode(array_distinct(
+      .select(col(idCol), explode(array_distinct(
         transform(sequence(lit(0), size(col(tokensCol)) - shingleSize),
           i => concat_ws(" ",
             (0 until shingleSize).map(o => col(tokensCol)(i + o)): _*)))).as("sh"))
-    val evalSh = sh.filter(col("is_eval"))
+    val evalSh = shingles(spread(docs.filter(isEval)))
       .select(col("sh")).distinct().withColumn("hit", lit(1))
-    sh.filter(!col("is_eval"))
+    shingles(spread(docs.filter(!isEval)))
       .join(broadcast(evalSh), Seq("sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),

@@ -866,11 +866,20 @@ object PipelineOps {
   // exact broadcast set is right while eval shingles fit in memory,
   // which benchmark suites do by orders of magnitude).
   // ---------------------------------------------------------------- //
-  def p16_decontaminate(s: SparkSession, dir: String): DataFrame =
+  def p16_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // spread BEFORE the tokens projection: tokenization is the heavy
+    // scalar work, and a repartition above it would run it on the
+    // (single-task) scan side of the shuffle
+    val raw = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val par = math.min(s.sparkContext.defaultParallelism, 16)
+    val spread =
+      if (graft.operators.Scale.estimatedSplits(raw) < par) raw.repartition(par)
+      else raw
     graft.operators.TextOps.decontaminate(
-      t(s, dir, "documents").select(col("doc_id"), tokens.as("tok")),
+      spread.select(col("doc_id"), tokens.as("tok")),
       "doc_id", "tok", isEval = col("doc_id") % 97 === 0, shingleSize = 5)
       .orderBy(col("doc_id"))
+  }
 
   val p16_sql: String =
     """WITH sh AS (
