@@ -516,6 +516,9 @@ object ConnectorOps {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("value_sum"))
     val name = s"st03_out_${System.nanoTime()}"
+    // one-shot bounded run: retaining one committed batch in the
+    // offset/commit logs is enough (no failure-recovery window to keep)
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     val ckpt = s"/dev/shm/graft_ckpt_$name"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
@@ -556,6 +559,9 @@ object ConnectorOps {
     val stream = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select(col("event_id"), col("event_type"), col("value"))
+    // one-shot bounded run: retaining one committed batch in the
+    // offset/commit logs is enough (no failure-recovery window to keep)
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     val ckpt = s"/dev/shm/graft_ckpt_$sink"
     val q = stream.writeStream.outputMode("append")
       .format("postgres").option("dsn", d).option("table", sink)
@@ -870,6 +876,9 @@ object ConnectorOps {
     val span = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     val tag = System.nanoTime()
     val outDir = s"/dev/shm/graft_st06_out_$tag"
+    // one-shot bounded run: retaining one committed batch in the
+    // offset/commit logs is enough (no failure-recovery window to keep)
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     val ckpt = s"/dev/shm/graft_ckpt_st06_$tag"
     val stream = s.readStream.format("postgres")
       .option("dsn", d).option("table", "docs_stream")

@@ -478,6 +478,9 @@ object PipelineOps {
     // checkpoint to tmpfs: the state-store commit log fsyncs dominate
     // wall clock for a one-shot AvailableNow run on local disk; state
     // partitions stay low — per-partition store setup is the fixed cost
+    // one-shot bounded run: retaining one committed batch in the
+    // offset/commit logs is enough (no failure-recovery window to keep)
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     val ckpt = s"/dev/shm/graft_ckpt_$name"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
@@ -551,6 +554,9 @@ object PipelineOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
 
     val name = s"st02_out_${System.nanoTime()}"
+    // one-shot bounded run: retaining one committed batch in the
+    // offset/commit logs is enough (no failure-recovery window to keep)
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     val ckpt = s"/dev/shm/graft_ckpt_$name"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")

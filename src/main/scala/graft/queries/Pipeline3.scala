@@ -606,6 +606,9 @@ object Pipeline3 {
         col("cts") >= col("pts") - expr("INTERVAL 6 HOURS") &&
         col("cts") <= col("pts"))
     val name = s"st05_out_${System.nanoTime()}"
+    // one-shot bounded run: retaining one committed batch in the
+    // offset/commit logs is enough (no failure-recovery window to keep)
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
     val ckpt = s"/dev/shm/graft_ckpt_$name"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
