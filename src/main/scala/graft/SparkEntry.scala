@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Tpcds2.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds3.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds4.entries.map { case (k, (fn, _)) => k -> fn } ++
-      graft.queries.Tpcds5.entries.map { case (k, (fn, _)) => k -> fn }
+      graft.queries.Tpcds5.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Tpcds6.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.Tpcds2.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds3.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds4.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
-      graft.queries.Tpcds5.entries.collect { case (k, (_, Some(sql))) => k -> sql }
+      graft.queries.Tpcds5.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Tpcds6.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }
