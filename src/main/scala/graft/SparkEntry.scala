@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Tpcds3.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds4.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds5.entries.map { case (k, (fn, _)) => k -> fn } ++
-      graft.queries.Tpcds6.entries.map { case (k, (fn, _)) => k -> fn }
+      graft.queries.Tpcds6.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Tpcds7.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Tpcds3.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds4.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds5.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
-      graft.queries.Tpcds6.entries.collect { case (k, (_, Some(sql))) => k -> sql }
+      graft.queries.Tpcds6.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Tpcds7.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }
