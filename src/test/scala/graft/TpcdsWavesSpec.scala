@@ -20,6 +20,9 @@ class TpcdsWavesSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // suites share the JVM-wide session and ScaleSpec disables
+    // broadcasting; the plan assertions here depend on the default
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     s
   }
   private val dir = "/root/testdata/sf0.001"
