@@ -13,6 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Relational2.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Relational3.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.PipelineOps.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline2.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline3.entries.map { case (k, (fn, _)) => k -> fn } ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.entries.map { case (k, (_, sql)) => k -> sql } ++
       graft.queries.Relational2.entries.map { case (k, (_, sql)) => k -> sql } ++
+      graft.queries.Relational3.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.PipelineOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline2.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline3.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++

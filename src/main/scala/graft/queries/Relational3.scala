@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Host-relational extension set (x01-x04): subquery decorrelation
+  * classes the q-series doesn't cover — row-value (multi-column) IN
+  * membership, correlated EXISTS/NOT EXISTS whose residual is a range
+  * predicate over both relations, and correlated scalar aggregates in
+  * the PROJECTION (not the WHERE). The reference's host engine
+  * supports all of these over attached data (ref: test/sql/scanner/
+  * tpch.test:12-28 exercises the same decorrelation machinery via
+  * Q17/Q20/Q21).
+  *
+  * Exactness per house rules: decimal sums, COALESCE'd scalar
+  * fallbacks identical on both sides, deterministic total ORDER BY.
+  */
+object Relational3 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // ---------------------------------------------------------------- //
+  // x01: row-value IN — orders whose (customer, month) pair appears in
+  // the high-value-order pair set; per-priority stats. The DataFrame
+  // side is the composite-key semi join the row-value IN decorrelates
+  // to; the oracle exercises DuckDB's row-value IN surface.
+  // ---------------------------------------------------------------- //
+  def x01_multi_col_in(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").withColumn("mo", month(col("o_orderdate")))
+    val pairs = o.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("pk"), col("mo").as("pm")).distinct()
+    o.join(pairs, col("o_custkey") === col("pk") && col("mo") === col("pm"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val x01_sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM orders
+      |WHERE ROW(o_custkey, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT)) IN (
+      |  SELECT ROW(o_custkey, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT))
+      |  FROM orders WHERE o_totalprice > 400000.0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // x02: correlated EXISTS with a range residual — orders having at
+  // least one line shipped more than 90 days after the order date
+  // (equality correlation + cross-relation date arithmetic residual).
+  // ---------------------------------------------------------------- //
+  def x02_exists_range(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 90),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"), dsum(col("o_totalprice")).as("rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val x02_sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_late,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // x03: the NOT EXISTS twin — orders where NO line shipped more than
+  // 90 days late (anti join with the same range residual).
+  // ---------------------------------------------------------------- //
+  def x03_not_exists_range(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate"), 90),
+        "left_anti")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_on_time"), dsum(col("o_totalprice")).as("rev"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val x03_sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_on_time,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // x04: correlated scalar aggregates in the PROJECTION — each
+  // customer's order count and total spend as correlated scalars in
+  // the select list (not the WHERE), zero-defaulted for customers
+  // with no orders. Decorrelates to a left outer join against the
+  // per-customer aggregate.
+  // ---------------------------------------------------------------- //
+  def x04_scalar_in_select(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("spend0"))
+    t(s, dir, "customer")
+      .join(agg, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("spend0"), lit(0.0)).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val x04_sql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      |  COALESCE((SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |            FROM orders WHERE o_custkey = c_custkey), 0.0) AS spend
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "x01_multi_col_in" -> ((x01_multi_col_in _, Some(x01_sql))),
+    "x02_exists_range" -> ((x02_exists_range _, Some(x02_sql))),
+    "x03_not_exists_range" -> ((x03_not_exists_range _, Some(x03_sql))),
+    "x04_scalar_in_select" -> ((x04_scalar_in_select _, Some(x04_sql))),
+  )
+}
