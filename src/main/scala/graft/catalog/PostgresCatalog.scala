@@ -55,7 +55,10 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
   override def name(): String = catalogName
 
   /** `pg_clear_cache` analogue. */
-  def invalidateAll(): Unit = tableCache.clear()
+  def invalidateAll(): Unit = {
+    tableCache.clear()
+    graft.meta.PgServerVersion.clearRecoveryCache()
+  }
 
   /** DETACH analogue (ref: test/sql/storage/attach_detach.test): drop
     * the discovery cache and close every pooled idle connection for

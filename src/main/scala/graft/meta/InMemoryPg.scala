@@ -50,6 +50,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
   schemas.add("public")
 
   val executedStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+  // read-path statements (query(), not execute()) — lets tests count
+  // metadata probes like pg_is_in_recovery without changing semantics
+  val queriedStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
 
   // spoofable instance identity for version/instance-gating tests
   @volatile var versionString: String = "PostgreSQL 16.3 (InMemoryPg graft)"
@@ -84,7 +87,12 @@ final class InMemoryPg(val name: String) extends PgTransport {
   private val RelPagesRe: Regex =
     """(?s).*relpages.*nspname = '([^']*)' AND c\.relname = '([^']*)'.*""".r
 
-  override def query(sql: String): Seq[Seq[String]] = sql match {
+  override def query(sql: String): Seq[Seq[String]] = {
+    queriedStatements.synchronized { queriedStatements += sql }
+    queryImpl(sql)
+  }
+
+  private def queryImpl(sql: String): Seq[Seq[String]] = sql match {
     case s if s.startsWith("SELECT version()") =>
       Seq(Seq(versionString))
     case s if s.contains("pg_settings") =>

@@ -39,6 +39,22 @@ object PgServerVersion {
     parse(ver, rds)
   }
 
+  // Recovery state is stable for the life of an attached session (a
+  // primary→replica flip mid-session forces reconnects anyway), so
+  // probe once per DSN instead of once per scan plan — on a remote
+  // server the per-plan probe is a full round trip. Cleared by the
+  // catalog's pg_clear_cache analogue alongside the table cache.
+  private val recoveryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def inRecoveryCached(dsn: String): Boolean =
+    recoveryCache.computeIfAbsent(dsn, { _ =>
+      val t = PgTransportFactory.open(dsn)
+      try java.lang.Boolean.valueOf(inRecovery(t)) finally t.close()
+    }).booleanValue()
+
+  def clearRecoveryCache(): Unit = recoveryCache.clear()
+
   /** True when exporting a snapshot is pointless/unsupported here:
     * replica / instance in recovery (ref: PostgresGetSnapshot,
     * src/postgres_scanner.cpp:65-100). */

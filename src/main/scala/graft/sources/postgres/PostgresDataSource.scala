@@ -737,11 +737,8 @@ final class PostgresScan(
     * instances, where exported snapshots are unsupported or meaningless
     * (ref: PostgresGetSnapshot, src/postgres_scanner.cpp:65-100). */
   private def snapshotSupported(dsn: String): Boolean =
-    !table.serverVersion.aurora && {
-      val t = graft.meta.PgTransportFactory.open(dsn)
-      try !graft.meta.PgServerVersion.inRecovery(t)
-      finally t.close()
-    }
+    !table.serverVersion.aurora &&
+      !graft.meta.PgServerVersion.inRecoveryCached(dsn)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PostgresReaderFactory(scanColumns, required)

@@ -945,6 +945,30 @@ class PostgresConnectorSpec extends AnyFunSuite {
       s"replica scan must not use exported snapshots: $replica")
   }
 
+  test("recovery probe runs once per DSN, not once per scan plan") {
+    val p = InMemoryPg.forName("recoverycache")
+    val t = p.createTable("public", "t", Seq("id" -> PgInt8))
+    (0 until 300).foreach { i =>
+      t.slots += Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i.toLong)))
+    }
+    graft.meta.PgServerVersion.clearRecoveryCache()
+    p.queriedStatements.clear()
+    // collect the rows themselves: a bare count() would push the
+    // aggregate down to one partition and never plan a snapshot
+    def scan(): Long = spark.read.format("postgres")
+      .option("dsn", "mem:recoverycache").option("table", "t")
+      .option("pagesPerTask", "2").load().collect().length.toLong
+    assert(scan() == 300 && scan() == 300)
+    val probes = p.queriedStatements.count(_.contains("pg_is_in_recovery"))
+    assert(probes == 1,
+      s"expected one cached recovery probe across repeated scans, saw $probes")
+    // pg_clear_cache semantics: an invalidated catalog re-probes
+    graft.meta.PgServerVersion.clearRecoveryCache()
+    assert(scan() == 300)
+    assert(p.queriedStatements.count(_.contains("pg_is_in_recovery")) == 2)
+  }
+
   test("lease transport is unpooled: a held lease never consumes a reader permit") {
     val p = InMemoryPg.forName("leasebudget")
     p.createTable("public", "t", Seq("id" -> PgInt8))
