@@ -71,4 +71,50 @@ class TpcdsWavesSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$n returned no rows at sf0.001")
     }
   }
+
+  test("q102 revenue share is one windowed pass, not a type-total self-join") {
+    val plan = graft.queries.Tpcds9.q102_revenue_share(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, // lineitem + part only — the type total comes
+      // from a window over the per-part aggregate, not a second scan
+      s"expected lineitem+part scans only:\n$plan")
+    assert(plan.contains("Window"), s"expected a window partition sum:\n$plan")
+  }
+
+  test("q105 EXISTS OR-grid plans as one semi-join against a distinct brand set") {
+    val plan = graft.queries.Tpcds9.q105_exists_or_grid(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi-join gate:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the OR grid must stay inside the semi-join build side:\n$plan")
+  }
+
+  test("q108 double gate turns both IN-subqueries into broadcast semi-joins") {
+    val plan = graft.queries.Tpcds9.q108_double_gate(spark, dir)
+      .queryExecution.executedPlan.toString
+    val semis = "LeftSemi".r.findAllIn(plan).size
+    assert(semis >= 2, s"both gates should be semi-joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the nation-list and rich-customer sides are small — broadcast:\n$plan")
+  }
+
+  test("q100 ratio chain shuffles on (custkey, partkey), dims broadcast") {
+    val plan = graft.queries.Tpcds9.q100_ratio_chain(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part (and the order key map at this sf) must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the sold→returned chain must join on keys:\n$plan")
+  }
+
+  test("wave 9 entries produce rows at sf0.001 (smoke)") {
+    val names = Seq("q100_ratio_chain", "q101_channel_pnl",
+      "q102_revenue_share", "q104_cross_nation", "q105_exists_or_grid",
+      "q107_self_threshold", "q108_double_gate", "q109_next_month_segments")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      assert(df.count() > 0, s"$n returned no rows at sf0.001")
+    }
+  }
 }
