@@ -292,6 +292,69 @@ object Pipeline3 {
       |ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // p28: per-source boilerplate removal — the C4/CCNet-style cleanup
+  // step that strips text shared VERBATIM by many documents of the
+  // same feed (headers, footers, nav chrome). The corpus here has no
+  // newlines, so the "line" unit is a fixed non-overlapping 3-token
+  // segment; a segment is boilerplate when it appears in ≥2 distinct
+  // documents of the same source. Output per document: segment count,
+  // flagged-instance count, and tokens retained after removal.
+  //
+  // Shape at scale: the frequency pass deduplicates to one
+  // (source, seg, doc) row before its shuffle; the flagged set is a
+  // tiny fraction of the corpus (boilerplate vocabulary, not text),
+  // so AQE turns the join-back into a broadcast at runtime — left
+  // un-hinted deliberately, since a pathological corpus could have a
+  // large boilerplate set and must degrade to a shuffle join, not OOM
+  // the driver.
+  // ---------------------------------------------------------------- //
+  def p28_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val n = 3
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), toks.as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(col("doc_id"), col("source"), size(col("tok")).as("n_tok"),
+        explode(transform(
+          sequence(lit(0), (size(col("tok")) / n).cast("int") - 1),
+          i => concat_ws(" ",
+            col("tok")(i * n), col("tok")(i * n + 1), col("tok")(i * n + 2))))
+          .as("seg"))
+    val boiler = base.select(col("source"), col("seg"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("seg"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("source").as("b_source"), col("seg").as("b_seg"))
+    base.join(boiler,
+        col("source") === col("b_source") && col("seg") === col("b_seg"),
+        "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        count(col("b_seg")).as("n_boiler"),
+        (min(col("n_tok")) - lit(3) * count(col("b_seg"))).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p28_sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tok
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, source, len(tok) AS n_tok,
+      |    unnest(list_transform(range(1, 1 + CAST(floor(len(tok)/3) AS BIGINT)),
+      |      i -> tok[(i-1)*3+1] || ' ' || tok[(i-1)*3+2] || ' ' || tok[(i-1)*3+3]))
+      |      AS seg
+      |  FROM t WHERE len(tok) >= 3),
+      |boiler AS (
+      |  SELECT source, seg
+      |  FROM (SELECT DISTINCT source, seg, doc_id FROM seg) d
+      |  GROUP BY source, seg HAVING COUNT(*) >= 2)
+      |SELECT s.doc_id AS doc_id, COUNT(*) AS n_seg, COUNT(b.seg) AS n_boiler,
+      |  MIN(s.n_tok) - 3 * COUNT(b.seg) AS kept_tokens
+      |FROM seg s LEFT JOIN boiler b ON s.source = b.source AND s.seg = b.seg
+      |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // s05: IVF ANN probe against a PERSISTED trained index — the
   // production steady state. The index (one Lloyd round from
   // deterministic seeds + corpus assignment; operators/Kmeans —
@@ -685,6 +748,7 @@ object Pipeline3 {
     "p25_quality_mix" -> ((p25_quality_mix _, Some(p25_sql))),
     "p26_ngram_dup_rate" -> ((p26_ngram_dup_rate _, Some(p26_sql))),
     "p27_source_overlap" -> ((p27_source_overlap _, Some(p27_sql))),
+    "p28_boilerplate" -> ((p28_boilerplate _, Some(p28_sql))),
     "s05_ann_ivf_trained" -> ((s05_ann_ivf_trained _, Some(s05_sql))),
     "s06_ann_ivf_q8" -> ((s06_ann_ivf_q8 _, Some(s06_sql))),
     "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),
