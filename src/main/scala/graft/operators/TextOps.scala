@@ -102,4 +102,59 @@ object TextOps {
       .withColumn("contamination_frac",
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
+
+  /** Per-source boilerplate removal (the C4/CCNet cleanup step): text
+    * shared verbatim by `minDocs`+ distinct documents of the same
+    * source — headers, footers, nav chrome — is stripped. The unit is
+    * a non-overlapping `segLen`-token segment (a whitespace-tokenized
+    * stand-in for a line). Returns one row per document with ≥segLen
+    * tokens: (idCol, sourceCol, outCol cleaned text, n_seg, n_boiler,
+    * kept_tokens).
+    *
+    * Shape at scale: the frequency pass deduplicates to one
+    * (source, segment, doc) row before its shuffle; flagged positions
+    * come back as a per-doc int list via one narrow aggregate, and the
+    * text is rebuilt by a per-row lambda — no row explosion survives
+    * past the counting stage. The boilerplate join is left un-hinted:
+    * AQE broadcasts the (small) boilerplate vocabulary at runtime,
+    * and a pathological corpus degrades to a shuffle join instead of
+    * OOMing the driver. */
+  def removeBoilerplate(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, segLen: Int = 3, minDocs: Int = 2,
+      outCol: String = "clean_text"): DataFrame = {
+    val n = segLen
+    val base = df
+      .select(col(idCol), col(sourceCol),
+        split(trim(col(textCol)), "\\s+").as("tok"))
+      .filter(size(col("tok")) >= n)
+      .withColumn("n_seg", (size(col("tok")) / n).cast("int"))
+    val inst = base
+      .select(col(idCol), col(sourceCol), col("tok"),
+        explode(sequence(lit(0), col("n_seg") - 1)).as("seg_i"))
+      .select(col(idCol), col(sourceCol), col("seg_i"),
+        concat_ws(" ",
+          (0 until n).map(o => col("tok")(col("seg_i") * n + o)): _*).as("seg"))
+    val boiler = inst.select(col(sourceCol), col("seg"), col(idCol)).distinct()
+      .groupBy(col(sourceCol), col("seg"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col(sourceCol).as("b_source"), col("seg").as("b_seg"))
+    val badPos = inst
+      .join(boiler,
+        col(sourceCol) === col("b_source") && col("seg") === col("b_seg"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("seg_i"))).as("bad"))
+    base.join(badPos, Seq(idCol), "left_outer")
+      .withColumn("bad", coalesce(col("bad"), lit(Array.empty[Int])))
+      // keep a token when it sits in the unsegmented tail OR its
+      // segment index is not flagged
+      .withColumn("kept_tok", filter(col("tok"),
+        (_, i) => (i >= col("n_seg") * n) ||
+          !array_contains(col("bad"), (i / n).cast("int"))))
+      .select(col(idCol), col(sourceCol),
+        array_join(col("kept_tok"), " ").as(outCol),
+        col("n_seg").cast("long").as("n_seg"),
+        size(col("bad")).cast("long").as("n_boiler"),
+        size(col("kept_tok")).cast("long").as("kept_tokens"))
+  }
 }

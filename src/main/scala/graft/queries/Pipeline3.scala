@@ -308,32 +308,11 @@ object Pipeline3 {
   // large boilerplate set and must degrade to a shuffle join, not OOM
   // the driver.
   // ---------------------------------------------------------------- //
-  def p28_boilerplate(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(col("text")), "\\s+")
-    val n = 3
-    val base = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), toks.as("tok"))
-      .filter(size(col("tok")) >= n)
-      .select(col("doc_id"), col("source"), size(col("tok")).as("n_tok"),
-        explode(transform(
-          sequence(lit(0), (size(col("tok")) / n).cast("int") - 1),
-          i => concat_ws(" ",
-            col("tok")(i * n), col("tok")(i * n + 1), col("tok")(i * n + 2))))
-          .as("seg"))
-    val boiler = base.select(col("source"), col("seg"), col("doc_id")).distinct()
-      .groupBy(col("source"), col("seg"))
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("source").as("b_source"), col("seg").as("b_seg"))
-    base.join(boiler,
-        col("source") === col("b_source") && col("seg") === col("b_seg"),
-        "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_seg"),
-        count(col("b_seg")).as("n_boiler"),
-        (min(col("n_tok")) - lit(3) * count(col("b_seg"))).as("kept_tokens"))
+  def p28_boilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps
+      .removeBoilerplate(t(s, dir, "documents"), "doc_id", "source", "text")
+      .select(col("doc_id"), col("n_seg"), col("n_boiler"), col("kept_tokens"))
       .orderBy(col("doc_id"))
-  }
 
   val p28_sql: String =
     """WITH t AS (

@@ -252,6 +252,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("clean") == "no pii here 123")
   }
 
+  test("TextOps.removeBoilerplate strips exactly the shared segments") {
+    import spark.implicits._
+    // "the daily news" is a 3-token segment shared by docs 1 and 2 of
+    // srcA (boilerplate); doc 3 shares its text with srcB's doc 4 only
+    // ACROSS sources, so nothing is stripped there. Doc 5's trailing
+    // two tokens sit in the unsegmented tail and must survive.
+    val df = Seq(
+      (1L, "srcA", "the daily news quick brown fox"),
+      (2L, "srcA", "the daily news lazy dog jumps"),
+      (3L, "srcA", "common across sources body text"),
+      (4L, "srcB", "common across sources body text"),
+      (5L, "srcA", "the daily news tail bits")).toDF("id", "src", "text")
+    val out = graft.operators.TextOps
+      .removeBoilerplate(df, "id", "src", "text")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("clean_text") == "quick brown fox")
+    assert(out(0).getAs[Long]("n_boiler") == 1 &&
+      out(0).getAs[Long]("kept_tokens") == 3)
+    assert(out(1).getAs[String]("clean_text") == "lazy dog jumps")
+    // cross-source sharing is NOT boilerplate (per-source scoping)
+    assert(out(2).getAs[String]("clean_text") == "common across sources body text")
+    assert(out(2).getAs[Long]("n_boiler") == 0)
+    assert(out(3).getAs[String]("clean_text") == "common across sources body text")
+    // the flagged segment goes, the 2-token tail stays
+    assert(out(4).getAs[String]("clean_text") == "tail bits")
+    assert(out(4).getAs[Long]("n_seg") == 1 &&
+      out(4).getAs[Long]("kept_tokens") == 2)
+  }
+
   test("TextOps.packSequences matches a single sequential scan") {
     import spark.implicits._
     // irregular token counts force windows to split mid-doc
