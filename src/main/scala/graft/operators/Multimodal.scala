@@ -246,6 +246,28 @@ object Multimodal {
     }
   }
 
+  /** Audio-style window fingerprinting: OVERLAPPING fixed-size byte
+    * windows (size `win`, hop `hop` < win) over the payload, one
+    * 128-bit fingerprint per window — the Shazam-landmark plumbing
+    * with the DSP stubbed: a real deployment would FFT the PCM and
+    * hash spectral peaks per window; here the fingerprint is a direct
+    * md5 of the window bytes (STUB — deterministic and
+    * oracle-recomputable), and everything around it (overlap
+    * windowing, per-window rows, cross-doc matching downstream) is the
+    * real Spark shape. Returns (doc_id, window_idx, fp).
+    *
+    * Scale: the windowing is a per-row lambda over the payload — no
+    * shuffle; at hop = win/2 the row expansion is 2 rows per `win`
+    * payload bytes, carried as 32-char fingerprints, not slices. */
+  def windowFingerprints(media: DataFrame, win: Int = 64, hop: Int = 32): DataFrame =
+    media.select(col("doc_id"), col("bytes"))
+      .filter(length(col("bytes")) >= win)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((length(col("bytes")) - win) / hop).cast("int")),
+          i => md5(col("bytes").substr(i * hop + 1, lit(win)))))
+          .as(Seq("window_idx", "fp")))
+
   /** Stage 3: deterministic frame/sample selection — keep every k-th
     * byte-window "frame" of the payload, as a stand-in for video frame
     * sampling; pure Spark built-ins. */

@@ -314,6 +314,46 @@ object Pipeline3 {
       .select(col("doc_id"), col("n_seg"), col("n_boiler"), col("kept_tokens"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- //
+  // m05: audio-style fingerprint matching — OVERLAPPING byte windows
+  // (64-byte windows, 32-byte hop) over the media payload, one
+  // fingerprint per window (operators.Multimodal.windowFingerprints;
+  // DSP stubbed behind a deterministic hash, plumbing real), then
+  // cross-doc matching: per document, how many of its distinct window
+  // fingerprints appear in at least one OTHER document. The audio twin
+  // of m03's frame dedup — hop < window is what makes it "audio"
+  // (shift-tolerant matching needs overlap; video frames don't).
+  // Same single-shuffle shape as p26: fingerprints dedup within doc in
+  // the build lambda, and doc frequency comes from one window count.
+  // ---------------------------------------------------------------- //
+  def m05_audio_fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.asMedia(t(s, dir, "documents"))
+    val fps = graft.operators.Multimodal.windowFingerprints(media, 64, 32)
+      .select(col("doc_id"), col("fp")).distinct()
+    fps.withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("share_frac",
+        col("n_shared").cast("double") / col("n_fp").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val m05_sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, 1 + CAST(floor((length(text) - 64) / 32) AS BIGINT)),
+      |    i -> md5(substring(text, i*32 + 1, 64))))) AS fp
+      |  FROM documents WHERE length(text) >= 64),
+      |dfreq AS (SELECT fp, COUNT(*) AS n_docs FROM w GROUP BY fp)
+      |SELECT doc_id, COUNT(*) AS n_fp,
+      |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS share_frac
+      |FROM w JOIN dfreq USING (fp)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val p28_sql: String =
     """WITH t AS (
       |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tok
@@ -728,6 +768,7 @@ object Pipeline3 {
     "p26_ngram_dup_rate" -> ((p26_ngram_dup_rate _, Some(p26_sql))),
     "p27_source_overlap" -> ((p27_source_overlap _, Some(p27_sql))),
     "p28_boilerplate" -> ((p28_boilerplate _, Some(p28_sql))),
+    "m05_audio_fingerprint" -> ((m05_audio_fingerprint _, Some(m05_sql))),
     "s05_ann_ivf_trained" -> ((s05_ann_ivf_trained _, Some(s05_sql))),
     "s06_ann_ivf_q8" -> ((s06_ann_ivf_q8 _, Some(s06_sql))),
     "m02_frame_sample" -> ((m02_frame_sample _, Some(m02_sql))),
