@@ -281,6 +281,26 @@ class OperatorsSpec extends AnyFunSuite {
       out(4).getAs[Long]("kept_tokens") == 2)
   }
 
+  test("Multimodal.windowFingerprints overlaps at the hop, not the window") {
+    import spark.implicits._
+    // 128 ASCII bytes → windows start at 0, 32, 64 ((128-64)/32 = 2,
+    // inclusive) — 3 windows, consecutive ones sharing 32 bytes
+    val payload = ("ab" * 64)
+    val media = graft.operators.Multimodal.asMedia(
+      Seq((1L, payload)).toDF("doc_id", "text"))
+    val out = graft.operators.Multimodal.windowFingerprints(media, 64, 32)
+      .orderBy("window_idx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Int]("window_idx")).toSeq == Seq(0, 1, 2))
+    // the periodic payload makes every aligned window identical — the
+    // fingerprints must agree, proving windows are content-addressed
+    assert(out.map(_.getAs[String]("fp")).distinct.length == 1)
+    // a sub-window payload yields no rows rather than a short window
+    val shortMedia = graft.operators.Multimodal.asMedia(
+      Seq((2L, "tiny")).toDF("doc_id", "text"))
+    assert(graft.operators.Multimodal.windowFingerprints(shortMedia, 64, 32).isEmpty)
+  }
+
   test("TextOps.packSequences matches a single sequential scan") {
     import spark.implicits._
     // irregular token counts force windows to split mid-doc
