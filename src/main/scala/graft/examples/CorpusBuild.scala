@@ -1,0 +1,97 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus build: the full training-data pipeline composed
+  * from the library operators, in the order a production run applies
+  * them (each stage only sees the survivors of the previous one):
+  *
+  *   1. language-ID + quality gate      (cheap per-row filters first)
+  *   2. per-source boilerplate removal  (TextOps.removeBoilerplate)
+  *   3. exact dedup                     (hash groupBy on cleaned text)
+  *   4. near-dup clusters, keep canon   (TextDedup pairs → clusters)
+  *   5. eval-set decontamination        (TextOps.decontaminate)
+  *   6. PII scrub                       (TextOps.piiScrub)
+  *   7. token counts + sequence packing (TextOps.packSequences)
+  *   8. write packed parquet
+  *
+  * Every stage is declarative DataFrame work — at 100 TB the same
+  * code runs unchanged; only the input path and the cluster change.
+  *
+  * Usage: runMain graft.examples.CorpusBuild [sfDir outDir]
+  */
+object CorpusBuild {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_corpus"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def stage(label: String, n: Long): Unit = println(f"STAGE $label%-28s $n%8d docs")
+
+    val docs = graft.Tables.load(spark, dir, "documents")
+    stage("input", docs.count())
+
+    // 1. language-ID + quality gate: keep docs the metadata marks as
+    // the target language with a minimum length (the cheap filters
+    // run first so every later stage sees fewer rows)
+    val gated = docs.filter(col("lang") === "en" && col("n_chars") >= 100)
+    stage("lang+quality gate", gated.count())
+
+    // 2. per-source boilerplate removal (C4-style)
+    val cleaned = graft.operators.TextOps
+      .removeBoilerplate(gated, "doc_id", "source", "text")
+    stage("boilerplate removed", cleaned.count())
+
+    // 3. exact dedup on the CLEANED text (boilerplate stripping first
+    // makes exact dedup catch docs that differed only in chrome)
+    val exact = cleaned
+      .withColumn("h", xxhash64(col("clean_text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("h", "rn")
+    stage("exact dedup", exact.count())
+
+    // 4. near-dup clusters; keep each cluster's canonical doc
+    val toks = exact.withColumn("tok", split(col("clean_text"), " "))
+    val pairs = graft.operators.TextDedup
+      .nearDupPairs(toks, "doc_id", "source", "tok")
+    val clusters = graft.operators.TextDedup.dupClusters(pairs)
+    val canon = toks.join(
+      clusters.filter(!col("is_canonical")).select(col("doc_id").as("drop_id")),
+      col("doc_id") === col("drop_id"), "left_anti")
+    stage("near-dup canonical", canon.count())
+
+    // 5. decontamination: every 97th doc stands in for the eval set
+    val marked = canon.withColumn("is_eval", col("doc_id") % 97 === 0)
+    val contaminated = graft.operators.TextOps
+      .decontaminate(marked, "doc_id", "tok", isEval = col("is_eval"))
+      .select(col("doc_id").as("bad_id"))
+    val trainSet = marked.filter(!col("is_eval"))
+      .join(contaminated, col("doc_id") === col("bad_id"), "left_anti")
+    stage("decontaminated train", trainSet.count())
+
+    // 6-7. PII scrub, token counts, GPT-style packing at 2048 tokens
+    val scrubbed = graft.operators.TextOps
+      .piiScrub(trainSet, "clean_text", "final_text")
+    val counted = scrubbed.withColumn("n_tokens",
+      size(split(col("final_text"), "\\s+")).cast("long"))
+    val packed = graft.operators.TextOps
+      .packSequences(counted, "doc_id", "source", "n_tokens", budget = 2048)
+    stage("packed", packed.count())
+
+    // 8. write the packed corpus partitioned by source (the layout a
+    // downstream tokenizer job reads per-domain)
+    packed.select("doc_id", "source", "final_text", "n_tokens",
+        "start_off", "first_window", "last_window")
+      .write.mode("overwrite").partitionBy("source").parquet(out)
+    println(s"DONE wrote $out")
+    spark.stop()
+  }
+}
