@@ -281,6 +281,41 @@ class OperatorsSpec extends AnyFunSuite {
       out(4).getAs[Long]("kept_tokens") == 2)
   }
 
+  test("TextOps.removeBoilerplate invariants hold over random corpora") {
+    import spark.implicits._
+    // deterministic pseudo-random corpora: small vocab (forces shared
+    // segments), varying doc lengths incl. tails and sub-segment docs
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    for (round <- 0 until 5) {
+      val docs = (0 until 40).map { id =>
+        val len = rnd.nextInt(12) // 0..11 tokens
+        val words = Seq.fill(len)(vocab(rnd.nextInt(vocab.length)))
+        (id.toLong, s"src${id % 3}", words.mkString(" "))
+      }
+      val df = docs.toDF("id", "src", "text")
+      val out = graft.operators.TextOps
+        .removeBoilerplate(df, "id", "src", "text").collect()
+      val inTok = docs.map { case (id, _, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).length }.toMap
+      // only docs with >= segLen tokens appear
+      assert(out.map(_.getAs[Long]("id")).toSet ==
+        inTok.filter(_._2 >= 3).keySet, s"round $round doc set")
+      out.foreach { r =>
+        val (nTok, nSeg) = (inTok(r.getAs[Long]("id")), r.getAs[Long]("n_seg"))
+        val (nBoil, kept) = (r.getAs[Long]("n_boiler"), r.getAs[Long]("kept_tokens"))
+        assert(nSeg == nTok / 3, s"round $round n_seg")
+        // token accounting: every flagged segment removes exactly segLen
+        assert(kept == nTok - 3 * nBoil, s"round $round kept_tokens")
+        assert(nBoil >= 0 && nBoil <= nSeg, s"round $round boiler bounds")
+        // the cleaned text's token count matches kept_tokens
+        val cleanCount = r.getAs[String]("clean_text")
+          .split("\\s+").filter(_.nonEmpty).length
+        assert(cleanCount == kept, s"round $round clean text count")
+      }
+    }
+  }
+
   test("Multimodal.windowFingerprints overlaps at the hop, not the window") {
     import spark.implicits._
     // 128 ASCII bytes → windows start at 0, 32, 64 ((128-64)/32 = 2,
