@@ -33,6 +33,12 @@ object CorpusBuild {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def stage(label: String, n: Long): Unit = println(f"STAGE $label%-28s $n%8d docs")
+    // materialize each expensive stage's survivors once: the per-stage
+    // counts AND every later stage would otherwise re-execute the whole
+    // upstream lineage (boilerplate shuffle, dedup window, near-dup
+    // join) from the scan — ~5x the compute at any scale
+    def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.localCheckpoint(eager = true)
 
     val docs = graft.Tables.load(spark, dir, "documents")
     stage("input", docs.count())
@@ -44,8 +50,8 @@ object CorpusBuild {
     stage("lang+quality gate", gated.count())
 
     // 2. per-source boilerplate removal (C4-style)
-    val cleaned = graft.operators.TextOps
-      .removeBoilerplate(gated, "doc_id", "source", "text")
+    val cleaned = pin(graft.operators.TextOps
+      .removeBoilerplate(gated, "doc_id", "source", "text"))
     stage("boilerplate removed", cleaned.count())
 
     // 3. exact dedup on the CLEANED text (boilerplate stripping first
@@ -59,13 +65,13 @@ object CorpusBuild {
     stage("exact dedup", exact.count())
 
     // 4. near-dup clusters; keep each cluster's canonical doc
-    val toks = exact.withColumn("tok", split(col("clean_text"), " "))
+    val toks = pin(exact.withColumn("tok", split(col("clean_text"), " ")))
     val pairs = graft.operators.TextDedup
       .nearDupPairs(toks, "doc_id", "source", "tok")
     val clusters = graft.operators.TextDedup.dupClusters(pairs)
-    val canon = toks.join(
+    val canon = pin(toks.join(
       clusters.filter(!col("is_canonical")).select(col("doc_id").as("drop_id")),
-      col("doc_id") === col("drop_id"), "left_anti")
+      col("doc_id") === col("drop_id"), "left_anti"))
     stage("near-dup canonical", canon.count())
 
     // 5. decontamination: every 97th doc stands in for the eval set
@@ -73,8 +79,8 @@ object CorpusBuild {
     val contaminated = graft.operators.TextOps
       .decontaminate(marked, "doc_id", "tok", isEval = col("is_eval"))
       .select(col("doc_id").as("bad_id"))
-    val trainSet = marked.filter(!col("is_eval"))
-      .join(contaminated, col("doc_id") === col("bad_id"), "left_anti")
+    val trainSet = pin(marked.filter(!col("is_eval"))
+      .join(contaminated, col("doc_id") === col("bad_id"), "left_anti"))
     stage("decontaminated train", trainSet.count())
 
     // 6-7. PII scrub, token counts, GPT-style packing at 2048 tokens

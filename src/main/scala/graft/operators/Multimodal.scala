@@ -259,7 +259,10 @@ object Multimodal {
     * Scale: the windowing is a per-row lambda over the payload — no
     * shuffle; at hop = win/2 the row expansion is 2 rows per `win`
     * payload bytes, carried as 32-char fingerprints, not slices. */
-  def windowFingerprints(media: DataFrame, win: Int = 64, hop: Int = 32): DataFrame =
+  def windowFingerprints(media: DataFrame, win: Int = 64, hop: Int = 32): DataFrame = {
+    require(hop >= 1 && hop <= win,
+      s"hop must be in [1, win]: hop=$hop win=$win (hop=0 would emit no " +
+        "windows via null division; hop>win would silently skip bytes)")
     media.select(col("doc_id"), col("bytes"))
       .filter(length(col("bytes")) >= win)
       .select(col("doc_id"),
@@ -267,6 +270,7 @@ object Multimodal {
           sequence(lit(0), ((length(col("bytes")) - win) / hop).cast("int")),
           i => md5(col("bytes").substr(i * hop + 1, lit(win)))))
           .as(Seq("window_idx", "fp")))
+  }
 
   /** Stage 3: deterministic frame/sample selection — keep every k-th
     * byte-window "frame" of the payload, as a stand-in for video frame

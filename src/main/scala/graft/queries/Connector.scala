@@ -202,6 +202,14 @@ object ConnectorOps {
   // then mutates through spark.sql and reads back through the scan;
   // the oracle recomputes the post-DML state from parquet.
   // ---------------------------------------------------------------- //
+  /** Run a catalog-prefixed SQL template through the attached-catalog
+    * connector path (shared by every TPC-DS c-variant). */
+  private[queries] def viaCatalog(tpl: String => String)(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    ensureTpchSeeded(s, dir)
+    s.sql(tpl(s"${catalogFor(s, dir)}.public."))
+  }
+
   private[queries] def catalogFor(s: SparkSession, dir: String): String = {
     val name = "pgc_" + dsnName(dir)
     if (s.conf.getOption(s"spark.sql.catalog.$name").isEmpty) {

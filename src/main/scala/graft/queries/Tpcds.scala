@@ -230,19 +230,14 @@ object Tpcds {
        |  FROM ${p}part LEFT OUTER JOIN sales ON p_partkey = l_partkey)
        |WHERE rk <= 3 ORDER BY p_type, rk""".stripMargin
 
-  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
-    ConnectorOps.ensureTpchSeeded(s, dir)
-    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
-  }
-
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q40_deep_rollup" -> ((q40_deep_rollup _, Some(q40_sql))),
     "q41_yoy_monthly" -> ((q41_yoy_monthly _, Some(q41_sql))),
     "q42_channel_merge" -> ((q42_channel_merge _, Some(q42_sql))),
     "q43_present_absent" -> ((q43_present_absent _, Some(q43_sql))),
     "q44_rank_zero_sales" -> ((q44_rank_zero_sales _, Some(q44_sql))),
-    "c43_ds_cat_rollup" -> ((viaCatalog(q40CatSql) _, Some(q40CatSql("")))),
-    "c44_ds_cat_channel" -> ((viaCatalog(q42CatSql) _, Some(q42CatSql("")))),
-    "c45_ds_cat_rank" -> ((viaCatalog(q44CatSql) _, Some(q44CatSql("")))),
+    "c43_ds_cat_rollup" -> ((ConnectorOps.viaCatalog(q40CatSql) _, Some(q40CatSql("")))),
+    "c44_ds_cat_channel" -> ((ConnectorOps.viaCatalog(q42CatSql) _, Some(q42CatSql("")))),
+    "c45_ds_cat_rank" -> ((ConnectorOps.viaCatalog(q44CatSql) _, Some(q44CatSql("")))),
   )
 }

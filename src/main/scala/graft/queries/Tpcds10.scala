@@ -74,15 +74,10 @@ object Tpcds10 {
        |      AS DOUBLE) / COUNT(*) FROM ${p}customer))
        |GROUP BY 1 ORDER BY mo""".stripMargin
 
-  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
-    ConnectorOps.ensureTpchSeeded(s, dir)
-    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
-  }
-
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "c61_ds_cat_moving_avg" -> ((viaCatalog(q59Tpl) _, Some(q59Tpl("")))),
-    "c62_ds_cat_best_worst" -> ((viaCatalog(q92Tpl) _, Some(q92Tpl("")))),
-    "c63_ds_cat_retention" -> ((viaCatalog(q95Tpl) _, Some(q95Tpl("")))),
-    "c64_ds_cat_double_gate" -> ((viaCatalog(q108Tpl) _, Some(q108Tpl("")))),
+    "c61_ds_cat_moving_avg" -> ((ConnectorOps.viaCatalog(q59Tpl) _, Some(q59Tpl("")))),
+    "c62_ds_cat_best_worst" -> ((ConnectorOps.viaCatalog(q92Tpl) _, Some(q92Tpl("")))),
+    "c63_ds_cat_retention" -> ((ConnectorOps.viaCatalog(q95Tpl) _, Some(q95Tpl("")))),
+    "c64_ds_cat_double_gate" -> ((ConnectorOps.viaCatalog(q108Tpl) _, Some(q108Tpl("")))),
   )
 }

@@ -504,11 +504,6 @@ object Tpcds2 {
        |  FROM agg)
        |WHERE rk <= 5 ORDER BY g_b, g_t, rk""".stripMargin
 
-  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
-    ConnectorOps.ensureTpchSeeded(s, dir)
-    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
-  }
-
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q45_casework" -> ((q45_casework _, Some(q45_sql))),
     "q46_monthly_pivot" -> ((q46_monthly_pivot _, Some(q46_sql))),
@@ -522,8 +517,8 @@ object Tpcds2 {
     "q54_grouping_sets" -> ((q54_grouping_sets _, Some(q54_sql))),
     "q55_frequent_parts" -> ((q55_frequent_parts _, Some(q55_sql))),
     "q56_return_rate" -> ((q56_return_rate _, Some(q56_sql))),
-    "c47_ds_cat_casework" -> ((viaCatalog(q45CatSql) _, Some(q45CatSql("")))),
-    "c48_ds_cat_intersect" -> ((viaCatalog(q48CatSql) _, Some(q48CatSql("")))),
-    "c49_ds_cat_rollup_rank" -> ((viaCatalog(q49CatSql) _, Some(q49CatSql("")))),
+    "c47_ds_cat_casework" -> ((ConnectorOps.viaCatalog(q45CatSql) _, Some(q45CatSql("")))),
+    "c48_ds_cat_intersect" -> ((ConnectorOps.viaCatalog(q48CatSql) _, Some(q48CatSql("")))),
+    "c49_ds_cat_rollup_rank" -> ((ConnectorOps.viaCatalog(q49CatSql) _, Some(q49CatSql("")))),
   )
 }

@@ -435,11 +435,6 @@ object Tpcds5 {
        |  COUNT(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL THEN 1 END) AS both_ab
        |FROM m""".stripMargin
 
-  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
-    ConnectorOps.ensureTpchSeeded(s, dir)
-    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
-  }
-
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q71_growth_compare" -> ((q71_growth_compare _, Some(q71_sql))),
     "q72_exists_or" -> ((q72_exists_or _, Some(q72_sql))),
@@ -451,7 +446,7 @@ object Tpcds5 {
     "q78_overlap_counts" -> ((q78_overlap_counts _, Some(q78_sql))),
     "q79_left_null_ratio" -> ((q79_left_null_ratio _, Some(q79_sql))),
     "q80_net_returns" -> ((q80_net_returns _, Some(q80_sql))),
-    "c51_ds_cat_scalar_grid" -> ((viaCatalog(q77CatSql) _, Some(q77CatSql("")))),
-    "c52_ds_cat_overlap" -> ((viaCatalog(q78CatSql) _, Some(q78CatSql("")))),
+    "c51_ds_cat_scalar_grid" -> ((ConnectorOps.viaCatalog(q77CatSql) _, Some(q77CatSql("")))),
+    "c52_ds_cat_overlap" -> ((ConnectorOps.viaCatalog(q78CatSql) _, Some(q78CatSql("")))),
   )
 }

@@ -265,11 +265,6 @@ object Tpcds6 {
        |  CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
        |FROM ch GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
-    ConnectorOps.ensureTpchSeeded(s, dir)
-    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
-  }
-
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q81_above_group_avg" -> ((q81_above_group_avg _, Some(q81_sql))),
     "q82_category_avg" -> ((q82_category_avg _, Some(q82_sql))),
@@ -277,7 +272,7 @@ object Tpcds6 {
     "q84_pivot_date" -> ((q84_pivot_date _, Some(q84_sql))),
     "q85_union_reagg" -> ((q85_union_reagg _, Some(q85_sql))),
     "q86_or_bands" -> ((q86_or_bands _, Some(q86_sql))),
-    "c53_ds_cat_or_bands" -> ((viaCatalog(q86CatSql) _, Some(q86CatSql("")))),
-    "c54_ds_cat_union_reagg" -> ((viaCatalog(q85CatSql) _, Some(q85CatSql("")))),
+    "c53_ds_cat_or_bands" -> ((ConnectorOps.viaCatalog(q86CatSql) _, Some(q86CatSql("")))),
+    "c54_ds_cat_union_reagg" -> ((ConnectorOps.viaCatalog(q85CatSql) _, Some(q85CatSql("")))),
   )
 }

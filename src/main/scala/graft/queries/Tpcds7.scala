@@ -306,11 +306,6 @@ object Tpcds7 {
        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS tot_bal
        |FROM cohort JOIN ${p}customer ON o_custkey = c_custkey""".stripMargin
 
-  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
-    ConnectorOps.ensureTpchSeeded(s, dir)
-    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
-  }
-
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q87_except_chain" -> ((q87_except_chain _, Some(q87_sql))),
     "q88_not_in" -> ((q88_not_in _, Some(q88_sql))),
@@ -320,7 +315,7 @@ object Tpcds7 {
     "q92_best_worst" -> ((q92_best_worst _, Some(q92_sql))),
     "q93_triple_intersect" -> ((q93_triple_intersect _, Some(q93_sql))),
     "q94_weekly_distinct" -> ((q94_weekly_distinct _, Some(q94_sql))),
-    "c55_ds_cat_except_chain" -> ((viaCatalog(q87CatSql) _, Some(q87CatSql("")))),
-    "c56_ds_cat_triple_intersect" -> ((viaCatalog(q93CatSql) _, Some(q93CatSql("")))),
+    "c55_ds_cat_except_chain" -> ((ConnectorOps.viaCatalog(q87CatSql) _, Some(q87CatSql("")))),
+    "c56_ds_cat_triple_intersect" -> ((ConnectorOps.viaCatalog(q93CatSql) _, Some(q93CatSql("")))),
   )
 }

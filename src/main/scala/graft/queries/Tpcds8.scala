@@ -204,18 +204,13 @@ object Tpcds8 {
        |FROM ${p}customer JOIN ${p}orders ON c_custkey = o_custkey
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
-  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
-    ConnectorOps.ensureTpchSeeded(s, dir)
-    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
-  }
-
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q95_retention" -> ((q95_retention _, Some(q95_sql))),
     "q96_having_distinct" -> ((q96_having_distinct _, Some(q96_sql))),
     "q97_argmax_joinback" -> ((q97_argmax_joinback _, Some(q97_sql))),
     "q98_conditional_distinct" -> ((q98_conditional_distinct _, Some(q98_sql))),
     "q99_rank_ties" -> ((q99_rank_ties _, Some(q99_sql))),
-    "c57_ds_cat_having_distinct" -> ((viaCatalog(q96CatSql) _, Some(q96CatSql("")))),
-    "c58_ds_cat_cond_distinct" -> ((viaCatalog(q98CatSql) _, Some(q98CatSql("")))),
+    "c57_ds_cat_having_distinct" -> ((ConnectorOps.viaCatalog(q96CatSql) _, Some(q96CatSql("")))),
+    "c58_ds_cat_cond_distinct" -> ((ConnectorOps.viaCatalog(q98CatSql) _, Some(q98CatSql("")))),
   )
 }

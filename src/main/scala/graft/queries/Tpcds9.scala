@@ -175,7 +175,7 @@ object Tpcds9 {
   // ---------------------------------------------------------------- //
   // q103: DS q37/q82-style availability listing — parts in a retail
   // price band whose total quantity shipped inside a 60-day window
-  // falls in [100, 500], as a distinct ordered listing.
+  // falls in [50, 150], as a distinct ordered listing.
   // ---------------------------------------------------------------- //
   def q103_window_band(s: SparkSession, dir: String): DataFrame = {
     val windowQty = t(s, dir, "lineitem")
@@ -491,11 +491,6 @@ object Tpcds9 {
        |JOIN ${p}part ON s_pk = p_partkey
        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
-  private def viaCatalog(tpl: String => String)(s: SparkSession, dir: String): DataFrame = {
-    ConnectorOps.ensureTpchSeeded(s, dir)
-    s.sql(tpl(s"${ConnectorOps.catalogFor(s, dir)}.public."))
-  }
-
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q100_ratio_chain" -> ((q100_ratio_chain _, Some(q100_sql))),
     "q101_channel_pnl" -> ((q101_channel_pnl _, Some(q101_sql))),
@@ -507,7 +502,7 @@ object Tpcds9 {
     "q107_self_threshold" -> ((q107_self_threshold _, Some(q107_sql))),
     "q108_double_gate" -> ((q108_double_gate _, Some(q108_sql))),
     "q109_next_month_segments" -> ((q109_next_month_segments _, Some(q109_sql))),
-    "c59_ds_cat_rev_share" -> ((viaCatalog(q102CatSql) _, Some(q102CatSql("")))),
-    "c60_ds_cat_ratio_chain" -> ((viaCatalog(q100CatSql) _, Some(q100CatSql("")))),
+    "c59_ds_cat_rev_share" -> ((ConnectorOps.viaCatalog(q102CatSql) _, Some(q102CatSql("")))),
+    "c60_ds_cat_ratio_chain" -> ((ConnectorOps.viaCatalog(q100CatSql) _, Some(q100CatSql("")))),
   )
 }
