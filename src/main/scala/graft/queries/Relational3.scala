@@ -131,10 +131,42 @@ object Relational3 {
       |            FROM orders WHERE o_custkey = c_custkey), 0.0) AS spend
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // x05: the COUNT-bug decorrelation class — a correlated COUNT(*) in
+  // the WHERE clause, where groups with ZERO matches must satisfy
+  // `count < k` and survive. A naive inner-join decorrelation silently
+  // drops the zero-count outer rows (23 of 25 nations at sf0.01); the
+  // correct plan is a left outer join against the aggregate with the
+  // count zero-defaulted BEFORE the filter, which is exactly how the
+  // DataFrame side states it.
+  // ---------------------------------------------------------------- //
+  def x05_count_bug_where(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9990.0)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+    t(s, dir, "nation")
+      .join(rich, col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .withColumn("n_rich", coalesce(col("cnt"), lit(0L)))
+      .filter(col("n_rich") < 3)
+      .select(col("n_name"), col("n_rich"))
+      .orderBy(col("n_name"))
+  }
+
+  val x05_sql: String =
+    """SELECT n_name,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_nationkey = n_nationkey AND c_acctbal > 9990.0) AS n_rich
+      |FROM nation
+      |WHERE (SELECT COUNT(*) FROM customer
+      |       WHERE c_nationkey = n_nationkey AND c_acctbal > 9990.0) < 3
+      |ORDER BY n_name""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "x01_multi_col_in" -> ((x01_multi_col_in _, Some(x01_sql))),
     "x02_exists_range" -> ((x02_exists_range _, Some(x02_sql))),
     "x03_not_exists_range" -> ((x03_not_exists_range _, Some(x03_sql))),
     "x04_scalar_in_select" -> ((x04_scalar_in_select _, Some(x04_sql))),
+    "x05_count_bug_where" -> ((x05_count_bug_where _, Some(x05_sql))),
   )
 }
