@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Tpcds7.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds8.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds9.entries.map { case (k, (fn, _)) => k -> fn } ++
-      graft.queries.Tpcds10.entries.map { case (k, (fn, _)) => k -> fn }
+      graft.queries.Tpcds10.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Tpcds11.entries.map { case (k, (fn, _)) => k -> fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.Tpcds7.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds8.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds9.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
-      graft.queries.Tpcds10.entries.collect { case (k, (_, Some(sql))) => k -> sql }
+      graft.queries.Tpcds10.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Tpcds11.entries.collect { case (k, (_, Some(sql))) => k -> sql }
 }
