@@ -61,6 +61,48 @@ object Ann {
         (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos"))
   }
 
+  /** SemDeDup-style semantic duplicate detection (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a deterministic
+    * fixed-iteration k-means build (operators/Kmeans), then compare
+    * vectors pairwise ONLY within their cluster — the trained Voronoi
+    * cells bound the quadratic pair term, which is what makes
+    * embedding-level dedup feasible at corpus scale (SemDeDup runs
+    * 50k clusters over LAION). Emits one row per detected duplicate:
+    * (idCol, cid, dup_of, cos) where `dup_of` is the SMALLEST
+    * same-cluster id with cosine ≥ threshold — the deterministic
+    * keep-lowest-id representative choice.
+    *
+    * Scale shape: k-means exchanges are narrow (operators/Kmeans);
+    * the pair join is ONE cid-keyed exchange of the embeddings with
+    * norms computed once per vector. Scale `k` with the corpus to
+    * keep per-cluster pair counts bounded. */
+  def semanticDups(
+      corpus: DataFrame, // (idCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double): DataFrame = {
+    import VectorFunctions.vec_norm
+    val emb = corpus.select(col(idCol), col(vecCol))
+    val assigned = Kmeans.trainAssign(emb, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cid"))
+    val e = emb.join(assigned, idCol)
+    val ea = e.select(col("cid"), col(idCol).as("dup_of"),
+      col(vecCol).as("va"), vec_norm(col(vecCol)).as("norm_a"))
+    val eb = e.select(col("cid").as("cid_b"), col(idCol).as("b_id"),
+      col(vecCol).as("vb"), vec_norm(col(vecCol)).as("norm_b"))
+    val pairs = ea.join(eb,
+        col("cid") === col("cid_b") && col("dup_of") < col("b_id"))
+      .withColumn("cos",
+        vec_dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("b_id").as(idCol), col("cid"), col("dup_of"), col("cos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dup_of"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("cid"), col("dup_of"), col("cos"))
+  }
+
   /** Scalar int8 quantization of an embedding column (the classic SQ8
     * compression ANN indexes use): per-vector symmetric scale
     * `s = max_i |v_i|`, elements mapped to round(v_i·127/s) ∈ [-127,127].
