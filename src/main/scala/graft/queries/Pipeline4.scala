@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** LLM-pipeline probe set, fourth wave — two curation stages every
+/** LLM-pipeline probe set, fourth wave — curation stages every
   * large-scale training pipeline runs that the battery did not yet
-  * cover as first-class entries:
+  * cover as first-class entries (p31 documented at its definition):
   *
   *  - p29: SEMANTIC deduplication (SemDeDup, Abbas et al. 2023,
   *    arXiv:2303.09540): k-means-cluster the embedding corpus, then
@@ -168,7 +168,50 @@ object Pipeline4 {
       |GROUP BY doc_id, n_corpus
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p31: deterministic corpus shuffle + shard assignment — the last
+  // step before writing training shards. Order must be random-looking
+  // but REPRODUCIBLE (so a rerun yields byte-identical shards):
+  // documents are sharded by a hash-derived key and ordered within
+  // each shard by the full hash. The shard assignment is pure map-side
+  // arithmetic; the only exchange is the shard-keyed window over
+  // narrow (id, key) rows — no global sort, no single-task window.
+  // At 100 TB: shard count scales with the corpus (here 16 from the
+  // first hex digit; two digits give 256, etc.) and the final write
+  // is df.write.partitionBy/bucketBy on the shard column, so shard
+  // files stream out of the window stage without re-shuffling.
+  // ---------------------------------------------------------------- //
+  def p31_shuffle_shards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = md5(col("doc_id").cast("string"))
+    val sharded = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), k.as("k"))
+      // first hex digit → 16 balanced hash shards, portable arithmetic
+      // on both engines (strpos over the hex alphabet)
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("k"), 1, 1)) - 1).cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    sharded.withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val p31_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    md5(CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, source, n_chars, k,
+      |    CAST(strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS INT) AS shard
+      |  FROM d)
+      |SELECT shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos,
+      |  doc_id, source, n_chars
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p29_semantic_dedup" -> ((p29_semantic_dedup _, Some(p29_sql))),
-    "p30_unigram_lm" -> ((p30_unigram_lm _, Some(p30_sql))))
+    "p30_unigram_lm" -> ((p30_unigram_lm _, Some(p30_sql))),
+    "p31_shuffle_shards" -> ((p31_shuffle_shards _, Some(p31_sql))))
 }

@@ -75,6 +75,36 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  // ---------------------------------------------------------------- //
+  // p31 — deterministic shuffle + shard assignment
+  // ---------------------------------------------------------------- //
+
+  test("p31 is a reproducible permutation: every doc once, contiguous shard positions") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = graft.queries.Pipeline4.p31_shuffle_shards(spark, sfDir)
+    val rows = out.select($"shard", $"pos", $"doc_id").as[(Int, Int, Long)].collect()
+    assert(rows.map(_._3).distinct.length.toLong == docs.count(),
+      "a shuffle is a permutation — every document exactly once")
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 16)
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length),
+        s"shard $shard positions must be contiguous from 1")
+    }
+    // rerun must yield the identical order — shards are reproducible
+    val again = graft.queries.Pipeline4.p31_shuffle_shards(spark, sfDir)
+      .select($"shard", $"pos", $"doc_id").as[(Int, Int, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("p31's window is shard-partitioned — never a single-partition global sort") {
+    val plan = graft.queries.Pipeline4.p31_shuffle_shards(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windowLine = plan.linesIterator.find(_.contains("row_number()")).get
+    assert(windowLine.contains("windowspecdefinition(shard"),
+      s"the position window must partition by shard, got: $windowLine")
+  }
+
   test("p30 joins the LM table back as a broadcast, with no Expand") {
     val plan = graft.queries.Pipeline4.p30_unigram_lm(spark, sfDir)
       .queryExecution.executedPlan.toString
