@@ -26,8 +26,18 @@ object Bench {
     // measured the same way (one warm run, then timed), so the
     // comparison is symmetric; a real deployment amortizes these costs
     // across the job anyway.
+    // Force FULL materialization of every output row, not `.count()`:
+    // under a count, Catalyst's rewrite prunes terminal projections,
+    // windows and sorts AND the aggregate expressions of a terminal
+    // groupBy (only the grouping keys survive, for cardinality) — so a
+    // count-forced benchmark times a fraction of the query while the
+    // DuckDB twin (fetchall) pays all of it. toRdd.foreach executes
+    // the optimized plan of the query AS WRITTEN, every column
+    // computed, nothing collected to the driver.
+    def force(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
+      try force(fn) catch { case _: Throwable => }
     }
     // two timed passes, min per query: sub-second queries carry
     // ±10-15% scheduler/GC noise that min-of-2 mostly removes. The
@@ -35,7 +45,7 @@ object Bench {
     // (warm + min of two timed runs), keeping the comparison symmetric.
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { force(fn) } catch {
         case e: Throwable =>
           // a failed query must not masquerade as a fast one
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")

@@ -123,7 +123,12 @@ object TextOps {
       textCol: String, segLen: Int = 3, minDocs: Int = 2,
       outCol: String = "clean_text"): DataFrame = {
     val n = segLen
-    val base = df
+    // under-split guard (the decontaminate/p16 lesson): tokenization is
+    // the heavy stage, so spread a single-split source BEFORE it — and
+    // below the text projection so nothing pushes the work scan-side
+    val par = math.min(df.sparkSession.sparkContext.defaultParallelism, 16)
+    val src = df.select(col(idCol), col(sourceCol), col(textCol))
+    val base = (if (Scale.estimatedSplits(src) < par) src.repartition(par) else src)
       .select(col(idCol), col(sourceCol),
         split(trim(col(textCol)), "\\s+").as("tok"))
       .filter(size(col("tok")) >= n)

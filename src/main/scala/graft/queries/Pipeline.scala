@@ -31,6 +31,20 @@ object PipelineOps {
   /** Whitespace tokens of `text`. */
   private[queries] val tokens: Column = split(trim(col("text")), "\\s+")
 
+  /** Under-split guard for compute-heavy per-document operators: the
+    * driver's test files are single-row-group parquet, which Spark
+    * scans as ONE task — so a heavy per-row expression chain would run
+    * on one core no matter how many are free (the honest-forcing sf1
+    * checkpoint caught p12 running FASTER on 10× data because the
+    * replica is multi-row-group). Spread the narrow (id, payload) base
+    * across the cores BEFORE the expensive projection — the p16/p20
+    * lesson generalized. At real scale the source has >cores splits
+    * and this is a no-op (decided from logical stats, no extra job). */
+  private[queries] def spread(df: DataFrame): DataFrame = {
+    val par = math.min(df.sparkSession.sparkContext.defaultParallelism, 16)
+    if (graft.operators.Scale.estimatedSplits(df) < par) df.repartition(par) else df
+  }
+
   // ---------------------------------------------------------------- //
   // p01: token counting (whitespace tokenizer)
   // ---------------------------------------------------------------- //
@@ -55,7 +69,7 @@ object PipelineOps {
   def p02_quality(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens
     val nTok = size(toks).cast("double")
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         size(toks).as("n_tokens"),
         (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / nTok)
@@ -195,7 +209,7 @@ object PipelineOps {
     import graft.functions.MinhashFunctions.minhash_sig
     // minhash_sig is the codegen'd one-pass signature (md5 once per
     // shingle, all K running minima together) — see MinhashExpression.
-    val sig = t(s, dir, "documents")
+    val sig = spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens.as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("doc_id"),
@@ -313,7 +327,7 @@ object PipelineOps {
   // explode + groupBy (one shuffle on doc_id at scale).
   // ---------------------------------------------------------------- //
   def p09_simhash(s: SparkSession, dir: String): DataFrame = {
-    val exploded = t(s, dir, "documents")
+    val exploded = spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bitSums = (0 until 16).map { i =>
@@ -757,7 +771,7 @@ object PipelineOps {
   // out — at 100 TB the sketch relation is ~1/64th of a gram index.
   // ---------------------------------------------------------------- //
   def p12_ngram_fingerprint(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
       .select(col("doc_id"),
@@ -797,7 +811,7 @@ object PipelineOps {
   // corpus size).
   // ---------------------------------------------------------------- //
   def p14_repetition(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
+    val base = spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens.as("tok"))
       .filter(size(col("tok")) >= 3)
     val n = size(col("tok")).cast("double")
@@ -1070,7 +1084,7 @@ object PipelineOps {
       lit(" contact user"), col("doc_id").cast("string"), lit("@example.com id "),
       (col("doc_id") * 7919 + 1000000).cast("string"))
     graft.operators.TextOps.piiScrub(
-        t(s, dir, "documents").select(col("doc_id"), augmented.as("aug")),
+        spread(t(s, dir, "documents").select(col("doc_id"), augmented.as("aug"))),
         "aug", "scrubbed")
       .select(col("doc_id"), col("n_emails"), col("n_digit_runs"),
         length(col("scrubbed")).as("scrubbed_len"),

@@ -192,7 +192,8 @@ object Pipeline3 {
   def p26_ngram_dup_rate(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val n = 5
-    val sh = t(s, dir, "documents")
+    val sh = PipelineOps.spread(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), toks.as("tok"))
       .filter(size(col("tok")) >= n)
       .select(col("doc_id"), explode(array_distinct(
