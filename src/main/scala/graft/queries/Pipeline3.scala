@@ -253,7 +253,8 @@ object Pipeline3 {
     // top-level xxhash64 over GetArrayItem lands inside whole-stage
     // codegen. The global distinct() that follows subsumes the in-doc
     // array_distinct the lambda form needed.
-    val sh = t(s, dir, "documents")
+    val sh = PipelineOps.spread(
+        t(s, dir, "documents").select(col("source"), col("text")))
       .select(col("source"), toks.as("tok"))
       .filter(size(col("tok")) >= n)
       .select(col("source"), col("tok"),

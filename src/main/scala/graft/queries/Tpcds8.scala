@@ -71,14 +71,28 @@ object Tpcds8 {
   // q96: DS q94-style gate as a direct HAVING on COUNT(DISTINCT) —
   // orders touched by at least 3 distinct suppliers, with line stats.
   // ---------------------------------------------------------------- //
-  def q96_having_distinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  def q96_having_distinct(s: SparkSession, dir: String): DataFrame = {
+    // Under-split guard, aggregate flavor: on a single-row-group
+    // source the partial distinct-aggregate (and its Expand) runs on
+    // the lone scan task. When under-split, exchange the narrow raw
+    // rows ONCE by the grouping key — the aggregate then computes
+    // 32-way with no further shuffle. On a well-split source this is
+    // a no-op and the normal partial-first plan runs.
+    val raw = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+    val par = math.min(s.sparkContext.defaultParallelism, 16)
+    val spread =
+      if (graft.operators.Scale.estimatedSplits(raw) < par)
+        raw.repartition(col("l_orderkey"))
+      else raw
+    spread
       .groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         count(lit(1)).as("n_lines"),
         dsum(col("l_extendedprice")).as("order_rev"))
       .filter(col("n_supp") >= 3)
       .orderBy(col("l_orderkey"))
+  }
 
   val q96_sql: String =
     """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
