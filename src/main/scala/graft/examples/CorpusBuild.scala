@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   *   3. exact dedup                     (hash groupBy on cleaned text)
   *   4. near-dup clusters, keep canon   (TextDedup pairs → clusters)
   *   5. eval-set decontamination        (TextOps.decontaminate)
-  *   6. PII scrub                       (TextOps.piiScrub)
-  *   7. token counts + sequence packing (TextOps.packSequences)
-  *   8. write packed parquet
+  *   6. semantic dedup on embeddings    (Ann.semanticDups, SemDeDup)
+  *   7. unigram-LM quality gate         (corpus-trained rare-token rate)
+  *   8. PII scrub                       (TextOps.piiScrub)
+  *   9. token counts + sequence packing (TextOps.packSequences)
+  *  10. deterministic shuffle + shard, write packed parquet
   *
   * Every stage is declarative DataFrame work — at 100 TB the same
   * code runs unchanged; only the input path and the cluster change.
@@ -83,20 +85,59 @@ object CorpusBuild {
       .join(contaminated, col("doc_id") === col("bad_id"), "left_anti"))
     stage("decontaminated train", trainSet.count())
 
-    // 6-7. PII scrub, token counts, GPT-style packing at 2048 tokens
+    // 6. semantic dedup (SemDeDup): cluster the survivors' embeddings,
+    // drop any doc with a lower-id cosine-near neighbor in its cluster
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+      .join(trainSet.select(col("doc_id").as("vec_id")), "vec_id")
+    val semDrop = graft.operators.Ann
+      .semanticDups(emb, "vec_id", "embedding", k = 8, iters = 2, threshold = 0.35)
+      .select(col("vec_id").as("sem_id"))
+    val semKept = pin(trainSet.join(
+      semDrop, col("doc_id") === col("sem_id"), "left_anti"))
+    stage("semantic dedup", semKept.count())
+
+    // 7. unigram-LM quality gate: train the LM on the surviving corpus
+    // itself, drop documents whose token instances are mostly types
+    // seen in fewer than 3 documents (the CCNet-style rarity signal)
+    val tf = semKept
+      .select(col("doc_id"), explode(split(col("clean_text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val lm = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val rare = tf.join(broadcast(lm), "token")
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("df") < 3, col("c")).otherwise(lit(0L))).cast("double") /
+        sum(col("c"))).as("rare_rate"))
+      .filter(col("rare_rate") > 0.5)
+      .select(col("doc_id").as("rare_id"))
+    val qualified = pin(semKept.join(
+      rare, col("doc_id") === col("rare_id"), "left_anti"))
+    stage("lm-quality gate", qualified.count())
+
+    // 8-9. PII scrub, token counts, GPT-style packing at 2048 tokens
     val scrubbed = graft.operators.TextOps
-      .piiScrub(trainSet, "clean_text", "final_text")
+      .piiScrub(qualified, "clean_text", "final_text")
     val counted = scrubbed.withColumn("n_tokens",
       size(split(col("final_text"), "\\s+")).cast("long"))
     val packed = graft.operators.TextOps
       .packSequences(counted, "doc_id", "source", "n_tokens", budget = 2048)
     stage("packed", packed.count())
 
-    // 8. write the packed corpus partitioned by source (the layout a
-    // downstream tokenizer job reads per-domain)
-    packed.select("doc_id", "source", "final_text", "n_tokens",
-        "start_off", "first_window", "last_window")
-      .write.mode("overwrite").partitionBy("source").parquet(out)
+    // 10. deterministic shuffle + shard (the p31 shape): hash-derived
+    // shard, within-shard order by the full hash — a reproducible
+    // training order — written partitioned by shard so the trainer
+    // streams each shard file in its shuffled order
+    val k = md5(col("doc_id").cast("string"))
+    val sharded = packed.withColumn("k", k)
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("k"), 1, 1)) - 1).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))))
+    sharded.select("shard", "pos", "doc_id", "source", "final_text",
+        "n_tokens", "start_off", "first_window", "last_window")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
     println(s"DONE wrote $out")
     spark.stop()
   }
