@@ -99,16 +99,10 @@ object CorpusBuild {
     // 7. unigram-LM quality gate: train the LM on the surviving corpus
     // itself, drop documents whose token instances are mostly types
     // seen in fewer than 3 documents (the CCNet-style rarity signal)
-    val tf = semKept
-      .select(col("doc_id"), explode(split(col("clean_text"), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val lm = tf.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
-    val rare = tf.join(broadcast(lm), "token")
-      .groupBy(col("doc_id"))
-      .agg((sum(when(col("df") < 3, col("c")).otherwise(lit(0L))).cast("double") /
-        sum(col("c"))).as("rare_rate"))
+    val rare = graft.operators.TextOps
+      .unigramLmScores(
+        semKept.select(col("doc_id"), split(col("clean_text"), " ").as("lm_tok")),
+        "doc_id", "lm_tok")
       .filter(col("rare_rate") > 0.5)
       .select(col("doc_id").as("rare_id"))
     val qualified = pin(semKept.join(
@@ -124,17 +118,11 @@ object CorpusBuild {
       .packSequences(counted, "doc_id", "source", "n_tokens", budget = 2048)
     stage("packed", packed.count())
 
-    // 10. deterministic shuffle + shard (the p31 shape): hash-derived
-    // shard, within-shard order by the full hash — a reproducible
-    // training order — written partitioned by shard so the trainer
-    // streams each shard file in its shuffled order
-    val k = md5(col("doc_id").cast("string"))
-    val sharded = packed.withColumn("k", k)
-      .withColumn("shard",
-        (instr(lit("0123456789abcdef"), substring(col("k"), 1, 1)) - 1).cast("int"))
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))))
+    // 10. deterministic shuffle + shard: hash-derived shard,
+    // within-shard order by the full hash — a reproducible training
+    // order — written partitioned by shard so the trainer streams
+    // each shard file in its shuffled order
+    val sharded = graft.operators.TextOps.shuffleShards(packed, "doc_id")
     sharded.select("shard", "pos", "doc_id", "source", "final_text",
         "n_tokens", "start_off", "first_window", "last_window")
       .write.mode("overwrite").partitionBy("shard").parquet(out)

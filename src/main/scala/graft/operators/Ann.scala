@@ -87,17 +87,21 @@ object Ann {
     val emb = corpus.select(col(idCol), col(vecCol))
     val assigned = Kmeans.trainAssign(emb, idCol, vecCol, k, iters)
       .select(col(idCol), col("cid"))
-    val e = emb.join(assigned, idCol)
-    val ea = e.select(col("cid"), col(idCol).as("dup_of"),
-      col(vecCol).as("va"), vec_norm(col(vecCol)).as("norm_a"))
-    val eb = e.select(col("cid").as("cid_b"), col(idCol).as("b_id"),
-      col(vecCol).as("vb"), vec_norm(col(vecCol)).as("norm_b"))
-    val pairs = ea.join(eb,
-        col("cid") === col("cid_b") && col("dup_of") < col("b_id"))
-      .withColumn("cos",
-        vec_dot(col("va"), col("vb")) / (col("norm_a") * col("norm_b")))
+    // ONE normed relation self-joined under two aliases: both sides
+    // canonicalize to the same subtree, so ReuseExchange ships the
+    // (cid, vector, norm) rows across the cid exchange ONCE and each
+    // norm is computed once — not per side, and never per pair
+    val n = emb.join(assigned, idCol)
+      .select(col("cid"), col(idCol), col(vecCol),
+        vec_norm(col(vecCol)).as("nrm"))
+    val pairs = n.as("a").join(n.as("b"),
+        col("a.cid") === col("b.cid") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"b.$idCol").as(idCol), col("a.cid").as("cid"),
+        col(s"a.$idCol").as("dup_of"),
+        (vec_dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
-      .select(col("b_id").as(idCol), col("cid"), col("dup_of"), col("cos"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("dup_of"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col(idCol), col("cid"), col("dup_of"), col("cos"))

@@ -102,4 +102,26 @@ object Scale {
     }
     walk(df.queryExecution.optimizedPlan)
   }
+
+  /** Under-split guard, the single shared policy: if `df` would plan
+    * with fewer splits than the cores (capped), repartition it so the
+    * compute ABOVE the guard runs across the cluster instead of the
+    * lone scan task of a single-row-group (or unsplittable) source.
+    * No-op on any well-split source, decided from logical stats only
+    * (see [[estimatedSplits]] — no extra job, no second planning). */
+  def spread(df: DataFrame, cap: Int = 16): DataFrame = {
+    val par = math.min(df.sparkSession.sparkContext.defaultParallelism, cap)
+    if (estimatedSplits(df) < par) df.repartition(par) else df
+  }
+
+  /** [[spread]] keyed on the columns a following aggregation groups
+    * by: the under-split case exchanges raw rows ONCE by the grouping
+    * key (the aggregate then needs no further shuffle) instead of
+    * partial-aggregating on the lone scan task. The partition count is
+    * pinned (user-specified counts are AQE-coalesce-exempt), so the
+    * aggregate genuinely runs `par`-way. */
+  def spreadByKey(df: DataFrame, keys: Seq[Column], cap: Int = 16): DataFrame = {
+    val par = math.min(df.sparkSession.sparkContext.defaultParallelism, cap)
+    if (estimatedSplits(df) < par) df.repartition(par, keys: _*) else df
+  }
 }

@@ -126,9 +126,7 @@ object TextOps {
     // under-split guard (the decontaminate/p16 lesson): tokenization is
     // the heavy stage, so spread a single-split source BEFORE it — and
     // below the text projection so nothing pushes the work scan-side
-    val par = math.min(df.sparkSession.sparkContext.defaultParallelism, 16)
-    val src = df.select(col(idCol), col(sourceCol), col(textCol))
-    val base = (if (Scale.estimatedSplits(src) < par) src.repartition(par) else src)
+    val base = Scale.spread(df.select(col(idCol), col(sourceCol), col(textCol)))
       .select(col(idCol), col(sourceCol),
         split(trim(col(textCol)), "\\s+").as("tok"))
       .filter(size(col("tok")) >= n)
@@ -161,5 +159,64 @@ object TextOps {
         col("n_seg").cast("long").as("n_seg"),
         size(col("bad")).cast("long").as("n_boiler"),
         size(col("kept_tok")).cast("long").as("kept_tokens"))
+  }
+
+  /** Corpus-trained unigram-LM scoring (the CCNet/Gopher-style "LM
+    * quality" signal): train the LM on the corpus itself (one
+    * token-keyed aggregate, broadcast back — bounded by the
+    * vocabulary, not the corpus) and score every document by its mean
+    * token likelihood sum(tf·cnt)/n/N and its rare-token-instance
+    * rate (token types in fewer than `rareDocFreq` documents).
+    * Transcendental-free per the house exactness rule: integer sums
+    * with one final IEEE-exact division chain, so the scores are
+    * identical under any partitioning. `df`: (idCol, tokCol:
+    * array<string>). Returns (idCol, n_tokens, mean_lik, rare_rate).
+    *
+    * The per-(doc, token) counts materialize once (localCheckpoint):
+    * the LM-table branch otherwise re-plans the whole
+    * scan→explode→aggregate chain (its aggregate canonicalizes such
+    * that ReuseExchange cannot fire — the p20 lesson). */
+  def unigramLmScores(df: DataFrame, idCol: String, tokCol: String,
+      rareDocFreq: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol), explode(col(tokCol)).as("__token"))
+      .groupBy(col(idCol), col("__token")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val lm = tf.groupBy(col("__token"))
+      .agg(sum(col("__c")).as("__cnt"), count(lit(1)).as("__df"))
+    val total = lm.agg(sum(col("__cnt")).as("__n_corpus"))
+    tf.join(broadcast(lm), "__token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol), col("__n_corpus"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__cnt")).as("__wsum"),
+        sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(lit(0L)))
+          .as("__nr"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__wsum").cast("double") / col("n_tokens") / col("__n_corpus"))
+          .as("mean_lik"),
+        (col("__nr").cast("double") / col("n_tokens")).as("rare_rate"))
+  }
+
+  /** Deterministic corpus shuffle + shard assignment — the
+    * reproducible-permutation step before writing training shards.
+    * Shard = the first `hexDigits` hex digits of md5(id) (16^d
+    * balanced shards, pure map-side arithmetic); position = rank
+    * within the shard by the full hash, via a shard-PARTITIONED
+    * window (never a global single-task sort). Adds `shard` (int)
+    * and `pos` (int) to `df`. At scale, write the result
+    * `partitionBy("shard")` so shard files stream out of the window
+    * stage without re-shuffling. */
+  def shuffleShards(df: DataFrame, idCol: String, hexDigits: Int = 1): DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 7, "shard width: 1-7 hex digits")
+    val alphabet = lit("0123456789abcdef")
+    val shard = (1 to hexDigits)
+      .map(d => (instr(alphabet, substring(col("__k"), d, 1)) - 1) *
+        lit(math.pow(16, hexDigits - d).toInt))
+      .reduce(_ + _).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    df.withColumn("__k", md5(col(idCol).cast("string")))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("__k")
   }
 }

@@ -40,10 +40,8 @@ object PipelineOps {
     * across the cores BEFORE the expensive projection — the p16/p20
     * lesson generalized. At real scale the source has >cores splits
     * and this is a no-op (decided from logical stats, no extra job). */
-  private[queries] def spread(df: DataFrame): DataFrame = {
-    val par = math.min(df.sparkSession.sparkContext.defaultParallelism, 16)
-    if (graft.operators.Scale.estimatedSplits(df) < par) df.repartition(par) else df
-  }
+  private[queries] def spread(df: DataFrame): DataFrame =
+    graft.operators.Scale.spread(df)
 
   // ---------------------------------------------------------------- //
   // p01: token counting (whitespace tokenizer)

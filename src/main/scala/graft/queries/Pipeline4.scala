@@ -120,31 +120,13 @@ object Pipeline4 {
     val docs = t(s, dir, "documents")
     // single-row-group test files scan as one partition; spread before
     // the compute-heavy tokenize (same guard as p16/p20)
-    val par = math.min(s.sparkContext.defaultParallelism, 16)
-    val raw = docs.select(col("doc_id"), col("text"))
-    val spread =
-      if (graft.operators.Scale.estimatedSplits(raw) < par) raw.repartition(par)
-      else raw
-    // tf materializes once (p20's localCheckpoint rationale: its
-    // aggregate branch canonicalizes such that ReuseExchange cannot
-    // fire, so without the checkpoint the LM-table branch would
-    // re-plan the whole scan→explode→aggregate chain)
-    val tf = spread.select(col("doc_id"), explode(tokens).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
-    val lm = tf.groupBy(col("token"))
-      .agg(sum(col("c")).as("cnt"), count(lit(1)).as("df"))
-    val total = lm.agg(sum(col("cnt")).as("n_corpus"))
-    tf.join(broadcast(lm), "token")
-      .crossJoin(broadcast(total))
-      .groupBy(col("doc_id"), col("n_corpus"))
-      .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c") * col("cnt")).as("wsum"),
-        sum(when(col("df") < 3, col("c")).otherwise(lit(0L))).as("n_rare"))
+    val spread = PipelineOps.spread(docs.select(col("doc_id"), col("text")))
+    graft.operators.TextOps
+      .unigramLmScores(spread.select(col("doc_id"), tokens.as("tok")),
+        "doc_id", "tok")
       .select(col("doc_id"), col("n_tokens"),
-        round(col("wsum").cast("double") / col("n_tokens") / col("n_corpus"), 9)
-          .as("mean_lik"),
-        round(col("n_rare").cast("double") / col("n_tokens"), 6).as("rare_rate"))
+        round(col("mean_lik"), 9).as("mean_lik"),
+        round(col("rare_rate"), 6).as("rare_rate"))
       .orderBy(col("doc_id"))
   }
 
@@ -181,20 +163,13 @@ object Pipeline4 {
   // is df.write.partitionBy/bucketBy on the shard column, so shard
   // files stream out of the window stage without re-shuffling.
   // ---------------------------------------------------------------- //
-  def p31_shuffle_shards(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = md5(col("doc_id").cast("string"))
-    val sharded = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"), k.as("k"))
-      // first hex digit → 16 balanced hash shards, portable arithmetic
-      // on both engines (strpos over the hex alphabet)
-      .withColumn("shard",
-        (instr(lit("0123456789abcdef"), substring(col("k"), 1, 1)) - 1).cast("int"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
-    sharded.withColumn("pos", row_number().over(w))
+  def p31_shuffle_shards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps
+      .shuffleShards(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id")
       .select(col("shard"), col("pos"), col("doc_id"), col("source"), col("n_chars"))
       .orderBy(col("shard"), col("pos"))
-  }
 
   val p31_sql: String =
     """WITH d AS (

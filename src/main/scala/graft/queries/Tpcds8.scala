@@ -80,12 +80,7 @@ object Tpcds8 {
     // a no-op and the normal partial-first plan runs.
     val raw = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
-    val par = math.min(s.sparkContext.defaultParallelism, 16)
-    val spread =
-      if (graft.operators.Scale.estimatedSplits(raw) < par)
-        raw.repartition(col("l_orderkey"))
-      else raw
-    spread
+    graft.operators.Scale.spreadByKey(raw, Seq(col("l_orderkey")))
       .groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         count(lit(1)).as("n_lines"),

@@ -49,11 +49,14 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(out.map(_._1).toSet == expect)
   }
 
-  test("p29 pair join is keyed on the cluster id — no cartesian product") {
-    val plan = graft.queries.Pipeline4.p29_semantic_dedup(spark, sfDir)
-      .queryExecution.executedPlan.toString
+  test("p29 pair join is keyed on the cluster id — no cartesian, one shared exchange") {
+    val df = graft.queries.Pipeline4.p29_semantic_dedup(spark, sfDir)
+    df.queryExecution.toRdd.foreach(_ => ()) // let AQE finalize reuse
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "cluster-local pair generation must join on cid, not cross-join")
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      "both self-join sides must reuse ONE (cid, vector, norm) exchange")
   }
 
   // ---------------------------------------------------------------- //

@@ -65,8 +65,7 @@ def main():
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table dir (e.g. the sf1 replica)
             p = os.path.join(p, "*.parquet")
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        elif os.path.exists(p):
+        if glob.glob(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0

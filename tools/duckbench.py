@@ -10,7 +10,7 @@ Spark side, so the comparison in BENCH_NOTES.md is symmetric.
 Streaming entries (st*) have no DuckDB counterpart; their oracle SQL is
 their batch twin, which is what gets timed. Local dev tooling only.
 """
-import sys, json, time
+import sys, os, json, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -25,8 +25,10 @@ def main():
     con = duckdb.connect()
     con.execute(f"SET threads TO 32")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):  # Spark-written table dir (e.g. sf1/sf10 replicas)
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     results = {}
     for name in sorted(oracle):
         sql = oracle[name]
