@@ -108,7 +108,12 @@ object Scale {
     * compute ABOVE the guard runs across the cluster instead of the
     * lone scan task of a single-row-group (or unsplittable) source.
     * No-op on any well-split source, decided from logical stats only
-    * (see [[estimatedSplits]] — no extra job, no second planning). */
+    * (see [[estimatedSplits]] — no extra job, no second planning).
+    * The 16 cap is measured, not arbitrary: on the 32-core test box,
+    * spreading the guarded entries 32-way is a wash-to-regression
+    * (p12 0.70 s either way, p14 0.58 → 0.74 s — per-task overhead
+    * outgrows the extra cores at test-data sizes); callers with
+    * genuinely heavier per-row work can raise it. */
   def spread(df: DataFrame, cap: Int = 16): DataFrame = {
     val par = math.min(df.sparkSession.sparkContext.defaultParallelism, cap)
     if (estimatedSplits(df) < par) df.repartition(par) else df
