@@ -162,11 +162,44 @@ object Relational3 {
       |       WHERE c_nationkey = n_nationkey AND c_acctbal > 9990.0) < 3
       |ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // x06: the COUNT-bug in the PROJECTION, with the two empty-group
+  // defaults side by side — a correlated COUNT(*) must surface 0 for
+  // nations with no qualifying supplier while the correlated SUM in
+  // the same select list must surface NULL. A naive inner-join
+  // decorrelation gets both wrong (drops the rows); a blanket
+  // zero-default gets the SUM wrong. Left-outer + coalesce ONLY the
+  // count states it correctly.
+  // ---------------------------------------------------------------- //
+  def x06_count_bug_select(s: SparkSession, dir: String): DataFrame = {
+    val top = t(s, dir, "supplier")
+      .filter(col("s_acctbal") > 9900.0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double").as("bal"))
+    t(s, dir, "nation")
+      .join(top, col("n_nationkey") === col("s_nationkey"), "left_outer")
+      .select(col("n_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_top"),
+        col("bal").as("top_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  val x06_sql: String =
+    """SELECT n_name,
+      |  (SELECT COUNT(*) FROM supplier
+      |   WHERE s_nationkey = n_nationkey AND s_acctbal > 9900.0) AS n_top,
+      |  (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) FROM supplier
+      |   WHERE s_nationkey = n_nationkey AND s_acctbal > 9900.0) AS top_bal
+      |FROM nation
+      |ORDER BY n_name""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "x01_multi_col_in" -> ((x01_multi_col_in _, Some(x01_sql))),
     "x02_exists_range" -> ((x02_exists_range _, Some(x02_sql))),
     "x03_not_exists_range" -> ((x03_not_exists_range _, Some(x03_sql))),
     "x04_scalar_in_select" -> ((x04_scalar_in_select _, Some(x04_sql))),
     "x05_count_bug_where" -> ((x05_count_bug_where _, Some(x05_sql))),
+    "x06_count_bug_select" -> ((x06_count_bug_select _, Some(x06_sql))),
   )
 }

@@ -100,6 +100,22 @@ class Pipeline4Spec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("shuffleShards with two hex digits yields 256 shards matching md5 prefixes") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id")
+    val out = graft.operators.TextOps.shuffleShards(docs, "doc_id", hexDigits = 2)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect()
+    assert(out.forall { case (_, s) => s >= 0 && s < 256 })
+    // independent recompute straight from the hash prefix
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, s) =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      assert(s == Integer.parseInt(hex, 16),
+        s"doc $id: shard $s != md5 prefix $hex")
+    }
+  }
+
   test("p31's window is shard-partitioned — never a single-partition global sort") {
     val plan = graft.queries.Pipeline4.p31_shuffle_shards(spark, sfDir)
       .queryExecution.executedPlan.toString
