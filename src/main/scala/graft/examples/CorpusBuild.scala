@@ -102,7 +102,7 @@ object CorpusBuild {
     val rare = graft.operators.TextOps
       .unigramLmScores(
         semKept.select(col("doc_id"), split(col("clean_text"), " ").as("lm_tok")),
-        "doc_id", "lm_tok")
+        "doc_id", "lm_tok", includeLikelihood = false)
       .filter(col("rare_rate") > 0.5)
       .select(col("doc_id").as("rare_id"))
     val qualified = pin(semKept.join(

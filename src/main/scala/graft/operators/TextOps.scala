@@ -82,9 +82,7 @@ object TextOps {
     // before the compute-heavy shingle explode (a single-row-group file
     // otherwise shingles on one task; repartitioning before the filter
     // doesn't help, since the filter pushes below the repartition)
-    val par = math.min(docs.sparkSession.sparkContext.defaultParallelism, 16)
-    def spread(d: DataFrame): DataFrame =
-      if (Scale.estimatedSplits(d) < par) d.repartition(par) else d
+    def spread(d: DataFrame): DataFrame = Scale.spread(d)
     def shingles(d: DataFrame): DataFrame = d
       .filter(size(col(tokensCol)) >= shingleSize)
       .select(col(idCol), explode(array_distinct(
@@ -177,24 +175,37 @@ object TextOps {
     * scan→explode→aggregate chain (its aggregate canonicalizes such
     * that ReuseExchange cannot fire — the p20 lesson). */
   def unigramLmScores(df: DataFrame, idCol: String, tokCol: String,
-      rareDocFreq: Int = 3): DataFrame = {
+      rareDocFreq: Int = 3, includeLikelihood: Boolean = true): DataFrame = {
     val tf = df.select(col(idCol), explode(col(tokCol)).as("__token"))
       .groupBy(col(idCol), col("__token")).agg(count(lit(1)).as("__c"))
       .localCheckpoint()
-    val lm = tf.groupBy(col("__token"))
-      .agg(sum(col("__c")).as("__cnt"), count(lit(1)).as("__df"))
-    val total = lm.agg(sum(col("__cnt")).as("__n_corpus"))
-    tf.join(broadcast(lm), "__token")
-      .crossJoin(broadcast(total))
-      .groupBy(col(idCol), col("__n_corpus"))
-      .agg(sum(col("__c")).as("n_tokens"),
-        sum(col("__c") * col("__cnt")).as("__wsum"),
-        sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(lit(0L)))
-          .as("__nr"))
-      .select(col(idCol), col("n_tokens"),
-        (col("__wsum").cast("double") / col("n_tokens") / col("__n_corpus"))
-          .as("mean_lik"),
-        (col("__nr").cast("double") / col("n_tokens")).as("rare_rate"))
+    if (includeLikelihood) {
+      val lm = tf.groupBy(col("__token"))
+        .agg(sum(col("__c")).as("__cnt"), count(lit(1)).as("__df"))
+      val total = lm.agg(sum(col("__cnt")).as("__n_corpus"))
+      tf.join(broadcast(lm), "__token")
+        .crossJoin(broadcast(total))
+        .groupBy(col(idCol), col("__n_corpus"))
+        .agg(sum(col("__c")).as("n_tokens"),
+          sum(col("__c") * col("__cnt")).as("__wsum"),
+          sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(lit(0L)))
+            .as("__nr"))
+        .select(col(idCol), col("n_tokens"),
+          (col("__wsum").cast("double") / col("n_tokens") / col("__n_corpus"))
+            .as("mean_lik"),
+          (col("__nr").cast("double") / col("n_tokens")).as("rare_rate"))
+    } else {
+      // rare-rate-only callers (e.g. a pure quality gate) skip the
+      // corpus-total pass and the per-doc likelihood sum entirely
+      val lm = tf.groupBy(col("__token")).agg(count(lit(1)).as("__df"))
+      tf.join(broadcast(lm), "__token")
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).as("n_tokens"),
+          sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(lit(0L)))
+            .as("__nr"))
+        .select(col(idCol), col("n_tokens"),
+          (col("__nr").cast("double") / col("n_tokens")).as("rare_rate"))
+    }
   }
 
   /** Deterministic corpus shuffle + shard assignment — the

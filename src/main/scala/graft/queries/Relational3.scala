@@ -176,7 +176,7 @@ object Relational3 {
       .filter(col("s_acctbal") > 9900.0)
       .groupBy(col("s_nationkey"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double").as("bal"))
+        dsum(col("s_acctbal")).as("bal"))
     t(s, dir, "nation")
       .join(top, col("n_nationkey") === col("s_nationkey"), "left_outer")
       .select(col("n_name"),

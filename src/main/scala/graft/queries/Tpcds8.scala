@@ -76,8 +76,9 @@ object Tpcds8 {
     // source the partial distinct-aggregate (and its Expand) runs on
     // the lone scan task. When under-split, exchange the narrow raw
     // rows ONCE by the grouping key — the aggregate then computes
-    // 32-way with no further shuffle. On a well-split source this is
-    // a no-op and the normal partial-first plan runs.
+    // across the guard's pinned partition count (Scale.spreadByKey's
+    // measured cap) with no further shuffle. On a well-split source
+    // this is a no-op and the normal partial-first plan runs.
     val raw = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
     graft.operators.Scale.spreadByKey(raw, Seq(col("l_orderkey")))

@@ -10,7 +10,7 @@ Spark side, so the comparison in BENCH_NOTES.md is symmetric.
 Streaming entries (st*) have no DuckDB counterpart; their oracle SQL is
 their batch twin, which is what gets timed. Local dev tooling only.
 """
-import sys, os, json, time
+import sys, os, json, time, glob
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -28,7 +28,8 @@ def main():
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table dir (e.g. sf1/sf10 replicas)
             p = os.path.join(p, "*.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if glob.glob(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     results = {}
     for name in sorted(oracle):
         sql = oracle[name]
