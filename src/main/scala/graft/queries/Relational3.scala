@@ -194,6 +194,27 @@ object Relational3 {
       |FROM nation
       |ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // x05b/x06b: the SAME correlated SQL text as x05/x06, but run
+  // verbatim through spark.sql() over temp views of the parquet
+  // tables — so CATALYST'S OWN decorrelator (RewriteCorrelatedScalar-
+  // Subquery and its empty-group COUNT(*) default handling) sits
+  // under the DuckDB oracle, not the hand-written left-outer rewrite
+  // above. This is the class where engines historically get the
+  // zero-match default wrong (the "COUNT bug", Kim 1982).
+  // ---------------------------------------------------------------- //
+  private def sqlOverViews(tables: Seq[String], sql: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  def x05b_count_bug_sql(s: SparkSession, dir: String): DataFrame =
+    sqlOverViews(Seq("nation", "customer"), x05_sql)(s, dir)
+
+  def x06b_count_bug_sql(s: SparkSession, dir: String): DataFrame =
+    sqlOverViews(Seq("nation", "supplier"), x06_sql)(s, dir)
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "x01_multi_col_in" -> ((x01_multi_col_in _, Some(x01_sql))),
     "x02_exists_range" -> ((x02_exists_range _, Some(x02_sql))),
@@ -201,5 +222,7 @@ object Relational3 {
     "x04_scalar_in_select" -> ((x04_scalar_in_select _, Some(x04_sql))),
     "x05_count_bug_where" -> ((x05_count_bug_where _, Some(x05_sql))),
     "x06_count_bug_select" -> ((x06_count_bug_select _, Some(x06_sql))),
+    "x05b_count_bug_sql" -> ((x05b_count_bug_sql _, Some(x05_sql))),
+    "x06b_count_bug_sql" -> ((x06b_count_bug_sql _, Some(x06_sql))),
   )
 }

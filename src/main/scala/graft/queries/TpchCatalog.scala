@@ -302,7 +302,22 @@ object TpchCatalog {
        |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
 
+  /** c70: the COUNT-bug decorrelation class (correlated COUNT(*) in
+    * both the projection and the WHERE; zero-match outer rows must
+    * survive with count 0 — see Relational3.x05) ridden THROUGH the
+    * connector: Catalyst's own decorrelator over catalog-resolved
+    * scans. Complements x05b (same SQL over parquet temp views). */
+  private def q70CountBug(p: String): String =
+    s"""SELECT n_name,
+       |  (SELECT COUNT(*) FROM ${p}customer
+       |   WHERE c_nationkey = n_nationkey AND c_acctbal > 9990.0) AS n_rich
+       |FROM ${p}nation
+       |WHERE (SELECT COUNT(*) FROM ${p}customer
+       |       WHERE c_nationkey = n_nationkey AND c_acctbal > 9990.0) < 3
+       |ORDER BY n_name""".stripMargin
+
   private val templates: Seq[(String, String => String)] = Seq(
+    "c70_catalog_count_bug" -> (q70CountBug _),
     "c18_tpch_q02" -> (q02 _),
     "c19_tpch_q03" -> (q03 _),
     "c20_tpch_q04" -> (q04 _),
