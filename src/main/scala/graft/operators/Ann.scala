@@ -75,33 +75,73 @@ object Ann {
     * Scale shape: k-means exchanges are narrow (operators/Kmeans);
     * the pair join is ONE cid-keyed exchange of the embeddings with
     * norms computed once per vector. Scale `k` with the corpus to
-    * keep per-cluster pair counts bounded. */
+    * keep per-cluster pair counts bounded — but the engine does NOT
+    * rely on the caller choosing k well: a degenerate Voronoi cell (a
+    * boilerplate embedding, a zero-vector mode) above `hotClusterCap`
+    * members routes to a triangle-salted variant of the in-cluster
+    * join (same scheme as TextDedup's hot band buckets): members
+    * split into `hotClusterSalts` groups by id hash, group cell
+    * (i, j) i ≤ j computed by its own task, so one hot cluster
+    * spreads over g·(g+1)/2 salt cells with (m/g)² work each instead
+    * of serializing m² in a single task. Both paths emit each
+    * unordered pair exactly once with the identical (dup_of < id)
+    * orientation and bit-identical cosine (the fold in vec_dot is
+    * index-ordered, so operand swap is exact), so results do not
+    * depend on which path a cluster took. */
   def semanticDups(
       corpus: DataFrame, // (idCol, vecCol)
       idCol: String,
       vecCol: String,
       k: Int,
       iters: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      hotClusterCap: Int = 4096,
+      hotClusterSalts: Int = 16): DataFrame = {
     import VectorFunctions.vec_norm
+    val s = corpus.sparkSession
     val emb = corpus.select(col(idCol), col(vecCol))
     val assigned = Kmeans.trainAssign(emb, idCol, vecCol, k, iters)
       .select(col(idCol), col("cid"))
-    // ONE normed relation self-joined under two aliases: both sides
-    // canonicalize to the same subtree, so ReuseExchange ships the
-    // (cid, vector, norm) rows across the cid exchange ONCE and each
-    // norm is computed once — not per side, and never per pair
+    // ONE normed relation read by both join sides: each norm is
+    // computed once per vector — not per side, never per pair — and
+    // the per-cluster member count rides the cid partitioning just
+    // established as a window (a local sort, no extra exchange)
     val n = emb.join(assigned, idCol)
       .select(col("cid"), col(idCol), col(vecCol),
         vec_norm(col(vecCol)).as("nrm"))
-    val pairs = n.as("a").join(n.as("b"),
-        col("a.cid") === col("b.cid") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"b.$idCol").as(idCol), col("a.cid").as("cid"),
-        col(s"a.$idCol").as("dup_of"),
-        (vec_dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
-          (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .filter(col("cos") >= threshold)
+      .repartition(s.sparkContext.defaultParallelism, col("cid"))
+    val tagged = n.withColumn("csz",
+      count(lit(1)).over(Window.partitionBy(col("cid"))))
+    def side(d: DataFrame, sfx: String, salts: Seq[Column]): DataFrame =
+      d.select(Seq(col("cid")) ++ salts ++ Seq(col(idCol).as(s"id_$sfx"),
+        col(vecCol).as(s"v_$sfx"), col("nrm").as(s"n_$sfx")): _*)
+    def cosOf: Column =
+      vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))
+    // small clusters: plain in-cluster self-join (both sides read the
+    // one cid exchange via ReuseExchange); id_a < id_b keeps each
+    // unordered pair once
+    val small = tagged.filter(col("csz") <= hotClusterCap)
+    val smallPairs = side(small, "a", Nil).join(side(small, "b", Nil), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as(idCol), col("cid"),
+        col("id_a").as("dup_of"), cosOf.as("cos"))
+    // triangle-salted expansion for oversized clusters: a member of
+    // group s joins as the A side of cells (s, j ≥ s) and the B side
+    // of cells (i ≤ s, s); an unordered pair {a, b} lands in exactly
+    // cell (min(gₐ, g_b), max(gₐ, g_b)) — twice when gₐ = g_b, which
+    // the id_a < id_b condition dedups
+    val g = hotClusterSalts
+    val big = tagged.filter(col("csz") > hotClusterCap)
+      .withColumn("gs", pmod(hash(col(idCol)), lit(g)))
+    val lefts = big.withColumn("gj", explode(sequence(col("gs"), lit(g - 1))))
+      .transform(d => side(d, "a", Seq(col("gs").as("gi"), col("gj"))))
+    val rights = big.withColumn("gi", explode(sequence(lit(0), col("gs"))))
+      .transform(d => side(d, "b", Seq(col("gi"), col("gs").as("gj"))))
+    val bigPairs = lefts.join(rights, Seq("cid", "gi", "gj"))
+      .filter(col("gi") < col("gj") || col("id_a") < col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as(idCol), col("cid"),
+        least(col("id_a"), col("id_b")).as("dup_of"), cosOf.as("cos"))
+    val pairs = smallPairs.union(bigPairs).filter(col("cos") >= threshold)
     val w = Window.partitionBy(col(idCol)).orderBy(col("dup_of"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col(idCol), col("cid"), col("dup_of"), col("cos"))

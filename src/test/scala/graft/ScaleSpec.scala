@@ -184,6 +184,33 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("degenerate semantic-dedup clusters take the salted path with identical results") {
+    import spark.implicits._
+    // a worst-case corpus: 48 IDENTICAL embeddings (one Voronoi cell
+    // collapses into an all-pairs join) plus a handful of distinct
+    // vectors so k-means has something to separate
+    val mode = (0L until 48L).map(i => (i, Array(1.0f, 0.0f, 0.5f, 0.25f)))
+    val rest = (100L until 112L).map(i =>
+      (i, Array(-1.0f + (i % 7) * 0.3f, 1.0f, (i % 3) * -0.4f, 0.1f * (i % 5))))
+    val emb = (mode ++ rest).toDF("vec_id", "embedding")
+    def dups(cap: Int, salts: Int) = graft.operators.Ann
+      .semanticDups(emb, "vec_id", "embedding", k = 4, iters = 2,
+        threshold = 0.9, hotClusterCap = cap, hotClusterSalts = salts)
+    // cap above any cluster: pure in-cluster path (the former behavior)
+    val viaSmall = dups(cap = 10000, salts = 4).collect().toSet
+    // cap below the degenerate cluster: its pairs via the salted join
+    val viaSalted = dups(cap = 8, salts = 4)
+    assert(viaSmall == viaSalted.collect().toSet,
+      "salted path changed the semantic-dedup result set")
+    // every identical-mode member but the representative is a dup
+    assert(viaSalted.count() >= 47, "identical-mode dups missing")
+    // the hot path must key its join on the salt cells so one cluster
+    // spreads over g·(g+1)/2 tasks instead of serializing in one
+    val plan = dups(cap = 8, salts = 4).queryExecution.executedPlan.toString
+    assert("hashpartitioning\\([^)]*gi[^)]*gj".r.findFirstIn(plan).isDefined,
+      s"no salt-cell exchange in the hot-cluster plan:\n$plan")
+  }
+
   test("s02 LSH top-k shuffles carry ids, never embedding vectors") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
