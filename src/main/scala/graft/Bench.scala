@@ -58,7 +58,34 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Machine-readable results file: the driver's stdout capture keeps
+    // only a tail (and sbt prefixes every line), so the single JSON
+    // line was unparseable in-band for seven rounds. Write the full
+    // per-query map + run config to a stable path instead;
+    // tools/duckbench.py --merge adds the DuckDB twin per query.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    val perQuery = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"""    "$k": {"spark_s": $v}"""
+    }.mkString(",\n")
+    val doc =
+      s"""{
+         |  "metric": "total",
+         |  "value": $total,
+         |  "unit": "sec",
+         |  "sf": "$sfDir",
+         |  "config": {"master": "local[$cpus]", "shuffle_partitions": $cpus,
+         |             "aqe": "${sys.env.getOrElse("SPARK_GRAFT_AQE", "true")}",
+         |             "forcing": "toRdd.foreach", "protocol": "warm+min-of-2"},
+         |  "queries": {
+         |$perQuery
+         |  }
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      doc.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -2,6 +2,12 @@
 """DuckDB baseline timing, mirroring graft.Bench's protocol.
 
 Usage: python3 tools/duckbench.py <sfDir> <oracle_sql.json> [out.json]
+       python3 tools/duckbench.py <sfDir> <oracle_sql.json> --merge <bench_results.json>
+
+With --merge, per-query DuckDB seconds are folded INTO the file
+graft.Bench wrote (each entry gains "duckdb_s" and "ratio", the top
+level gains "duckdb_total") so one JSON carries the whole pair of
+record.
 
 Creates views over <sfDir>/*.parquet, then for every oracle query runs
 one untimed warmup pass followed by two timed passes and records the
@@ -19,7 +25,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def main():
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
-    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    merge_path = None
+    out_path = None
+    if len(sys.argv) > 3:
+        if sys.argv[3] == "--merge":
+            merge_path = sys.argv[4]
+        else:
+            out_path = sys.argv[3]
     with open(oracle_path) as f:
         oracle = json.load(f)
     con = duckdb.connect()
@@ -52,6 +64,22 @@ def main():
     if out_path:
         with open(out_path, "w") as f:
             f.write(line)
+    if merge_path:
+        with open(merge_path) as f:
+            bench = json.load(f)
+        duck_total = 0.0
+        for name, entry in bench.get("queries", {}).items():
+            d = results.get(name)
+            entry["duckdb_s"] = d
+            if d is not None:
+                duck_total += d
+                if d > 0:
+                    entry["ratio"] = round(entry["spark_s"] / d, 3)
+        bench["duckdb_total"] = duck_total
+        with open(merge_path, "w") as f:
+            json.dump(bench, f, indent=2)
+        print(f"merged {sum(1 for v in results.values() if v is not None)} "
+              f"duckdb timings into {merge_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
