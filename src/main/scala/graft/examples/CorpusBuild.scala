@@ -57,12 +57,15 @@ object CorpusBuild {
     stage("boilerplate removed", cleaned.count())
 
     // 3. exact dedup on the CLEANED text (boilerplate stripping first
-    // makes exact dedup catch docs that differed only in chrome)
+    // makes exact dedup catch docs that differed only in chrome).
+    // Window keyed on (h, clean_text), not the hash alone: the hash
+    // pre-clusters cheaply but a 64-bit collision between DISTINCT
+    // texts must not merge them — "exact" means exact
     val exact = cleaned
       .withColumn("h", xxhash64(col("clean_text")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("h")).orderBy(col("doc_id"))))
+          .partitionBy(col("h"), col("clean_text")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("h", "rn")
     stage("exact dedup", exact.count())
 

@@ -187,7 +187,14 @@ object TextOps {
         .crossJoin(broadcast(total))
         .groupBy(col(idCol), col("__n_corpus"))
         .agg(sum(col("__c")).as("n_tokens"),
-          sum(col("__c") * col("__cnt")).as("__wsum"),
+          // tf·corpus-count products can exceed 2^63 on a large corpus
+          // (Spark's long sum would wrap SILENTLY under non-ANSI while
+          // the DuckDB twin widens to HUGEINT) — accumulate in
+          // DECIMAL(38,0), exact past the int128 range, per the house
+          // decimal-exact pattern
+          sum(col("__c").cast(org.apache.spark.sql.types.DecimalType(18, 0)) *
+            col("__cnt").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+            .as("__wsum"),
           sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(lit(0L)))
             .as("__nr"))
         .select(col(idCol), col("n_tokens"),

@@ -342,6 +342,15 @@ object Pipeline3 {
       .orderBy(col("doc_id"))
   }
 
+  // ORACLE DIALECT CAVEAT: the Spark side windows over UTF-8 BYTES
+  // (asMedia encodes text to binary) while this oracle windows over
+  // VARCHAR characters — the container's DuckDB has no BLOB
+  // substring/length overloads, so byte-exact slicing is inexpressible
+  // there. The two agree iff the corpus is pure ASCII, which holds for
+  // ALL driver testdata (verified: octet_length(encode(text)) =
+  // length(text) for every document at sf0.001/0.01/0.1). A multi-byte
+  // corpus would need the oracle rewritten over BLOBs in an engine
+  // that supports it.
   val m05_sql: String =
     """WITH w AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
