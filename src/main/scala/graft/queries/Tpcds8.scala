@@ -73,19 +73,33 @@ object Tpcds8 {
   // ---------------------------------------------------------------- //
   def q96_having_distinct(s: SparkSession, dir: String): DataFrame = {
     // Under-split guard, aggregate flavor: on a single-row-group
-    // source the partial distinct-aggregate (and its Expand) runs on
-    // the lone scan task. When under-split, exchange the narrow raw
-    // rows ONCE by the grouping key — the aggregate then computes
-    // across the guard's pinned partition count (Scale.spreadByKey's
-    // measured cap) with no further shuffle. On a well-split source
-    // this is a no-op and the normal partial-first plan runs.
+    // source the partial aggregate runs on the lone scan task. When
+    // under-split, exchange the narrow raw rows ONCE by the grouping
+    // key — both aggregate levels below then compute across the
+    // guard's pinned partition count with no further shuffle (each
+    // level's grouping contains l_orderkey, so the one hash
+    // partitioning satisfies both). On a well-split source this is a
+    // no-op and the normal partial-first plan runs.
+    //
+    // COUNT(DISTINCT) is stated as a TWO-LEVEL exact aggregate rather
+    // than countDistinct: Catalyst plans a single distinct aggregate
+    // via Expand (every input row duplicated per aggregate branch —
+    // a 2x row multiplier through the whole pipeline), while
+    // groupBy(key, supp) -> groupBy(key) touches each input row once
+    // and its second exchange carries only the already-distinct
+    // (orderkey, suppkey) rows. Decimal addition is exact, so
+    // regrouping the revenue sum through the extra level is
+    // bit-identical to the direct dsum.
     val raw = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
     graft.operators.Scale.spreadByKey(raw, Seq(col("l_orderkey")))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("__n"),
+        sum(dec(col("l_extendedprice"))).as("__rev"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        count(lit(1)).as("n_lines"),
-        dsum(col("l_extendedprice")).as("order_rev"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("__n")).as("n_lines"),
+        sum(col("__rev")).cast("double").as("order_rev"))
       .filter(col("n_supp") >= 3)
       .orderBy(col("l_orderkey"))
   }
