@@ -94,8 +94,21 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
 
   // ---------------- namespaces ---------------- //
 
+  /** `pg_temp` is surfaced as a namespace even though the server's
+    * pg_namespace lists only the concrete per-session schemas
+    * (pg_temp_N): Postgres resolves the alias per connection, and the
+    * reference exposes temp tables through its attached catalog the
+    * same way (ref: test/sql/storage/attach_temporary_table.test).
+    * Caveat (documented, matching the reference's in-process model):
+    * temp-table visibility on a REAL multi-connection server is
+    * per-connection; this surface is exact against the offline
+    * endpoint (one shared store) and against any deployment that
+    * pins a single session. */
+  private val TempNs = "pg_temp"
+
   override def listNamespaces(): Array[Array[String]] =
-    withTransport(_.query(PgCatalogQueries.listSchemas)).map(r => Array(r.head)).toArray
+    withTransport(_.query(PgCatalogQueries.listSchemas)).map(r => Array(r.head)).toArray :+
+      Array(TempNs)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
@@ -173,8 +186,15 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
       s"${PgSqlGen.quoteIdent(f.name)} $pg$notNull"
     }.mkString(", ")
     val ns = nsOf(ident)
-    withTransport(_.execute(
-      s"CREATE TABLE ${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())} ($cols)"))
+    // pg_temp: CREATE TEMPORARY TABLE (unqualified — Postgres resolves
+    // the temp schema per session; qualifying with pg_temp is the
+    // equivalent spelling but TEMPORARY is the canonical DDL)
+    val ddl =
+      if (ns == TempNs)
+        s"CREATE TEMPORARY TABLE ${PgSqlGen.quoteIdent(ident.name())} ($cols)"
+      else
+        s"CREATE TABLE ${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())} ($cols)"
+    withTransport(_.execute(ddl))
     loadTable(ident)
   }
 
@@ -206,8 +226,12 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
     val ns = nsOf(ident)
     val existed = tableExists(ident)
     if (existed) {
-      withTransport(_.execute(
-        s"DROP TABLE ${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())}"))
+      // temp tables drop unqualified (the per-session schema name
+      // pg_temp_N is not ours to spell)
+      val target =
+        if (ns == TempNs) PgSqlGen.quoteIdent(ident.name())
+        else s"${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())}"
+      withTransport(_.execute(s"DROP TABLE $target"))
       invalidateTable(ident)
     }
     existed

@@ -206,6 +206,35 @@ class PostgresConnectorSpec extends AnyFunSuite {
       (295 until 300).map(i => s"name_$i"))
   }
 
+  test("pg_temp namespace: create, insert, query, drop round-trip") {
+    // the reference's attach_temporary_table.test surface (upstream
+    // marks its own test `mode skip`): temp tables created and
+    // resolved through the attached catalog's pg_temp namespace.
+    // CREATE routes to CREATE TEMPORARY TABLE; reads/writes resolve
+    // "pg_temp"."t" like any schema-qualified table.
+    pg
+    assert(spark.sql("SHOW NAMESPACES IN pg").collect()
+      .map(_.getString(0)).contains("pg_temp"))
+    spark.sql("DROP TABLE IF EXISTS pg.pg_temp.session_scratch")
+    spark.sql("CREATE TABLE pg.pg_temp.session_scratch (k BIGINT, v STRING)")
+    assert(pg.hasTable("pg_temp", "session_scratch"))
+    // the DDL that reached the endpoint must be the TEMPORARY form
+    assert(pg.executedStatements.exists(_.startsWith(
+      """CREATE TEMPORARY TABLE "session_scratch"""")))
+    spark.sql("INSERT INTO pg.pg_temp.session_scratch VALUES (1, 'a'), (2, 'b')")
+    val back = spark.sql(
+      "SELECT k, v FROM pg.pg_temp.session_scratch ORDER BY k").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // joins against permanent tables resolve both namespaces
+    val j = spark.sql(
+      """SELECT p.name FROM pg.public.people p
+        |JOIN pg.pg_temp.session_scratch t ON p.id = t.k ORDER BY p.id""".stripMargin)
+    assert(j.collect().map(_.getString(0)).toSeq == Seq("name_1", "name_2"))
+    spark.sql("DROP TABLE pg.pg_temp.session_scratch")
+    assert(!pg.hasTable("pg_temp", "session_scratch"))
+  }
+
   test("catalog DDL: create table, insert, drop") {
     pg
     spark.sql("DROP TABLE IF EXISTS pg.public.scratch")
