@@ -49,6 +49,87 @@ object PgFunctions {
     created
   }
 
+  /** One pinned connection scoped inside a single server transaction —
+    * the session handle [[withTransaction]] passes to its body. */
+  final class PgTxnSession private[PgFunctions] (
+      private[graft] val transport: graft.meta.PgTransport) {
+
+    /** Run a statement for effect inside the transaction. */
+    def execute(sql: String): Unit = transport.execute(sql)
+
+    /** Run a query inside the transaction; text rows (discovery-style). */
+    def query(sql: String): Seq[Seq[String]] = transport.query(sql)
+
+    /** Run a SELECT inside the transaction and return a local
+      * DataFrame: shape bound via the Parse/Describe handshake, rows
+      * streamed over THIS connection as binary COPY and decoded with
+      * the scan's own codec. Driver-side by nature — a transaction is
+      * one connection, so reads here cannot parallelize; use it for
+      * the bounded reads a BEGIN/SELECT/UPDATE/COMMIT script performs,
+      * not for bulk extraction (that is what the snapshot-consistent
+      * parallel scan is for). */
+    def queryDf(spark: SparkSession, sql: String): DataFrame = {
+      val cols = transport.describe(sql.trim.stripSuffix(";"))
+      val fields = cols.map { case (n, pt) =>
+        org.apache.spark.sql.types.StructField(n, graft.types.PgType.toSpark(pt))
+      }
+      val schema = org.apache.spark.sql.types.StructType(fields)
+      val reader = new graft.codec.PgBinaryReader(
+        cols.map(_._2), fields.map(_.dataType))
+      // same COPY shape as the postgres_query scan path, so every
+      // endpoint that serves `query` scans serves this too
+      val in = new java.io.DataInputStream(transport.copyOut(
+        PgSqlGen.copyQuerySql(sql,
+          cols.map { case (n, pt) => PgSqlGen.ScanColumn(n, pt) }, Nil)))
+      val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema)
+      val rows = try {
+        reader.readHeader(in)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        var row = reader.readRow(in)
+        while (row.isDefined) {
+          buf += toScala(row.get).asInstanceOf[org.apache.spark.sql.Row]
+          row = reader.readRow(in)
+        }
+        buf.toSeq
+      } finally in.close()
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    }
+  }
+
+  /** Opt-in multi-statement session transaction — the closest Spark
+    * analogue of the reference's single-transaction session scope
+    * (ref: src/storage/postgres_transaction.cpp:34-50,
+    * test/sql/storage/attach_transactions.test). One dedicated
+    * connection (outside the pool budget) is pinned for the whole
+    * block: BEGIN before the body, COMMIT after it, ROLLBACK on any
+    * thrown exception — so a ported BEGIN/UPDATE/SELECT/COMMIT script
+    * keeps its atomicity and read-your-own-writes semantics.
+    *
+    * What it deliberately CANNOT do (SURVEY §7.4): distributed scans
+    * and parallel writes run on their own pooled connections and do
+    * not join this transaction — they keep their snapshot-consistent /
+    * per-write-job semantics. Everything inside the block runs on the
+    * one pinned connection, driver-side. */
+  def withTransaction[A](dsn: String,
+      isolation: String = "READ COMMITTED")(body: PgTxnSession => A): A = {
+    val t = PgTransportFactory.openUnpooled(dsn)
+    try {
+      t.execute(s"BEGIN ISOLATION LEVEL $isolation")
+      try {
+        val result = body(new PgTxnSession(t))
+        t.execute("COMMIT")
+        result
+      } catch {
+        case e: Throwable =>
+          try t.execute("ROLLBACK")
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      }
+    } finally t.close()
+  }
+
   /** `COPY FROM DATABASE` analogue (ref: test/sql/storage/
     * attach_copy_from_database.test): copy a schema — table definitions
     * + data — from one server to another in one call.

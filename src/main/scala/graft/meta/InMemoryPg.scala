@@ -1238,6 +1238,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
     """DELETE FROM "([^"]+)"\."([^"]+)" WHERE ctid IN \((.*)\)""".r
   private val InsertSelectRe: Regex =
     """INSERT INTO "([^"]+)"\."([^"]+)" \(([^)]*)\) SELECT [^)]*? FROM "([^"]+)"\."([^"]+)"""".r
+  private val InsertValuesRe: Regex =
+    """(?s)INSERT INTO "([^"]+)"\."([^"]+)"(?: \(([^)]*)\))? VALUES (.+)""".r
   private val DeleteWhereRe: Regex =
     """(?s)DELETE FROM "([^"]+)"\."([^"]+)" WHERE (.+)""".r
 
@@ -1408,6 +1410,86 @@ final class InMemoryPg(val name: String) extends PgTransport {
         schemas.remove(s)
         import scala.jdk.CollectionConverters._
         tables.keySet.asScala.filter(_._1 == s).toSeq.foreach(tables.remove)
+      case InsertValuesRe(sch, tbl, colListOrNull, tuplesSql) =>
+        // plain INSERT ... VALUES — the statement a ported
+        // BEGIN/INSERT/SELECT/COMMIT session script sends. Literals
+        // supported: NULL, 'string' ('' escape), numbers, TRUE/FALSE.
+        val t = getTable(sch, tbl)
+        val idxs: Seq[Int] = Option(colListOrNull).filter(_.trim.nonEmpty) match {
+          case Some(cl) =>
+            cl.split(",").toSeq.map(c =>
+              t.colIndex(c.trim.stripPrefix("\"").stripSuffix("\"")))
+          case None => t.columns.indices
+        }
+        require(idxs.forall(_ >= 0), s"INSERT VALUES column mismatch in: $sql")
+        // quote-aware top-level split of "(...), (...)" into tuples
+        def tuples(s: String): Seq[String] = {
+          val out = mutable.ArrayBuffer.empty[String]
+          var depth = 0; var inStr = false; val cur = new StringBuilder
+          s.foreach { c =>
+            c match {
+              case '\'' => inStr = !inStr; cur += c
+              case '(' if !inStr => depth += 1; if (depth > 1) cur += c
+              case ')' if !inStr =>
+                depth -= 1
+                if (depth == 0) { out += cur.toString; cur.clear() } else cur += c
+              case ',' if !inStr && depth == 0 => ()
+              case _ => cur += c
+            }
+          }
+          out.toSeq
+        }
+        def fields(s: String): Seq[String] = {
+          val out = mutable.ArrayBuffer.empty[String]
+          var depth = 0; var inStr = false; val cur = new StringBuilder
+          s.foreach { c =>
+            c match {
+              case '\'' => inStr = !inStr; cur += c
+              case '(' if !inStr => depth += 1; cur += c
+              case ')' if !inStr => depth -= 1; cur += c
+              case ',' if !inStr && depth == 0 => out += cur.toString.trim; cur.clear()
+              case _ => cur += c
+            }
+          }
+          if (cur.nonEmpty) out += cur.toString.trim
+          out.toSeq
+        }
+        def literal(raw: String, pt: PgType): Any = raw match {
+          case "NULL" => null
+          case s2 if s2.startsWith("'") && s2.endsWith("'") =>
+            val str = s2.substring(1, s2.length - 1).replace("''", "'")
+            pt match {
+              case PgNumeric(p, sc) => org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(str).setScale(sc), p, sc)
+              case _ => org.apache.spark.unsafe.types.UTF8String.fromString(str)
+            }
+          case "TRUE" | "true" => true
+          case "FALSE" | "false" => false
+          case num => pt match {
+            case PgInt2 => num.toShort
+            case PgInt4 => num.toInt
+            case PgInt8 => num.toLong
+            case PgFloat4 => num.toFloat
+            case PgFloat8 => num.toDouble
+            case PgNumeric(p, sc) => org.apache.spark.sql.types.Decimal(
+              new java.math.BigDecimal(num).setScale(sc), p, sc)
+            case _ => org.apache.spark.unsafe.types.UTF8String.fromString(num)
+          }
+        }
+        val rows = tuples(tuplesSql.trim).map { tup =>
+          val vals = fields(tup)
+          require(vals.length == idxs.length,
+            s"INSERT VALUES arity mismatch: (${vals.mkString(", ")})")
+          val full = new GenericInternalRow(t.columns.length)
+          idxs.zip(vals).foreach { case (ci, raw) =>
+            literal(raw, t.colTypes(ci)) match {
+              case null => full.setNullAt(ci)
+              case v => full.update(ci, v)
+            }
+          }
+          full
+        }
+        t.synchronized { rows.foreach(r => t.slots += Some(r)) }
       case InsertSelectRe(tSch, tTbl, colList, sSch, sTbl) =>
         // staged-write promote: copy rows column-by-name from the
         // staging table into the target

@@ -235,6 +235,44 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(!pg.hasTable("pg_temp", "session_scratch"))
   }
 
+  test("withTransaction: BEGIN/op/op/COMMIT on one pinned connection; ROLLBACK on error") {
+    pg
+    pg.execute("""CREATE TABLE IF NOT EXISTS "public"."txn_t" ("k" BIGINT, "v" VARCHAR)""")
+    val mark = pg.executedStatements.size
+    val n = PgFunctions.withTransaction(dsn) { s =>
+      s.execute("""INSERT INTO "public"."txn_t" VALUES (1, 'one')""")
+      s.execute("""INSERT INTO "public"."txn_t" VALUES (2, 'two')""")
+      // read-your-own-writes inside the block, typed via describe+COPY
+      val df = s.queryDf(spark, """SELECT "k", "v" FROM "public"."txn_t" ORDER BY "k"""")
+      assert(df.schema("k").dataType.simpleString == "bigint")
+      df.count()
+    }
+    assert(n == 2)
+    val sent = pg.executedStatements.synchronized {
+      pg.executedStatements.drop(mark).toList }
+    // statement ordering: BEGIN first, COMMIT after the body's ops
+    val beginIdx = sent.indexWhere(_.startsWith("BEGIN ISOLATION LEVEL"))
+    val commitIdx = sent.indexOf("COMMIT")
+    val opIdxs = sent.zipWithIndex.collect {
+      case (st, i) if st.startsWith("INSERT INTO \"public\".\"txn_t\"") => i }
+    assert(beginIdx >= 0 && commitIdx > beginIdx)
+    assert(opIdxs.size == 2 && opIdxs.forall(i => i > beginIdx && i < commitIdx))
+    assert(!sent.contains("ROLLBACK"))
+    // a thrown body rolls back and rethrows
+    val mark2 = pg.executedStatements.size
+    val e = intercept[RuntimeException] {
+      PgFunctions.withTransaction(dsn) { s =>
+        s.execute("""INSERT INTO "public"."txn_t" VALUES (3, 'three')""")
+        sys.error("boom")
+      }
+    }
+    assert(e.getMessage == "boom")
+    val sent2 = pg.executedStatements.synchronized {
+      pg.executedStatements.drop(mark2).toList }
+    assert(sent2.contains("ROLLBACK") && !sent2.contains("COMMIT"))
+    pg.execute("""DROP TABLE "public"."txn_t"""")
+  }
+
   test("catalog DDL: create table, insert, drop") {
     pg
     spark.sql("DROP TABLE IF EXISTS pg.public.scratch")
