@@ -35,8 +35,50 @@ final class InMemoryPg(val name: String) extends PgTransport {
     /** slot i ↔ ctid (page = i/RowsPerPage, row = i%RowsPerPage + 1);
       * None = deleted (hole, like a dead tuple). */
     val slots: mutable.ArrayBuffer[Option[InternalRow]] = mutable.ArrayBuffer.empty
-    def pages: Long = (slots.length + RowsPerPage - 1) / RowsPerPage
-    def liveRows: Int = slots.count(_.isDefined)
+    /** PACKED storage (opt-in, scan-only): rows held as PGCOPY binary
+      * tuples in sealed per-page byte blobs instead of boxed
+      * InternalRows — 5-8x less heap per row, which is what lets a
+      * 60M-row sf10 seed share one bench JVM. COPY IN appends here
+      * when `packed`; scans decode pages lazily (see liveIter); DML
+      * surfaces reject packed tables. */
+    var packed: Boolean = false
+    val packedPages: mutable.ArrayBuffer[Array[Byte]] = mutable.ArrayBuffer.empty
+    private var openPage: ByteArrayOutputStream = _
+    private var openPageOut: DataOutputStream = _
+    private var openPageRows = 0
+    private var packedRowCount: Long = 0L
+    private lazy val packedWriter = new PgBinaryWriter(colTypes)
+    /** append one row to packed storage; call under `synchronized`. */
+    def appendPacked(row: InternalRow): Unit = {
+      if (openPage == null) {
+        openPage = new ByteArrayOutputStream()
+        openPageOut = new DataOutputStream(openPage)
+      }
+      packedWriter.writeRow(openPageOut, row)
+      openPageRows += 1
+      packedRowCount += 1
+      if (openPageRows == RowsPerPage) {
+        openPageOut.flush()
+        packedPages += openPage.toByteArray
+        openPage = null; openPageOut = null; openPageRows = 0
+      }
+    }
+    /** rows decodable from page p (the open tail page included). */
+    def packedPageBytes(p: Int): Array[Byte] =
+      if (p < packedPages.length) packedPages(p)
+      else { openPageOut.flush(); openPage.toByteArray }
+    def packedRowsInPage(p: Int): Int =
+      if (p < packedPages.length) RowsPerPage else openPageRows
+    def packedPagesCount: Int = packedPages.length + (if (openPageRows > 0) 1 else 0)
+    def clearPacked(): Unit = {
+      packedPages.clear(); openPage = null; openPageOut = null
+      openPageRows = 0; packedRowCount = 0L
+    }
+    def pages: Long =
+      if (packed) packedPagesCount.toLong
+      else (slots.length + RowsPerPage - 1) / RowsPerPage
+    def liveRows: Int =
+      if (packed) packedRowCount.toInt else slots.count(_.isDefined)
     def colTypes: Seq[PgType] = columns.map(_._2)
     def colIndex(c: String): Int = columns.indexWhere(_._1 == c)
   }
@@ -63,6 +105,16 @@ final class InMemoryPg(val name: String) extends PgTransport {
     schemas.add(schema)
     val t = new MemTable(schema, table, columns)
     tables.put((schema, table), t)
+    t
+  }
+
+  /** A scan-only table whose rows live as PGCOPY byte blobs (5-8x less
+    * heap than boxed rows) — what lets a 60M-row sf10 seed share one
+    * bench JVM. COPY IN and every read path work; DML rejects. */
+  def createPackedTable(schema: String, table: String,
+      columns: Seq[(String, PgType)]): MemTable = {
+    val t = createTable(schema, table, columns)
+    t.packed = true
     t
   }
 
@@ -347,7 +399,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
         }
       }
     }
-    val rows = t.slots.flatten.filter(passes).toSeq
+    val rows = liveIter(t, 0L, Long.MaxValue).map(_._2).filter(passes).toSeq
 
     def colVal(r: InternalRow, c: String): Any = {
       val i = t.colIndex(c)
@@ -462,7 +514,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
     while (it.hasNext) {
       val e = it.next()
       fp ^= e.getKey.hashCode.toLong * 0x9E3779B97F4A7C15L +
-        e.getValue.slots.length.toLong * 1099511628211L
+        (e.getValue.slots.length.toLong + e.getValue.liveRows.toLong) * 1099511628211L
     }
     fp
   }
@@ -588,15 +640,21 @@ final class InMemoryPg(val name: String) extends PgTransport {
         case CtidRangeRe(l, h) => Some((l.toLong, h.toLong))
         case _ => None
       }.getOrElse((0L, Long.MaxValue))
-      val n = t.slots.indices.count { slot =>
-        val page = slot / RowsPerPage
-        page >= lo && page < hi && t.slots(slot).isDefined
-      }
+      val n =
+        if (t.packed) {
+          // packed pages have no holes — count without decoding
+          val loP = math.max(0L, lo).toInt
+          val hiP = math.min(t.packedPagesCount.toLong, hi).toInt
+          (loP until hiP).map(t.packedRowsInPage(_).toLong).sum
+        } else t.slots.indices.count { slot =>
+          val page = slot / RowsPerPage
+          page >= lo && page < hi && t.slots(slot).isDefined
+        }.toLong
       val writer = new PgBinaryWriter(Seq(PgInt8))
       val bos = new ByteArrayOutputStream()
       val out = new DataOutputStream(bos)
       writer.writeHeader(out)
-      writer.writeRow(out, new GenericInternalRow(Array[Any](n.toLong)))
+      writer.writeRow(out, new GenericInternalRow(Array[Any](n)))
       writer.writeTrailer(out)
       out.flush()
       new ByteArrayInputStream(bos.toByteArray)
@@ -756,6 +814,34 @@ final class InMemoryPg(val name: String) extends PgTransport {
     true
   }
 
+  /** Decoded live rows of pages [loPage, hiPage) — the one iteration
+    * seam every scan path shares. Packed tables decode lazily page by
+    * page, so a 60M-row range never materializes boxed rows at once. */
+  private def liveIter(t: MemTable, loPage: Long, hiPage: Long): Iterator[(Int, InternalRow)] =
+    if (!t.packed)
+      t.slots.indices.iterator.flatMap { slot =>
+        val page = slot / RowsPerPage
+        if (page >= loPage && page < hiPage) t.slots(slot).map(slot -> _) else None
+      }
+    else {
+      val lo = math.max(0L, loPage).toInt
+      val hi = math.min(t.packedPagesCount.toLong, hiPage).toInt
+      (lo until hi).iterator.flatMap { p =>
+        val reader = new PgBinaryReader(t.colTypes)
+        val in = new DataInputStream(new ByteArrayInputStream(t.packedPageBytes(p)))
+        val n = t.packedRowsInPage(p)
+        (0 until n).iterator.map { r =>
+          (p * RowsPerPage + r,
+            reader.readRow(in).getOrElse(throw new IllegalStateException(
+              s"packed page underrun: ${t.schema}.${t.table} page $p")))
+        }
+      }
+    }
+
+  private def requireUnpacked(t: MemTable, op: String): Unit =
+    require(!t.packed,
+      s"$op unsupported on packed (scan-only) table ${t.schema}.${t.table}")
+
   private def serveRows(
       t: MemTable,
       projCols: Seq[(String, Boolean)],
@@ -799,20 +885,19 @@ final class InMemoryPg(val name: String) extends PgTransport {
     writer.writeHeader(out)
     val (loPage, hiPage) = pageRange.getOrElse((0L, Long.MaxValue))
     // '(hi,0)' has row id 0 < any live row id, so page hi itself is
-    // excluded — matching PG BETWEEN semantics on tids
-    val inRange: Seq[(Int, InternalRow)] = t.slots.indices.flatMap { slot =>
-      val page = slot / RowsPerPage
-      if (page >= loPage && page < hiPage)
-        t.slots(slot).filter(r => preds.forall(_(r))).map(slot -> _)
-      else None
-    }
+    // excluded — matching PG BETWEEN semantics on tids. Rows stream
+    // through the predicate/projection pipeline (liveIter) — only a
+    // pushed ORDER BY forces materializing the range.
+    val inRangeIter: Iterator[(Int, InternalRow)] =
+      liveIter(t, loPage, hiPage).filter { case (_, r) => preds.forall(_(r)) }
     // pushed (partial) top-N: honor the generated ORDER BY ... LIMIT
     // exactly like a live server — sort the base rows by the key
     // columns, then cut
-    val sorted =
-      if (orderBy.isEmpty) inRange
+    val sorted: Iterator[(Int, InternalRow)] =
+      if (orderBy.isEmpty) inRangeIter
       else {
         val keys = orderBy.toIndexedSeq
+        val inRange = inRangeIter.toSeq
         inRange.sortWith { case ((_, ra), (_, rb)) =>
           var verdict = 0
           var k = 0
@@ -832,7 +917,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
             k += 1
           }
           verdict < 0
-        }
+        }.iterator
       }
     val afterOffset = offset.map(sorted.drop).getOrElse(sorted)
     val served = limit.map(afterOffset.take).getOrElse(afterOffset)
@@ -900,16 +985,6 @@ final class InMemoryPg(val name: String) extends PgTransport {
     }
     val groupIdxs = items.collect { case Left(i) => i }
 
-    val inRange = t.slots.indices.flatMap { slot =>
-      val page = slot / RowsPerPage
-      if (page >= lo && page < hi)
-        t.slots(slot).filter(r => wherePreds.forall(_(r)))
-      else None
-    }
-    val groups: Map[Seq[Any], Seq[InternalRow]] =
-      inRange.groupBy(r => groupIdxs.map(i =>
-        if (r.isNullAt(i)) null else r.get(i, PgType.toSpark(t.colTypes(i)))))
-
     def num(v: Any): Double = v match {
       case s: Short => s.toDouble
       case i: Int => i.toDouble
@@ -932,6 +1007,62 @@ final class InMemoryPg(val name: String) extends PgTransport {
       case (_, x) => x
     }
 
+    // ONE streaming pass with per-group accumulators — never a
+    // materialized Seq of grouped rows, so packed 60M-row tables
+    // aggregate in bounded heap (same results as the old groupBy
+    // form: identical visit order, identical accumulation types)
+    val aggItems: IndexedSeq[AggItem] = items.collect { case Right(a) => a }.toIndexedSeq
+    final class GroupAcc {
+      val counts = new Array[Long](aggItems.length)
+      val vals = new Array[Any](aggItems.length) // min/max current, sum accumulator
+    }
+    val groups = mutable.LinkedHashMap.empty[Seq[Any], GroupAcc]
+    liveIter(t, lo, hi).foreach { case (_, r) =>
+      if (wherePreds.forall(_(r))) {
+        val key = groupIdxs.map(i =>
+          if (r.isNullAt(i)) null else r.get(i, PgType.toSpark(t.colTypes(i))))
+        val acc = groups.getOrElseUpdate(key, new GroupAcc)
+        var j = 0
+        while (j < aggItems.length) {
+          val a = aggItems(j)
+          a.fn match {
+            case "count" =>
+              if (a.colIdx == -1 || !r.isNullAt(a.colIdx)) acc.counts(j) += 1
+            case "min" | "max" =>
+              if (!r.isNullAt(a.colIdx)) {
+                val v = r.get(a.colIdx, PgType.toSpark(t.colTypes(a.colIdx)))
+                if (acc.vals(j) == null) acc.vals(j) = v
+                else {
+                  val c = cmp(acc.vals(j), v)
+                  if ((a.fn == "min" && c > 0) || (a.fn == "max" && c < 0))
+                    acc.vals(j) = v
+                }
+              }
+            case "sum" =>
+              if (!r.isNullAt(a.colIdx)) {
+                val v = r.get(a.colIdx, PgType.toSpark(t.colTypes(a.colIdx)))
+                t.colTypes(a.colIdx) match {
+                  case PgInt2 | PgInt4 | PgInt8 =>
+                    acc.vals(j) = (if (acc.vals(j) == null) 0L
+                      else acc.vals(j).asInstanceOf[Long]) + num(v).toLong
+                  case PgFloat4 | PgFloat8 =>
+                    acc.vals(j) = (if (acc.vals(j) == null) 0.0
+                      else acc.vals(j).asInstanceOf[Double]) + num(v)
+                  case _: PgNumeric =>
+                    val d = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                      .toJavaBigDecimal
+                    acc.vals(j) = if (acc.vals(j) == null) d
+                      else acc.vals(j).asInstanceOf[java.math.BigDecimal].add(d)
+                  case other =>
+                    throw new IllegalArgumentException(s"sum over $other")
+                }
+              }
+          }
+          j += 1
+        }
+      }
+    }
+
     val outTypes = items.map {
       case Left(i) => t.colTypes(i)
       case Right(a) => a.outType
@@ -940,37 +1071,25 @@ final class InMemoryPg(val name: String) extends PgTransport {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     writer.writeHeader(out)
-    groups.toSeq.foreach { case (key, rows) =>
+    groups.foreach { case (key, acc) =>
+      var aggJ = -1
       val vals: Seq[Any] = items.map {
         case Left(i) => key(groupIdxs.indexOf(i))
-        case Right(AggItem("count", -1, _)) => rows.length.toLong
-        case Right(AggItem("count", ci, _)) =>
-          rows.count(!_.isNullAt(ci)).toLong
-        case Right(AggItem(fn @ ("min" | "max"), ci, _)) =>
-          val vs = rows.filter(!_.isNullAt(ci))
-            .map(_.get(ci, PgType.toSpark(t.colTypes(ci))))
-          if (vs.isEmpty) null
-          else if (fn == "min") vs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
-          else vs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
-        case Right(AggItem("sum", ci, outType)) =>
-          val vs = rows.filter(!_.isNullAt(ci))
-            .map(_.get(ci, PgType.toSpark(t.colTypes(ci))))
-          if (vs.isEmpty) null
-          else t.colTypes(ci) match {
-            case PgInt2 | PgInt4 | PgInt8 => vs.map(num(_).toLong).sum
-            case PgFloat4 | PgFloat8 => vs.map(num).sum
-            case _: PgNumeric =>
-              val total = vs.map {
-                case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
-              }.reduce(_.add(_))
-              outType match {
+        case Right(a) =>
+          aggJ += 1
+          a.fn match {
+            case "count" => acc.counts(aggJ)
+            case "min" | "max" => acc.vals(aggJ)
+            case "sum" => acc.vals(aggJ) match {
+              case null => null
+              case total: java.math.BigDecimal => a.outType match {
                 case PgNumeric(p, sc) =>
                   org.apache.spark.sql.types.Decimal(total.setScale(sc), p, sc)
                 case _ => org.apache.spark.sql.types.Decimal(total)
               }
-            case other => throw new IllegalArgumentException(s"sum over $other")
+              case other => other
+            }
           }
-        case Right(other) => throw new IllegalArgumentException(other.toString)
       }
       val coerced = vals.zip(items).map {
         case (v, Right(AggItem(_, ci, ot))) if v != null && ci >= 0 =>
@@ -1036,7 +1155,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
                 if (f == null) full.setNullAt(ci)
                 else full.update(ci, parseTextValue(f, t.colTypes(ci)))
               }
-              t.slots += Some(full)
+              if (t.packed) t.appendPacked(full) else t.slots += Some(full)
             }
           }
         }
@@ -1072,7 +1191,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
                 if (src.isNullAt(si)) full.setNullAt(ci)
                 else full.update(ci, src.get(si, PgType.toSpark(t.colTypes(ci))))
               }
-              t.slots += Some(full)
+              if (t.packed) t.appendPacked(full) else t.slots += Some(full)
               next = reader.readRow(in)
             }
           }
@@ -1371,6 +1490,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
         createTable("pg_temp", tbl, parseColumns(colDefs))
       case UpdateFromTempRe(sch, tbl, setList, tmpName) =>
         val target = getTable(sch, tbl)
+        requireUnpacked(target, "UPDATE")
         val tmp = getTable("pg_temp", tmpName)
         val SetPair = ("\"([^\"]+)\" = \"" + java.util.regex.Pattern.quote(tmpName) +
           "\"\\.\"([^\"]+)\"").r
@@ -1489,12 +1609,15 @@ final class InMemoryPg(val name: String) extends PgTransport {
           }
           full
         }
-        t.synchronized { rows.foreach(r => t.slots += Some(r)) }
+        t.synchronized { rows.foreach(r =>
+          if (t.packed) t.appendPacked(r) else t.slots += Some(r)) }
       case InsertSelectRe(tSch, tTbl, colList, sSch, sTbl) =>
         // staged-write promote: copy rows column-by-name from the
         // staging table into the target
         val target = getTable(tSch, tTbl)
+        requireUnpacked(target, "INSERT SELECT")
         val src = getTable(sSch, sTbl)
+        requireUnpacked(src, "INSERT SELECT source")
         val cols = colList.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
         val tIdx = cols.map(target.colIndex)
         val sIdx = cols.map(src.colIndex)
@@ -1521,9 +1644,12 @@ final class InMemoryPg(val name: String) extends PgTransport {
               s"""relation "$tbl" already exists (42P07)""")
         } else createTable(sch, tbl, parseColumns(colDefs))
       case DropTableRe(sch, tbl) => tables.remove((sch, tbl))
-      case TruncateRe(sch, tbl) => getTable(sch, tbl).slots.clear()
+      case TruncateRe(sch, tbl) =>
+        val t = getTable(sch, tbl)
+        t.synchronized { t.slots.clear(); t.clearPacked() }
       case AddColumnRe(sch, tbl, colName, tpe) =>
         val t = getTable(sch, tbl)
+        requireUnpacked(t, "ALTER TABLE")
         val nt = new MemTable(sch, tbl, t.columns :+ (colName -> parseTypeString(tpe.trim)))
         t.slots.foreach {
           case Some(r) =>
@@ -1535,6 +1661,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
         tables.put((sch, tbl), nt)
       case DropColumnRe(sch, tbl, colName) =>
         val t = getTable(sch, tbl)
+        requireUnpacked(t, "ALTER TABLE")
         val keep = t.columns.zipWithIndex.filter(_._1._1 != colName)
         val nt = new MemTable(sch, tbl, keep.map(_._1))
         t.slots.foreach {
@@ -1547,6 +1674,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
         tables.put((sch, tbl), nt)
       case RenameColumnRe(sch, tbl, from, to) =>
         val t = getTable(sch, tbl)
+        requireUnpacked(t, "ALTER TABLE")
         val nt = new MemTable(sch, tbl,
           t.columns.map { case (n, ct) => (if (n == from) to else n) -> ct })
         nt.slots ++= t.slots
@@ -1554,6 +1682,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
       case RenameTableRe(sch, tbl, newName) =>
         val t = tables.remove((sch, tbl))
         require(t != null, s"relation $sch.$tbl does not exist")
+        requireUnpacked(t, "RENAME TABLE")
         val nt = createTable(sch, newName, t.columns)
         nt.slots ++= t.slots
       case s if s.startsWith("CREATE UNIQUE INDEX") || s.startsWith("CREATE INDEX") =>
@@ -1573,6 +1702,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
         }
       case DeleteCtidRe(sch, tbl, tids) =>
         val t = getTable(sch, tbl)
+        requireUnpacked(t, "DELETE")
         val TidLit = """'\((\d+),(\d+)\)'(?:::tid)?""".r
         t.synchronized {
           TidLit.findAllMatchIn(tids).foreach { m =>
@@ -1584,6 +1714,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
         // pushed-down SQL DELETE (SupportsDelete.deleteWhere): evaluate
         // the conjunction of simple predicates and kill matching slots
         val t = getTable(sch, tbl)
+        requireUnpacked(t, "DELETE")
         // the whole WHERE goes to the tree-aware parser: a top-level OR
         // of parenthesized conjunctions (e.g. ((a OR b) AND c) OR d)
         // must not be string-split on ") AND ("
