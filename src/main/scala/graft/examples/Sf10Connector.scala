@@ -1,0 +1,51 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/** The c-series at sf10: seeds the in-process PG endpoint from the
+  * sf10 replica parquet into PACKED (byte-blob) tables — the storage
+  * mode that lifts the boxed-InternalRow heap ceiling which excluded
+  * the connector path from sf10 in round 7 — then times catalog
+  * entries end to end (seed untimed, queries timed cold, one pass,
+  * full toRdd.foreach forcing).
+  *
+  * Usage: runMain graft.examples.Sf10Connector [sfDir] [entry,entry,...]
+  */
+object Sf10Connector {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/sf10"
+    val entries: Seq[String] =
+      if (args.length > 1) args(1).split(",").toSeq
+      else Seq("c16_pg_tpch_q1", "c34_tpch_q18", "c37_tpch_q21")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    graft.queries.ConnectorOps.seedPackedTpch(spark, dir)
+    println(f"SEED packed tpch from $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val results = entries.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val t1 = System.nanoTime()
+      try {
+        fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
+        val dt = (System.nanoTime() - t1) / 1e9
+        println(f"SF10C $name%-20s $dt%.2f s")
+        name -> dt
+      } catch {
+        case e: Throwable =>
+          println(s"SF10C FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          name -> -1.0
+      }
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"sf10_connector","queries":$qs,"sf":"$dir"}""")
+    spark.stop()
+  }
+}
