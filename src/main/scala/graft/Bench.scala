@@ -6,9 +6,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle-partition override for scale runs: the pair-of-record
+    // protocol pins partitions = cores (sf0.1), but on 10-30x replicas
+    // the per-reducer pair workload grows past executor memory and the
+    // right cluster response is more reducers, not bigger ones. The
+    // sf3+ rows in BENCH_NOTES document which setting they used.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled",
@@ -84,7 +91,7 @@ object Bench {
          |  "value": $total,
          |  "unit": "sec",
          |  "sf": "$sfDir",
-         |  "config": {"master": "local[$cpus]", "shuffle_partitions": $cpus,
+         |  "config": {"master": "local[$cpus]", "shuffle_partitions": $shufflePartitions,
          |             "aqe": "${sys.env.getOrElse("SPARK_GRAFT_AQE", "true")}",
          |             "forcing": "toRdd.foreach", "protocol": "warm+min-of-2"},
          |  "queries": {
@@ -94,6 +101,22 @@ object Bench {
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       doc.getBytes("UTF-8"))
+    // The driver's stdout capture keeps only the LAST ~2000 chars, so
+    // the full per-query line above never fits once the battery passed
+    // ~70 entries (r1-r7 all recorded "parsed": null). Emit one final
+    // COMPACT line that always fits: total + the slowest entries that
+    // fit a 1400-char budget + a pointer to the full results file.
+    val slowest = results.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"full_results":"$outPath","slowest":{"""
+    val tailStr = "}}"
+    val budget = 1400 - head.length - tailStr.length
+    val sb = new StringBuilder
+    slowest.foreach { case (k, v) =>
+      val frag = (if (sb.nonEmpty) "," else "") +
+        "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+      if (sb.length + frag.length <= budget) sb.append(frag)
+    }
+    println(head + sb.result() + tailStr)
     spark.stop()
   }
 }
