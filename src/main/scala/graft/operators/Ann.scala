@@ -105,7 +105,13 @@ object Ann {
     // ONE normed relation read by both join sides: each norm is
     // computed once per vector — not per side, never per pair — and
     // the per-cluster member count rides the cid partitioning just
-    // established as a window (a local sort, no extra exchange)
+    // established as a window (a local sort, no extra exchange).
+    // Measured alternative, rejected: aggregating sizes to ≤ k rows
+    // and broadcast-joining back avoids the local sort but inserts a
+    // broadcast-build JOB BARRIER before the pair join — 1.63 s vs
+    // 1.27 s isolated at sf0.1, and the window variant's scale
+    // behavior is the one measured good (6.84 s sf1 / 96.3 s sf10,
+    // BENCH_NOTES round-8 curves).
     val n = emb.join(assigned, idCol)
       .select(col("cid"), col(idCol), col(vecCol),
         vec_norm(col(vecCol)).as("nrm"))
