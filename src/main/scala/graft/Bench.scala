@@ -93,7 +93,10 @@ object Bench {
          |  "sf": "$sfDir",
          |  "config": {"master": "local[$cpus]", "shuffle_partitions": $shufflePartitions,
          |             "aqe": "${sys.env.getOrElse("SPARK_GRAFT_AQE", "true")}",
-         |             "forcing": "toRdd.foreach", "protocol": "warm+min-of-2"},
+         |             "forcing": "toRdd.foreach",
+         |             "protocol": "${
+             (if (doWarmup) "warm" else "cold") +
+               (if (passes > 1) s"+min-of-$passes" else "+single-pass")}"},
          |  "queries": {
          |$perQuery
          |  }

@@ -98,17 +98,34 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
     * pg_namespace lists only the concrete per-session schemas
     * (pg_temp_N): Postgres resolves the alias per connection, and the
     * reference exposes temp tables through its attached catalog the
-    * same way (ref: test/sql/storage/attach_temporary_table.test).
-    * Caveat (documented, matching the reference's in-process model):
-    * temp-table visibility on a REAL multi-connection server is
-    * per-connection; this surface is exact against the offline
-    * endpoint (one shared store) and against any deployment that
-    * pins a single session. */
+    * same way (ref: test/sql/storage/attach_temporary_table.test —
+    * which upstream marks `mode skip` for the same session-affinity
+    * reasons).
+    *
+    * The namespace is exposed ONLY for `mem:` DSNs, where the offline
+    * endpoint is one shared store and the semantics are exact. On a
+    * real multi-connection server the surface CANNOT work from a
+    * pooled catalog — CREATE TEMPORARY would land on one pooled
+    * connection (and die with its release), discovery by
+    * nspname='pg_temp' matches nothing, and scans open fresh
+    * connections that can never see another session's temp schema —
+    * so pg_temp operations over the wire fail fast with a pointer at
+    * `PgFunctions.withTransaction`, whose pinned session gives real
+    * temp-table semantics for script ports. */
   private val TempNs = "pg_temp"
 
-  override def listNamespaces(): Array[Array[String]] =
-    withTransport(_.query(PgCatalogQueries.listSchemas)).map(r => Array(r.head)).toArray :+
-      Array(TempNs)
+  private def tempNsSupported: Boolean = dsn != null && dsn.startsWith("mem:")
+
+  private def assertTempNsUsable(what: String): Unit =
+    if (!tempNsSupported) throw new UnsupportedOperationException(
+      s"cannot $what: pg_temp through a pooled catalog has no session affinity on a " +
+        "real server — use PgFunctions.withTransaction(dsn) { s => ... } for " +
+        "session-scoped temporary tables")
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val real = withTransport(_.query(PgCatalogQueries.listSchemas)).map(r => Array(r.head)).toArray
+    if (tempNsSupported) real :+ Array(TempNs) else real
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
@@ -147,6 +164,7 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val key = (nsOf(ident), ident.name())
+    if (key._1 == TempNs) assertTempNsUsable("resolve a pg_temp table")
     val cached = tableCache.get(key)
     if (cached != null) cached
     else {
@@ -189,6 +207,7 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
     // pg_temp: CREATE TEMPORARY TABLE (unqualified — Postgres resolves
     // the temp schema per session; qualifying with pg_temp is the
     // equivalent spelling but TEMPORARY is the canonical DDL)
+    if (ns == TempNs) assertTempNsUsable("CREATE TABLE in pg_temp")
     val ddl =
       if (ns == TempNs)
         s"CREATE TEMPORARY TABLE ${PgSqlGen.quoteIdent(ident.name())} ($cols)"

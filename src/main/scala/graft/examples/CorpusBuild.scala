@@ -58,15 +58,15 @@ object CorpusBuild {
 
     // 3. exact dedup on the CLEANED text (boilerplate stripping first
     // makes exact dedup catch docs that differed only in chrome).
-    // Window keyed on (h, clean_text), not the hash alone: the hash
-    // pre-clusters cheaply but a 64-bit collision between DISTINCT
-    // texts must not merge them — "exact" means exact
+    // Window keyed on the full clean_text — "exact" means exact, and
+    // a hash co-key would be dead weight: hashpartitioning already
+    // hashes the text to route rows, so prefixing an xxhash64 column
+    // saves nothing and adds shuffle-key width.
     val exact = cleaned
-      .withColumn("h", xxhash64(col("clean_text")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("h"), col("clean_text")).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1).drop("h", "rn")
+          .partitionBy(col("clean_text")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
     stage("exact dedup", exact.count())
 
     // 4. near-dup clusters; keep each cluster's canonical doc

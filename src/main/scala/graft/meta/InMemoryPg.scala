@@ -63,13 +63,23 @@ final class InMemoryPg(val name: String) extends PgTransport {
         openPage = null; openPageOut = null; openPageRows = 0
       }
     }
-    /** rows decodable from page p (the open tail page included). */
-    def packedPageBytes(p: Int): Array[Byte] =
+    /** rows decodable from page p (the open tail page included).
+      * All three accessors take the table lock: appends run under
+      * `synchronized`, and an unlocked flush+toByteArray concurrent
+      * with one could hand a reader a torn half-written tuple — and
+      * even a sealed-page read races the ArrayBuffer resize a
+      * concurrent append may trigger. The lock covers a reference
+      * copy, not the decode. */
+    def packedPageBytes(p: Int): Array[Byte] = this.synchronized {
       if (p < packedPages.length) packedPages(p)
       else { openPageOut.flush(); openPage.toByteArray }
-    def packedRowsInPage(p: Int): Int =
+    }
+    def packedRowsInPage(p: Int): Int = this.synchronized {
       if (p < packedPages.length) RowsPerPage else openPageRows
-    def packedPagesCount: Int = packedPages.length + (if (openPageRows > 0) 1 else 0)
+    }
+    def packedPagesCount: Int = this.synchronized {
+      packedPages.length + (if (openPageRows > 0) 1 else 0)
+    }
     def clearPacked(): Unit = {
       packedPages.clear(); openPage = null; openPageOut = null
       openPageRows = 0; packedRowCount = 0L
@@ -79,6 +89,14 @@ final class InMemoryPg(val name: String) extends PgTransport {
       else (slots.length + RowsPerPage - 1) / RowsPerPage
     def liveRows: Int =
       if (packed) packedRowCount.toInt else slots.count(_.isDefined)
+    /** O(1) row figure for the copy-cache fingerprint: packed appends
+      * don't move `slots.length`, boxed appends do. Deliberately NOT
+      * liveRows — that walks every boxed slot, and the fingerprint
+      * runs per copyOut (per scan task). In-place replacement without
+      * a length change is caught by the execute-path generation bump,
+      * as documented at dataFingerprint. */
+    def fingerprintRows: Long =
+      if (packed) packedRowCount else slots.length.toLong
     def colTypes: Seq[PgType] = columns.map(_._2)
     def colIndex(c: String): Int = columns.indexWhere(_._1 == c)
   }
@@ -514,7 +532,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
     while (it.hasNext) {
       val e = it.next()
       fp ^= e.getKey.hashCode.toLong * 0x9E3779B97F4A7C15L +
-        (e.getValue.slots.length.toLong + e.getValue.liveRows.toLong) * 1099511628211L
+        e.getValue.fingerprintRows * 1099511628211L
     }
     fp
   }
@@ -1574,27 +1592,19 @@ final class InMemoryPg(val name: String) extends PgTransport {
           if (cur.nonEmpty) out += cur.toString.trim
           out.toSeq
         }
+        // Delegate to parseTextValue — the same reader the COPY TEXT
+        // path uses — so typed literals (date/timestamp/bytea/interval/
+        // array/geometry) land in their Catalyst representation, not as
+        // UTF8String that later crashes the binary writer. Only the
+        // SQL-specific forms (unquoted TRUE/FALSE, '' escaping) are
+        // handled here.
         def literal(raw: String, pt: PgType): Any = raw match {
           case "NULL" => null
-          case s2 if s2.startsWith("'") && s2.endsWith("'") =>
-            val str = s2.substring(1, s2.length - 1).replace("''", "'")
-            pt match {
-              case PgNumeric(p, sc) => org.apache.spark.sql.types.Decimal(
-                new java.math.BigDecimal(str).setScale(sc), p, sc)
-              case _ => org.apache.spark.unsafe.types.UTF8String.fromString(str)
-            }
           case "TRUE" | "true" => true
           case "FALSE" | "false" => false
-          case num => pt match {
-            case PgInt2 => num.toShort
-            case PgInt4 => num.toInt
-            case PgInt8 => num.toLong
-            case PgFloat4 => num.toFloat
-            case PgFloat8 => num.toDouble
-            case PgNumeric(p, sc) => org.apache.spark.sql.types.Decimal(
-              new java.math.BigDecimal(num).setScale(sc), p, sc)
-            case _ => org.apache.spark.unsafe.types.UTF8String.fromString(num)
-          }
+          case s2 if s2.startsWith("'") && s2.endsWith("'") =>
+            parseTextValue(s2.substring(1, s2.length - 1).replace("''", "'"), pt)
+          case num => parseTextValue(num, pt)
         }
         val rows = tuples(tuplesSql.trim).map { tup =>
           val vals = fields(tup)
@@ -1680,9 +1690,11 @@ final class InMemoryPg(val name: String) extends PgTransport {
         nt.slots ++= t.slots
         tables.put((sch, tbl), nt)
       case RenameTableRe(sch, tbl, newName) =>
-        val t = tables.remove((sch, tbl))
-        require(t != null, s"relation $sch.$tbl does not exist")
+        // validate BEFORE removing: a rejected rename (packed table)
+        // must leave the source table intact, not destroy it
+        val t = getTable(sch, tbl)
         requireUnpacked(t, "RENAME TABLE")
+        tables.remove((sch, tbl))
         val nt = createTable(sch, newName, t.columns)
         nt.slots ++= t.slots
       case s if s.startsWith("CREATE UNIQUE INDEX") || s.startsWith("CREATE INDEX") =>
@@ -1772,12 +1784,14 @@ final class InMemoryPg(val name: String) extends PgTransport {
       while (base.endsWith("[]")) { base = base.dropRight(2); nd += 1 }
       PgArray(parseTypeString(base), nd)
     } else upper match {
-      case "BOOLEAN" => PgBool
-      case "SMALLINT" => PgInt2
-      case "INTEGER" => PgInt4
-      case "BIGINT" => PgInt8
-      case "REAL" => PgFloat4
-      case "DOUBLE PRECISION" => PgFloat8
+      // both the SQL-standard names the catalog's DDL emits and the
+      // internal short names any hand-written PG script uses
+      case "BOOLEAN" | "BOOL" => PgBool
+      case "SMALLINT" | "INT2" => PgInt2
+      case "INTEGER" | "INT" | "INT4" => PgInt4
+      case "BIGINT" | "INT8" => PgInt8
+      case "REAL" | "FLOAT4" => PgFloat4
+      case "DOUBLE PRECISION" | "FLOAT8" => PgFloat8
       case NumRe(p, sc) => PgNumeric(p.toInt, sc.toInt)
       case "NUMERIC" | "DECIMAL" => PgNumeric(0, 0)
       case "TEXT" => PgText
@@ -1789,7 +1803,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
       case "DATE" => PgDate
       case "TIME" => PgTime
       case "TIMESTAMP" => PgTimestamp
-      case "TIMESTAMP WITH TIME ZONE" => PgTimestampTz
+      case "TIMESTAMP WITH TIME ZONE" | "TIMESTAMPTZ" => PgTimestampTz
       case "INTERVAL" => PgInterval
       case "UUID" => PgUuid
       case "BYTEA" => PgBytea

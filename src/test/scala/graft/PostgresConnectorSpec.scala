@@ -302,6 +302,35 @@ class PostgresConnectorSpec extends AnyFunSuite {
       pg.execute("""DELETE FROM "public"."packed_people" WHERE ctid IN ('(0,1)'::tid)""")
     }
     assert(e.getMessage.contains("packed"))
+    // a REJECTED rename must leave the table intact (the guard runs
+    // before the map removal, not after)
+    val e2 = intercept[Exception] {
+      pg.execute("""ALTER TABLE "public"."packed_people" RENAME TO "gone"""")
+    }
+    assert(e2.getMessage.contains("packed"))
+    assert(spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "packed_people").load().count() == 300)
+  }
+
+  test("INSERT VALUES stores typed literals, not strings: date/timestamp/bool round-trip") {
+    pg
+    pg.execute("""CREATE TABLE "public"."ins_typed" ("k" int8, "d" date, "ts" timestamp, "b" bool, "x" bytea)""")
+    pg.execute("""INSERT INTO "public"."ins_typed" VALUES """ +
+      """(1, '2020-06-15', '2020-06-15 12:30:45', TRUE, '\x0aff'), """ +
+      """(2, NULL, NULL, 'f', NULL)""")
+    // a scan exercises PgBinaryWriter over the stored values — a
+    // UTF8String smuggled into a date/timestamp/bool/bytea column
+    // dies right here with a ClassCastException
+    val rows = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "ins_typed").load()
+      .orderBy("k").collect()
+    assert(rows(0).getAs[java.sql.Date]("d").toString == "2020-06-15")
+    assert(rows(0).getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.parse("2020-06-15T12:30:45"))
+    assert(rows(0).getAs[Boolean]("b"))
+    assert(rows(0).getAs[Array[Byte]]("x").toSeq == Seq(0x0a.toByte, 0xff.toByte))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("d")))
+    assert(!rows(1).getAs[Boolean]("b"))
   }
 
   test("catalog DDL: create table, insert, drop") {

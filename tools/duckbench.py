@@ -29,6 +29,9 @@ def main():
     out_path = None
     if len(sys.argv) > 3:
         if sys.argv[3] == "--merge":
+            # fail BEFORE the multi-minute battery runs, not at sys.argv[4]
+            if len(sys.argv) < 5:
+                sys.exit("usage: duckbench.py <sfDir> <oracle.json> --merge <bench_results.json>")
             merge_path = sys.argv[4]
         else:
             out_path = sys.argv[3]
