@@ -80,7 +80,9 @@ final class PgTextWriter(
       java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
     case PgTime =>
       val us = v.asInstanceOf[Long]
-      java.time.LocalTime.ofNanoOfDay(us * 1000).toString
+      // PG permits 24:00:00, one past LocalTime's domain
+      if (us == 86400000000L) "24:00:00"
+      else java.time.LocalTime.ofNanoOfDay(us * 1000).toString
     case PgTimeTz => v.toString // already the canonical PG text literal
     case PgTimestamp | PgTimestampTz =>
       val us = v.asInstanceOf[Long]
@@ -90,8 +92,12 @@ final class PgTextWriter(
         java.time.ZoneOffset.UTC).toString.replace('T', ' ')
     case PgInterval =>
       val ci = v.asInstanceOf[CalendarInterval]
-      // ISO-8601 interval input form, accepted by PG
-      val secs = ci.microseconds / 1e6
+      // ISO-8601 interval input form, accepted by PG. Seconds render
+      // through BigDecimal: double division would emit scientific
+      // notation (1.0E-4, 1.08E13) that PG's interval parser rejects,
+      // and loses microsecond precision on large values.
+      val secs = java.math.BigDecimal.valueOf(ci.microseconds)
+        .movePointLeft(6).stripTrailingZeros().toPlainString
       s"P${ci.months}M${ci.days}DT${secs}S"
     case PgCtid =>
       val p = v.asInstanceOf[Long]
@@ -135,10 +141,14 @@ final class PgTextWriter(
     }.mkString("{", ",", "}")
   }
 
-  /** Array elements containing specials must be double-quoted. */
+  /** Array elements containing specials must be double-quoted. The
+    * NULL check is case-INsensitive: PG's array input reads any
+    * unquoted spelling of null ("null", "Null", ...) as SQL NULL, so
+    * a string element that IS one of those spellings must be quoted
+    * or it silently round-trips as NULL. */
   private def quoteInArray(s: String): String =
     if (s.isEmpty || s.exists(c => c == ',' || c == '{' || c == '}' ||
-      c == '"' || c == '\\' || c.isWhitespace) || s == "NULL")
+      c == '"' || c == '\\' || c.isWhitespace) || s.equalsIgnoreCase("NULL"))
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     else s
 

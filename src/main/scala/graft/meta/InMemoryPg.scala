@@ -1333,7 +1333,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
     if (inner.trim.isEmpty)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val vals = splitTopLevel(inner, '{', '}').map { case (txt, quoted) =>
-      if (!quoted && txt.trim == "NULL") null
+      // PG array input: any unquoted case spelling of null is SQL NULL
+      if (!quoted && txt.trim.equalsIgnoreCase("NULL")) null
       else a.elem match {
         case inner2: PgArray => parseArrayLiteral(txt, inner2)
         case _ if a.ndims > 1 => parseArrayLiteral(txt, a.copy(ndims = a.ndims - 1))

@@ -122,7 +122,13 @@ final case class SnapshotRef(snapshotId: String, leaseToken: String)
   */
 final class PgSnapshotLease(dsn: String, expectedAdoptions: Int) extends AutoCloseable {
   private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private val remaining = new java.util.concurrent.atomic.AtomicInteger(expectedAdoptions)
+  // adoption is tracked per PARTITION IDENTITY, not as a raw count: a
+  // task retry re-adopts the snapshot, and with a counter the Nth
+  // decrement could release the export while a not-yet-started
+  // partition still needs SET TRANSACTION SNAPSHOT to succeed — which
+  // would fail the whole query unrecoverably ('invalid snapshot
+  // identifier' on every retry)
+  private val adoptedKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val transport = PgTransportFactory.openUnpooled(dsn)
   val token: String = java.util.UUID.randomUUID().toString
   val snapshotId: String =
@@ -135,8 +141,10 @@ final class PgSnapshotLease(dsn: String, expectedAdoptions: Int) extends AutoClo
 
   def isReleased: Boolean = released.get()
 
-  private[meta] def adopted(): Unit =
-    if (remaining.decrementAndGet() <= 0) release()
+  private[meta] def adopted(partitionKey: String): Unit = {
+    adoptedKeys.add(partitionKey)
+    if (adoptedKeys.size >= expectedAdoptions) release()
+  }
 
   def release(): Unit = if (released.compareAndSet(false, true)) {
     PgSnapshotLease.registry.remove(token)
@@ -163,11 +171,14 @@ object PgSnapshotLease {
   }
 
   /** Called by a partition reader right after `SET TRANSACTION
-    * SNAPSHOT`. In-JVM only (local mode / driver-side readers); a miss
-    * — e.g. from a remote executor — is a harmless no-op. */
-  def reportAdoption(ref: SnapshotRef): Unit = {
+    * SNAPSHOT`, with a key identifying the PARTITION (its task SQL —
+    * distinct per ctid range) so a retried task's second adoption is
+    * idempotent rather than a spurious count. In-JVM only (local mode /
+    * driver-side readers); a miss — e.g. from a remote executor — is a
+    * harmless no-op. */
+  def reportAdoption(ref: SnapshotRef, partitionKey: String): Unit = {
     val lease = registry.get(ref.leaseToken)
-    if (lease != null) lease.adopted()
+    if (lease != null) lease.adopted(partitionKey)
   }
 
   /** Leases currently holding a server transaction open (observability
@@ -232,21 +243,29 @@ object PgConnectionPool {
   def acquire(dsn: String): PgTransport = {
     val pool = pools.computeIfAbsent(dsn, new DsnPool(_))
     pool.permits.acquire()
-    pool.acquires += 1
-    val cached = pool.idle.poll()
-    val raw = cached match {
-      case null => PgTransportFactory.openRaw(dsn)
-      case t =>
-        // health check on reuse (ref: pool reset-on-return + check);
-        // a transport that fails the probe is closed, not reused
-        try { t.query(PgCatalogQueries.versionProbe); pool.reuses += 1; t }
-        catch {
-          case _: Exception =>
-            try t.close() catch { case _: Exception => () }
-            PgTransportFactory.openRaw(dsn)
-        }
+    // a failed open (server down, auth refused) must hand its permit
+    // back — otherwise each failed task attempt burns one permit and
+    // after connectionLimit failures every acquire on the DSN blocks
+    // forever, long after the server recovers
+    try {
+      pool.acquires += 1
+      val cached = pool.idle.poll()
+      val raw = cached match {
+        case null => PgTransportFactory.openRaw(dsn)
+        case t =>
+          // health check on reuse (ref: pool reset-on-return + check);
+          // a transport that fails the probe is closed, not reused
+          try { t.query(PgCatalogQueries.versionProbe); pool.reuses += 1; t }
+          catch {
+            case _: Exception =>
+              try t.close() catch { case _: Exception => () }
+              PgTransportFactory.openRaw(dsn)
+          }
+      }
+      new PooledTransport(raw, pool)
+    } catch {
+      case e: Throwable => pool.permits.release(); throw e
     }
-    new PooledTransport(raw, pool)
   }
 
   /** (acquires, reuses) counters for a DSN — test observability. */
@@ -326,9 +345,17 @@ object PgConnectionPool {
         // don't let FilterOutputStream fall back to byte-at-a-time
         override def write(b: Array[Byte], off: Int, len: Int): Unit =
           out.write(b, off, len)
-        override def close(): Unit = {
-          if (!done) { done = true; openCopies -= 1 }
+        override def close(): Unit = if (!done) {
+          // settle the COPY FIRST: if completion fails (the server
+          // rejects the rows on apply — constraint violation — or the
+          // stream dies), openCopies stays non-zero and the transport's
+          // close() DISCARDS the connection instead of pooling a wire
+          // mid-error. Decrementing before the close used to pool
+          // exactly those connections, and the next borrower would
+          // read the stale ErrorResponse as its own result.
           super.close()
+          done = true
+          openCopies -= 1
         }
       }
     }

@@ -641,11 +641,18 @@ final class PostgresScan(
     }
 
   override def filter(filters: Array[Filter]): Unit =
-    runtimeSql = filters.toSeq.flatMap {
-      case in: org.apache.spark.sql.sources.In if in.values.length > RuntimeInMax =>
-        None
-      case f => PgSqlGen.compileFilter(f)
-    }
+    // honor filterPushdown=false here too: the option's contract is
+    // "no remote WHERE at all" (the escape hatch for servers whose
+    // predicate evaluation diverges), and a runtime join filter is
+    // still a remote predicate — runtime filters are an optimization,
+    // so dropping them only costs extra transferred rows
+    runtimeSql =
+      if (!table.opts.filterPushdown) Nil
+      else filters.toSeq.flatMap {
+        case in: org.apache.spark.sql.sources.In if in.values.length > RuntimeInMax =>
+          None
+        case f => PgSqlGen.compileFilter(f)
+      }
 
   private def allPushedSql: Seq[String] = pushedSql ++ runtimeSql
 
@@ -776,36 +783,49 @@ final class PostgresPartitionReader(
     extends PartitionReader[InternalRow] {
 
   private val transport = PgTransportFactory.open(dsn)
-  // adopt the exported snapshot before streaming, then report the
-  // adoption so the lease can release once the last reader is in
-  // (ref: src/postgres_scanner.cpp:354-383)
-  snapshot.foreach { ref =>
-    transport.execute(graft.meta.PgCatalogQueries.beginReadOnly)
-    transport.execute(graft.meta.PgCatalogQueries.setSnapshot(ref.snapshotId))
-    graft.meta.PgSnapshotLease.reportAdoption(ref)
-  }
   private val reader = new graft.codec.PgBinaryReader(
     cols.map(_.pgType), required.fields.map(_.dataType).toSeq)
-  // Stale-schema detection (the Spark shape of the reference's
-  // rebind-on-COLUMN_NOT_FOUND planning hook, ref:
-  // src/postgres_extension.cpp:25-46): Spark cannot re-plan a running
-  // task, so a scan built from a cached schema that no longer matches
-  // the server fails with an actionable pointer at the cache hook
-  // instead of a bare server error.
-  private val in = new DataInputStream(
-    try transport.copyOut(sql)
-    catch {
-      case e: Exception if e.getMessage != null &&
-          (e.getMessage.contains("does not exist") ||
-            e.getMessage.toLowerCase.contains("column")) =>
-        transport.close()
-        throw new IllegalStateException(
-          s"${e.getMessage} — the remote schema may have changed since this " +
-            "table was discovered; invalidate the cached binding " +
-            "(PostgresCatalog.invalidateTable/invalidateAll, the " +
-            "pg_clear_cache analogue) and re-run", e)
-    })
-  reader.readHeader(in)
+  // Everything after the acquire runs under a close-on-failure guard:
+  // Spark never calls close() on a reader whose CONSTRUCTOR threw, so
+  // any unguarded failure here (snapshot adoption, copyOut, header
+  // read) would leak the pooled connection and its permit — enough
+  // task retries against a flaky server would then exhaust the pool
+  // and hang every later scan on the DSN.
+  private val in: DataInputStream =
+    try {
+      // adopt the exported snapshot before streaming, then report the
+      // adoption so the lease can release once the last reader is in
+      // (ref: src/postgres_scanner.cpp:354-383)
+      snapshot.foreach { ref =>
+        transport.execute(graft.meta.PgCatalogQueries.beginReadOnly)
+        transport.execute(graft.meta.PgCatalogQueries.setSnapshot(ref.snapshotId))
+        graft.meta.PgSnapshotLease.reportAdoption(ref, sql)
+      }
+      // Stale-schema detection (the Spark shape of the reference's
+      // rebind-on-COLUMN_NOT_FOUND planning hook, ref:
+      // src/postgres_extension.cpp:25-46): Spark cannot re-plan a
+      // running task, so a scan built from a cached schema that no
+      // longer matches the server fails with an actionable pointer at
+      // the cache hook instead of a bare server error.
+      val d = new DataInputStream(
+        try transport.copyOut(sql)
+        catch {
+          case e: Exception if e.getMessage != null &&
+              (e.getMessage.contains("does not exist") ||
+                e.getMessage.toLowerCase.contains("column")) =>
+            throw new IllegalStateException(
+              s"${e.getMessage} — the remote schema may have changed since this " +
+                "table was discovered; invalidate the cached binding " +
+                "(PostgresCatalog.invalidateTable/invalidateAll, the " +
+                "pg_clear_cache analogue) and re-run", e)
+        })
+      reader.readHeader(d)
+      d
+    } catch {
+      case e: Throwable =>
+        try transport.close() catch { case _: Exception => () }
+        throw e
+    }
 
   private var current: InternalRow = _
 
@@ -899,9 +919,27 @@ final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val t = PgTransportFactory.open(opts.dsn)
-    try t.execute(s"CREATE TABLE IF NOT EXISTS $epochsQname " +
-      """("sink" VARCHAR, "epoch_id" BIGINT)""")
-    finally t.close()
+    try {
+      t.execute(s"CREATE TABLE IF NOT EXISTS $epochsQname " +
+        """("sink" VARCHAR, "epoch_id" BIGINT)""")
+      // Sweep staging tables orphaned by a crashed run: this run's
+      // jobId is fresh, so stagings from a driver that died between
+      // task commit and epoch promote would otherwise accumulate in
+      // the schema forever (their rows were never promoted — the
+      // replayed epoch re-stages under the new jobId and commits
+      // through the marker table). One writer per sink is already the
+      // contract (concurrent writers would collide on the epoch
+      // marker), so anything matching this sink's staging prefix and
+      // not this jobId is dead.
+      val stgPrefix = s"${tbl.take(24)}_stg_"
+      t.query(graft.meta.PgCatalogQueries.listTables(opts.schema))
+        .map(_.head)
+        .filter(n => n.startsWith(stgPrefix) && !n.startsWith(s"$stgPrefix$jobId"))
+        .foreach { stale =>
+          t.execute(s"DROP TABLE IF EXISTS " +
+            s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(stale)}")
+        }
+    } finally t.close()
     new PostgresStreamingWriterFactory(opts.dsn, opts.schema, tbl,
       writeSchema, colNames, pgTypes, opts.nullByteReplacement, opts.useBinaryCopy,
       s"${tbl.take(24)}_stg_$jobId")
@@ -1123,31 +1161,6 @@ final class PostgresDataWriter(
     if (!useBinaryCopy) graft.codec.PgCopyFormat.Text
     else graft.codec.PgCopyFormat.forTypes(pgTypes)
 
-  // staged mode: this task COPYs into its own uniquely-named staging
-  // table (auto-committed CREATE so the driver's promote transaction
-  // can see it); a retried/speculative twin writes a different staging
-  // table and only the committed task's message reaches the driver
-  private val copyTarget: String = stagingTable match {
-    case Some(st) =>
-      val defs = colNames.zip(pgTypes).map { case (n, pt) =>
-        s"${PgSqlGen.quoteIdent(n)} ${PgType.typeString(pt)}"
-      }.mkString(", ")
-      transport.execute(
-        s"CREATE TABLE ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(st)} ($defs)")
-      st
-    case None => table
-  }
-
-  // each task's COPY runs inside its own transaction, committed only in
-  // commit(): a failed/speculative task's rows must never become
-  // visible (the reference's copy is likewise transactional —
-  // ref: src/postgres_copy_to.cpp:102-109)
-  transport.execute("BEGIN")
-
-  private val out = new java.io.DataOutputStream(transport.copyIn(
-    s"COPY ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(copyTarget)} ($colList) " +
-      s"FROM STDIN (FORMAT ${if (format == graft.codec.PgCopyFormat.Binary) "binary" else "text"})"))
-
   private val binWriter =
     if (format == graft.codec.PgCopyFormat.Binary)
       Some(new graft.codec.PgBinaryWriter(pgTypes, sparkTypes, nullByteReplacement))
@@ -1157,7 +1170,42 @@ final class PostgresDataWriter(
       Some(new graft.codec.PgTextWriter(pgTypes, sparkTypes, nullByteReplacement))
     else None
 
-  binWriter.foreach(_.writeHeader(out))
+  // Constructor-time server work runs under a close-on-failure guard:
+  // Spark never calls abort()/close() on a writer whose constructor
+  // threw, so an unguarded failure here would leak the pooled
+  // connection and its permit.
+  private val (copyTarget: String, out: java.io.DataOutputStream) =
+    try {
+      // staged mode: this task COPYs into its own uniquely-named
+      // staging table (auto-committed CREATE so the driver's promote
+      // transaction can see it); a retried/speculative twin writes a
+      // different staging table and only the committed task's message
+      // reaches the driver
+      val target = stagingTable match {
+        case Some(st) =>
+          val defs = colNames.zip(pgTypes).map { case (n, pt) =>
+            s"${PgSqlGen.quoteIdent(n)} ${PgType.typeString(pt)}"
+          }.mkString(", ")
+          transport.execute(
+            s"CREATE TABLE ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(st)} ($defs)")
+          st
+        case None => table
+      }
+      // each task's COPY runs inside its own transaction, committed
+      // only in commit(): a failed/speculative task's rows must never
+      // become visible (the reference's copy is likewise transactional —
+      // ref: src/postgres_copy_to.cpp:102-109)
+      transport.execute("BEGIN")
+      val o = new java.io.DataOutputStream(transport.copyIn(
+        s"COPY ${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(target)} ($colList) " +
+          s"FROM STDIN (FORMAT ${if (format == graft.codec.PgCopyFormat.Binary) "binary" else "text"})"))
+      binWriter.foreach(_.writeHeader(o))
+      (target, o)
+    } catch {
+      case e: Throwable =>
+        try transport.close() catch { case _: Exception => () }
+        throw e
+    }
 
   override def write(record: InternalRow): Unit = binWriter match {
     case Some(w) => w.writeRow(out, record)

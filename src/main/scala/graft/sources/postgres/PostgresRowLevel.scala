@@ -131,33 +131,55 @@ final class PostgresDeltaWriter(
     if (updBuf.length >= UpdFlushRows) flushUpdates()
   }
 
+  /** COPY `rows` through whichever format the column set can
+    * round-trip — binary unless an enum/bit/unknown column forces the
+    * text form, the same `PgCopyFormat.forTypes` rule the ordinary
+    * write path applies (a row-level UPDATE/MERGE on an enum table
+    * must not hard-code binary the endpoint may reject). */
+  private def copyRows(
+      copySqlPrefix: String,
+      pts: Seq[PgType],
+      sts: Seq[org.apache.spark.sql.types.DataType],
+      rows: Iterator[InternalRow]): Unit = {
+    val fmt = graft.codec.PgCopyFormat.forTypes(pts)
+    val out = new java.io.DataOutputStream(transport.copyIn(
+      s"$copySqlPrefix (FORMAT ${if (fmt == graft.codec.PgCopyFormat.Binary) "binary" else "text"})"))
+    if (fmt == graft.codec.PgCopyFormat.Binary) {
+      val w = new graft.codec.PgBinaryWriter(pts, sts)
+      w.writeHeader(out)
+      rows.foreach(w.writeRow(out, _))
+      w.writeTrailer(out)
+    } else {
+      val w = new graft.codec.PgTextWriter(pts, sts, None)
+      rows.foreach { r =>
+        out.write(w.rowText(r).getBytes("UTF-8")); out.write('\n')
+      }
+    }
+    out.close()
+  }
+
   private def flushUpdates(): Unit = if (updBuf.nonEmpty) {
     val tmp = "update_data_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val colDefs = colNames.zip(pgTypes).map { case (n, pt) =>
       s"${PgSqlGen.quoteIdent(n)} ${PgType.typeString(pt)}"
     }.mkString(", ") + ", \"__page_id_string\" VARCHAR"
     transport.execute(s"""CREATE TEMPORARY TABLE "$tmp" ($colDefs)""")
-    val writer = new graft.codec.PgBinaryWriter(
-      pgTypes :+ PgType.PgVarchar,
-      sparkTypes :+ org.apache.spark.sql.types.StringType)
-    val out = new java.io.DataOutputStream(transport.copyIn(
+    copyRows(
       s"""COPY "$tmp" (${(colNames :+ "__page_id_string")
-        .map(PgSqlGen.quoteIdent).mkString(", ")}) FROM STDIN (FORMAT binary)"""))
-    writer.writeHeader(out)
-    updBuf.foreach { case (packed, row) =>
-      val vals = new Array[Any](colNames.length + 1)
-      var i = 0
-      while (i < colNames.length) {
-        vals(i) = if (row.isNullAt(i)) null else row.get(i, sparkTypes(i))
-        i += 1
-      }
-      vals(colNames.length) =
-        org.apache.spark.unsafe.types.UTF8String.fromString(tidText(packed))
-      writer.writeRow(out,
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
-    }
-    writer.writeTrailer(out)
-    out.close()
+        .map(PgSqlGen.quoteIdent).mkString(", ")}) FROM STDIN""",
+      pgTypes :+ PgType.PgVarchar,
+      sparkTypes :+ org.apache.spark.sql.types.StringType,
+      updBuf.iterator.map { case (packed, row) =>
+        val vals = new Array[Any](colNames.length + 1)
+        var i = 0
+        while (i < colNames.length) {
+          vals(i) = if (row.isNullAt(i)) null else row.get(i, sparkTypes(i))
+          i += 1
+        }
+        vals(colNames.length) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(tidText(packed))
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      })
     val setList = colNames.map(c =>
       s"${PgSqlGen.quoteIdent(c)} = \"$tmp\".${PgSqlGen.quoteIdent(c)}").mkString(", ")
     transport.execute(
@@ -173,14 +195,9 @@ final class PostgresDeltaWriter(
   override def insert(row: InternalRow): Unit = insBuf += row.copy()
 
   private def flushInserts(): Unit = if (insBuf.nonEmpty) {
-    val writer = new graft.codec.PgBinaryWriter(pgTypes, sparkTypes)
-    val out = new java.io.DataOutputStream(transport.copyIn(
-      s"COPY $qname (${colNames.map(PgSqlGen.quoteIdent).mkString(", ")}) " +
-        "FROM STDIN (FORMAT binary)"))
-    writer.writeHeader(out)
-    insBuf.foreach(writer.writeRow(out, _))
-    writer.writeTrailer(out)
-    out.close()
+    copyRows(
+      s"COPY $qname (${colNames.map(PgSqlGen.quoteIdent).mkString(", ")}) FROM STDIN",
+      pgTypes, sparkTypes, insBuf.iterator)
     insBuf.clear()
   }
 

@@ -925,6 +925,36 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(p.executedStatements.exists(_.startsWith("COMMIT")))
   }
 
+  test("snapshot lease adoption is idempotent per partition (task retries don't over-count)") {
+    val p = InMemoryPg.forName("leasespec2")
+    p.createTable("public", "t", Seq("id" -> PgInt8))
+    val lease = graft.meta.PgSnapshotLease.openFor(
+      new Object, "mem:leasespec2", expectedAdoptions = 2)
+    val ref = lease.ref
+    // the same partition adopting twice (a retried task) must not
+    // count as two partitions — with a raw counter the export would
+    // COMMIT here and the second partition's SET TRANSACTION SNAPSHOT
+    // would fail unrecoverably
+    graft.meta.PgSnapshotLease.reportAdoption(ref, "partition-sql-A")
+    graft.meta.PgSnapshotLease.reportAdoption(ref, "partition-sql-A")
+    assert(!lease.isReleased,
+      "a retried partition's re-adoption released the lease early")
+    graft.meta.PgSnapshotLease.reportAdoption(ref, "partition-sql-B")
+    assert(lease.isReleased)
+  }
+
+  test("failed transport opens hand their pool permits back") {
+    // unreachable server: every open fails fast. With a leaked permit
+    // per failure, attempt #65 would block forever on the semaphore.
+    val badDsn = "tcp:127.0.0.1:1/permitleak"
+    val limit = graft.meta.PgTransportFactory.connectionLimit
+    (1 to limit + 5).foreach { _ =>
+      intercept[Exception] { graft.meta.PgConnectionPool.acquire(badDsn) }
+    }
+    // would hang here (not throw) if permits leaked
+    intercept[Exception] { graft.meta.PgConnectionPool.acquire(badDsn) }
+  }
+
   test("snapshot lease releases deterministically once all readers adopt") {
     pg
     // clean baseline: earlier tests may have planned-but-never-executed

@@ -46,6 +46,30 @@ class TextWriterSpec extends AnyFunSuite {
       """{plain,NULL,"with space","qu\\"ote"}	(7,"x,y")""")
   }
 
+  test("interval seconds render as plain decimal, never scientific notation") {
+    val w = new PgTextWriter(Seq(PgInterval, PgInterval, PgInterval),
+      Seq(CalendarIntervalType, CalendarIntervalType, CalendarIntervalType))
+    val row = new GenericInternalRow(Array[Any](
+      new CalendarInterval(0, 0, 100L),           // 1e-4 s — double would emit 1.0E-4
+      new CalendarInterval(1, 2, 10800000000000L), // 3000 h — double would emit 1.08E13
+      new CalendarInterval(0, 0, 0L)))
+    assert(w.rowText(row) == "P0M0DT0.0001S\tP1M2DT10800000S\tP0M0DT0S")
+  }
+
+  test("time 24:00:00 (valid in PG, outside LocalTime) renders") {
+    val w = new PgTextWriter(Seq(PgTime), Seq(LongType))
+    val row = new GenericInternalRow(Array[Any](86400000000L))
+    assert(w.rowText(row) == "24:00:00")
+  }
+
+  test("array elements spelled like null are quoted case-insensitively") {
+    val w = new PgTextWriter(Seq(PgArray(PgText)), Seq(ArrayType(StringType)))
+    val row = new GenericInternalRow(Array[Any](new GenericArrayData(Array[Any](
+      UTF8String.fromString("null"), UTF8String.fromString("Null"), null))))
+    // unquoted null/Null would be read back by PG as SQL NULL
+    assert(w.rowText(row) == """{"null","Null",NULL}""")
+  }
+
   test("format choice: binary unless a type cannot round-trip it") {
     import PgCopyFormat._
     assert(forTypes(Seq(PgInt4, PgNumeric(10, 2), PgArray(PgText))) == Binary)
