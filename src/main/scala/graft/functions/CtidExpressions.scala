@@ -21,14 +21,40 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PgCtidPack(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Integral inputs of any width are accepted and widened to long
+  // BEFORE the shift, in BOTH paths: codegen used to run `page << 16`
+  // in the INPUT's arithmetic width — an INT page column (the natural
+  // call shape) overflowed silently into a wrong packed id that
+  // DELETE/UPDATE would then aim at the wrong rows — while the
+  // interpreted path threw ClassCastException for the very same
+  // query. Non-integral inputs fail analysis.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires integral (page, row) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "pg_ctid_pack"
 
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+  }
+
   override protected def nullSafeEval(page: Any, row: Any): Any =
-    (page.asInstanceOf[Long] << 16) | (row.asInstanceOf[Int].toLong & 0xffffL)
+    (toLong(page) << 16) | (toLong(row) & 0xffffL)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (p, r) => s"${ev.value} = ($p << 16) | (((long) $r) & 0xffffL);")
+    nullSafeCodeGen(ctx, ev,
+      (p, r) => s"${ev.value} = (((long) $p) << 16) | (((long) $r) & 0xffffL);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PgCtidPack =
     copy(left = l, right = r)
@@ -39,6 +65,11 @@ case class PgCtidPack(left: Expression, right: Expression)
 case class PgCtidUnpack(child: Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT packed ctid, got ${child.dataType.simpleString}")
   override def dataType: DataType = StructType(Seq(
     StructField("page", LongType, nullable = false),
     StructField("row", IntegerType, nullable = false)))
@@ -62,6 +93,11 @@ case class PgCtidUnpack(child: Expression)
 case class PgCtidText(child: Expression)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT packed ctid, got ${child.dataType.simpleString}")
   override def dataType: DataType = StringType
   override def prettyName: String = "pg_ctid_text"
 

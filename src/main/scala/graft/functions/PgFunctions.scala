@@ -321,22 +321,27 @@ object PgFunctions {
     val qname = s"${PgSqlGen.quoteIdent(schema)}.${PgSqlGen.quoteIdent(table)}"
     ctids.select("_ctid").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val t = PgTransportFactory.open(dsn)
-        try {
-          val buf = new StringBuilder
-          def flush(): Unit = if (buf.nonEmpty) {
-            t.execute(s"DELETE FROM $qname WHERE ctid IN ($buf)")
-            buf.clear()
-          }
-          rows.foreach { r =>
-            val packed = r.getLong(0)
-            val tid = s"'(${packed >> 16},${packed & 0xffff})'::tid"
-            if (buf.nonEmpty) buf.append(", ")
-            buf.append(tid)
-            if (buf.length > 3000) flush() // ref flush threshold
-          }
-          flush()
-        } finally t.close()
+        // empty partitions must not open (and round-trip) a connection
+        if (rows.nonEmpty) {
+          val t = PgTransportFactory.open(dsn)
+          try {
+            val buf = new StringBuilder
+            def flush(): Unit = if (buf.nonEmpty) {
+              t.execute(s"DELETE FROM $qname WHERE ctid IN ($buf)")
+              buf.clear()
+            }
+            rows.foreach { r =>
+              val packed = r.getLong(0)
+              // >>> like every other tid rendering: signed >> would
+              // sign-extend a high-bit page into '(-N,row)'::tid
+              val tid = s"'(${packed >>> 16},${packed & 0xffff})'::tid"
+              if (buf.nonEmpty) buf.append(", ")
+              buf.append(tid)
+              if (buf.length > 3000) flush() // ref flush threshold
+            }
+            flush()
+          } finally t.close()
+        }
     }
   }
 }

@@ -337,6 +337,13 @@ object Ann {
     // `sourceSplits` lets a caller that knows its input's split count
     // pin the decision; otherwise a logical-stats estimate decides —
     // never a `.rdd` probe, which would plan the query a second time.
+    // DELIBERATE deviation from the shared Scale.spread policy (cap
+    // 16, spread to the cap): per-row work here is L tables of
+    // bits-wide hyperplane dot products over the full embedding —
+    // heavy enough that spreading to FULL parallelism measured better
+    // than the 16 cap, and the tighter `<8` trigger avoids paying a
+    // full-width embedding shuffle for a source that is only mildly
+    // under-split.
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     val splits = sourceSplits.getOrElse(Scale.estimatedSplits(corpus))
     val spread =

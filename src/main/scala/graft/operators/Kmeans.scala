@@ -110,6 +110,10 @@ object Kmeans {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame = {
+    // fail at the call site, not with a bare NPE in whatever the
+    // caller does with a null assignment
+    require(iters >= 1, s"trainAssign needs at least one Lloyd iteration (got $iters)")
+    require(k >= 1, s"trainAssign needs at least one cluster (got $k)")
     val seeds = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"),
         transform(col(vecCol), _.cast("double")).as("centroid"))

@@ -124,13 +124,17 @@ object Multimodal {
   /** Stage 1: attach blob + metadata columns to a table (here the
     * documents text bytes stand in for media payloads). */
   def asMedia(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("bytes"),
-      struct(
-        lit("image").as("mediaType"),
-        length(col("text")).cast("long").as("sizeBytes"),
-        concat(lit("mem://docs/"), col("doc_id")).as("sourceUri")).as("meta"))
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .select(
+        col("doc_id"),
+        col("bytes"),
+        struct(
+          lit("image").as("mediaType"),
+          // byte length of the stored payload (length over a BINARY
+          // column counts octets) — length(text) counts CHARACTERS
+          // and disagrees with n_bytes for any multibyte document
+          length(col("bytes")).cast("long").as("sizeBytes"),
+          concat(lit("mem://docs/"), col("doc_id")).as("sourceUri")).as("meta"))
 
   /** Stage 2: partition-wise decode. One decoder instance per
     * partition; rows stream through an iterator (constant memory —

@@ -114,9 +114,18 @@ object Scale {
     * (p12 0.70 s either way, p14 0.58 → 0.74 s — per-task overhead
     * outgrows the extra cores at test-data sizes); callers with
     * genuinely heavier per-row work can raise it. */
-  def spread(df: DataFrame, cap: Int = 16): DataFrame = {
+  def spread(df: DataFrame, cap: Int = 16): DataFrame =
+    spread(df, cap, None)
+
+  /** [[spread]] with a caller-supplied split count: a caller that
+    * already spread an upstream relation passes the count it produced
+    * so the guard doesn't re-estimate (and re-trigger) on the
+    * repartitioned child. The shared policy lives HERE — TextDedup's
+    * candidate/verify guards route through this overload. */
+  def spread(df: DataFrame, cap: Int, sourceSplits: Option[Int]): DataFrame = {
     val par = math.min(df.sparkSession.sparkContext.defaultParallelism, cap)
-    if (estimatedSplits(df) < par) df.repartition(par) else df
+    val splits = sourceSplits.getOrElse(estimatedSplits(df))
+    if (splits < par) df.repartition(par) else df
   }
 
   /** [[spread]] keyed on the columns a following aggregation groups

@@ -56,8 +56,7 @@ object TextDedup {
     // scan->minhash->expansion chain inside single-threaded broadcast
     // construction, once per verify join.
     val par = math.min(s.sparkContext.defaultParallelism, 16)
-    val splits = sourceSplits.getOrElse(Scale.estimatedSplits(docs))
-    val spread = if (splits < par) docs.repartition(par) else docs
+    val spread = Scale.spread(docs, cap = 16, sourceSplits)
     val cands = nearDupCandidatePairs(spread, idCol, blockCol, tokCol, threshold,
       hotBucketCap, hotBucketSalts, sourceSplits = Some(par)).localCheckpoint()
     val toks = spread.select(col(idCol).as("doc_id"),
@@ -84,10 +83,8 @@ object TextDedup {
     val s = docs.sparkSession
     // single-row-group test files scan as one partition; spread before
     // the (compute-heavy) minhash so it parallelizes — only when
-    // genuinely under-split (see lshTopK's identical guard)
-    val par = math.min(s.sparkContext.defaultParallelism, 16)
-    val splits = sourceSplits.getOrElse(Scale.estimatedSplits(docs))
-    val spread = if (splits < par) docs.repartition(par) else docs
+    // genuinely under-split (the shared Scale.spread policy)
+    val spread = Scale.spread(docs, cap = 16, sourceSplits)
     val toks = spread.select(col(idCol).as("doc_id"), col(blockCol).as("block"),
       array_sort(array_distinct(col(tokCol))).as("tok"))
     graft.functions.MinhashFunctions.register(s)
@@ -313,11 +310,25 @@ object TextDedup {
     * per round one shuffle join + groupBy min + a pointer jump, so a
     * chain of diameter d converges in O(log d) rounds. Rounds are
     * localCheckpoint'd (O(1) plan depth), parallelism is sized to the
-    * GRAPH (edges/100k partitions, co-partitioned once), and the
+    * GRAPH (edges/100k partitions, co-partitioned once; see the
+    * measured conf-scoping tradeoff note in the body), and the
     * convergence probe is a strictly-decreasing exact SUM(label) —
     * one cheap aggregate per round. */
   def dupClusters(pairsIn: DataFrame, unionFindMaxEdges: Long = 5000000L): DataFrame = {
     val s = pairsIn.sparkSession
+    // Both regimes assume integral ids (the union-find decodes to
+    // Long; the propagation loop's convergence checksum is an exact
+    // decimal SUM of labels). Anything else must fail HERE with
+    // guidance, not crash differently depending on which side of the
+    // edge-count threshold the graph lands (the house pattern for
+    // string/UUID ids is xxhash64 upstream, as CorpusBuild does).
+    pairsIn.schema("doc_a").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case dt => throw new IllegalArgumentException(
+        s"dupClusters requires integral doc ids, got ${dt.simpleString} — " +
+          "hash non-numeric ids first (xxhash64) and join back after clustering")
+    }
     val pairs = pairsIn.select(col("doc_a"), col("doc_b")).localCheckpoint()
     if (pairs.count() <= unionFindMaxEdges / 2) return unionFindClusters(pairs)
     val edges0 = pairs
@@ -326,6 +337,16 @@ object TextDedup {
       .localCheckpoint()
     val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
       (edges0.count() / 100000L).toInt))
+    // The loop's many small shuffles want partitions sized to the
+    // GRAPH, not the session default — the per-round localCheckpoint
+    // cuts each round into its own job, so AQE cannot amortize the
+    // coalescing across rounds. Measured cold at sf1: conf-scoped
+    // partitions 40.4 s, session-default + AQE 49.4 s, cloned-session
+    // isolation 82 s (the InternalRow→Row RDD bridge to cross
+    // sessions costs more per round than it saves). The conf set is
+    // save/restored in a finally, but IS visible to queries planned
+    // concurrently on the same session during the loop — the
+    // documented tradeoff of the winning variant.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
