@@ -173,11 +173,22 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
       val t =
         try PostgresTable.discover(opts)
         catch {
+          // wire transports carry the SQLSTATE — branch on the error
+          // CLASS (42P01 undefined_table), never on message text: a
+          // discovery probe can fail with 'function ... does not
+          // exist' or 'column "x" does not exist' and swallowing
+          // those as table-not-found hides the real server error
+          case e: graft.meta.PgServerErrorException =>
+            if (e.sqlState == "42P01")
+              throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+            else throw e
+          // the in-process endpoint throws plain exceptions; message
+          // matching stays as ITS classification only
           case e: IllegalArgumentException if e.getMessage != null &&
             e.getMessage.contains("not found") =>
             throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-          case e: Exception if e.getMessage != null &&
-            e.getMessage.contains("does not exist") =>
+          case e: Exception if !e.isInstanceOf[graft.meta.PgServerErrorException] &&
+            e.getMessage != null && e.getMessage.contains("does not exist") =>
             throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
         }
       tableCache.put(key, t)

@@ -13,31 +13,68 @@ package graft.meta
   */
 object PgDsn {
 
-  private val parts: Seq[(String, String)] = Seq(
-    "host" -> "host", "port" -> "port", "user" -> "user",
-    "password" -> "password", "database" -> "dbname", "dbname" -> "dbname")
+  /** Percent-encode the characters that would break the tcp DSN's
+    * `?k=v&k=v` parameter syntax. Deliberately NOT java.net.URLEncoder:
+    * its '+'-for-space convention would corrupt any existing password
+    * containing a literal '+' on the decode side. */
+  def pctEncode(v: String): String =
+    v.flatMap {
+      case '%' => "%25"
+      case '&' => "%26"
+      case '=' => "%3D"
+      case '?' => "%3F"
+      case ' ' => "%20"
+      case c => c.toString
+    }
 
-  /** libpq keyword/value escaping: quote when empty or containing
-    * spaces/quotes; backslash-escape ' and \. */
-  private def libpqValue(v: String): String =
-    if (v.nonEmpty && !v.exists(c => c.isWhitespace || c == '\'' || c == '\\')) v
-    else "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  /** Inverse of [[pctEncode]]: decodes only %XX sequences ('+' stays
+    * a literal '+'). */
+  def pctDecode(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '%' && i + 3 <= v.length)
+        try {
+          sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(v.charAt(i)); i += 1 }
+      else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.result()
+  }
 
-  /** Assemble a keyword/value DSN from secret-style options; None when
-    * no connection part is present. An explicit `dsn` option should be
-    * preferred by callers — this is the fallback merge. */
+  /** Assemble a `tcp:` DSN from secret-style options; None when no
+    * connection part is present. An explicit `dsn` option should be
+    * preferred by callers — this is the fallback merge. The output is
+    * the form the repo's transports actually open
+    * (`tcp:host:port/db?user=u&password=pw&sslmode=m`); a previous
+    * revision emitted libpq keyword/value syntax that no transport
+    * parsed, so every secret-style attach failed — with the cleartext
+    * password embedded in the rejection message. */
   def assemble(options: Map[String, String]): Option[String] = {
-    val found = parts.flatMap { case (opt, kw) =>
-      options.collectFirst {
-        case (k, v) if k.equalsIgnoreCase(opt) => kw -> v
-      }
-    }.distinctBy(_._1)
-    if (found.isEmpty) None
-    else Some(found.map { case (k, v) => s"$k=${libpqValue(v)}" }.mkString(" "))
+    def opt(name: String): Option[String] =
+      options.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val host = opt("host")
+    if (host.isEmpty) None
+    else {
+      val port = opt("port").getOrElse("5432")
+      val db = opt("database").orElse(opt("dbname"))
+        .orElse(opt("user")).getOrElse("postgres")
+      val params = Seq(
+        opt("user").map(v => s"user=${pctEncode(v)}"),
+        opt("password").map(v => s"password=${pctEncode(v)}"),
+        opt("sslmode").map(v => s"sslmode=${pctEncode(v)}"),
+        opt("sslrootcert").map(v => s"sslrootcert=${pctEncode(v)}")).flatten
+      val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      Some(s"tcp:${host.get}:$port/$db$query")
+    }
   }
 
   /** Redact the password for logs/error messages/table names
-    * (ref: secret redaction, src/postgres_extension.cpp:96-103). */
+    * (ref: secret redaction, src/postgres_extension.cpp:96-103).
+    * The unquoted branch stops at '&' and whitespace so the
+    * parameters AFTER password= in a tcp DSN (sslmode, sslrootcert —
+    * exactly what an operator debugging TLS needs) survive. */
   def redact(dsn: String): String =
-    dsn.replaceAll("(?i)(password=)(?:'(?:\\\\.|[^'])*'|\\S+)", "$1********")
+    dsn.replaceAll("(?i)(password=)(?:'(?:\\\\.|[^'])*'|[^&\\s]+)", "$1********")
 }

@@ -100,3 +100,18 @@ private[graft] object PgScram {
     MessageDigest.isEqual(sha256(recovered), stored)
   }
 }
+
+/** The legacy md5 challenge/response, shared by client and server so
+  * the order-sensitive construction (`"md5" + md5(md5(password+user)
+  * + salt)`) cannot silently diverge between the two sides. */
+private[graft] object PgMd5 {
+  def response(user: String, password: String, salt: Array[Byte]): String = {
+    val md = MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    val inner = hex(md.digest((password + user).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.reset()
+    md.update(inner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(salt)
+    "md5" + hex(md.digest())
+  }
+}

@@ -83,7 +83,8 @@ object PgTransportFactory {
       if (dsn.startsWith("mem:")) InMemoryPg.forName(dsn.stripPrefix("mem:"))
       else if (dsn.startsWith("tcp:")) PgWireTransport.fromDsn(dsn)
       else throw new IllegalArgumentException(
-        s"unsupported dsn '$dsn': use mem:<name> (in-process) or " +
+        // redacted: a malformed dsn may still carry a password
+        s"unsupported dsn '${PgDsn.redact(dsn)}': use mem:<name> (in-process) or " +
           "tcp:host:port/db[?user=u] (socket, frontend/backend protocol v3)")
     // pin the quoting assumption PgSqlGen.quoteString relies on rather
     // than inheriting it from server/pooler config: with scs=off a

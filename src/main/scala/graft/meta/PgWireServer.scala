@@ -235,7 +235,13 @@ final class PgWireServer(backend: PgTransport,
           val a = PgScram.attrs(clientFinal)
           val proof = a.getOrElse('p', return authFail(out, user))
           if (!a.get('r').contains(nonce)) return authFail(out, user)
-          val noProof = clientFinal.substring(0, clientFinal.lastIndexOf(",p="))
+          // a malformed client-final can carry a p attribute without
+          // the ",p=" separator (e.g. the whole message is "p=...");
+          // RFC shape requires proof last — treat anything else as an
+          // auth failure, not a StringIndexOutOfBounds crash
+          val proofSep = clientFinal.lastIndexOf(",p=")
+          if (proofSep < 0) return authFail(out, user)
+          val noProof = clientFinal.substring(0, proofSep)
           val authMsg = PgScram.authMessage(clientFirstBare, serverFirst, noProof)
           val salted = PgScram.saltedPassword(pw, salt, iters)
           if (!PgScram.verifyClientProof(PgScram.storedKey(salted), authMsg,
@@ -259,13 +265,7 @@ final class PgWireServer(backend: PgTransport,
       val resp = read(in)
       if (resp.tag.toChar != 'p') return authFail(out, user)
       val got = readCstr(resp.in)
-      val expect = users.get(user).map { pw =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
-        val inner = hex(md.digest((pw + user).getBytes(UTF_8)))
-        md.reset(); md.update(inner.getBytes(UTF_8)); md.update(salt)
-        "md5" + hex(md.digest())
-      }
+      val expect = users.get(user).map(pw => PgMd5.response(user, pw, salt))
       if (!expect.contains(got)) authFail(out, user) else true
   }
 
@@ -280,8 +280,17 @@ final class PgWireServer(backend: PgTransport,
     out.flush()
   }
 
-  private def sendError(out: DataOutputStream, message: String): Unit =
-    send(out, 'E', errorBody("ERROR", "XX000", message))
+  private def sendError(out: DataOutputStream, message: String): Unit = {
+    // map the backend's canonical messages onto real SQLSTATEs here —
+    // the one seam where the state is attached — so wire clients can
+    // branch on the error CLASS (the catalog's 42P01 → NoSuchTable
+    // classification depends on this)
+    val state =
+      if (message != null && message.matches("(?s).*relation .* does not exist.*")) "42P01"
+      else if (message != null && message.contains("already exists")) "42P07"
+      else "XX000"
+    send(out, 'E', errorBody("ERROR", state, message))
+  }
 
   private def commandComplete(out: DataOutputStream, tag: String): Unit =
     send(out, 'C', cstr(tag))
@@ -313,7 +322,13 @@ final class PgWireServer(backend: PgTransport,
     * the discovery layer consumes values positionally) + DataRows. */
   private def select(sql: String, out: DataOutputStream): Unit = {
     val rows = backend.query(sql)
-    val ncols = rows.headOption.map(_.length).getOrElse(1)
+    // arity from the first row when there is one; for an EMPTY result
+    // ask the backend's Describe path — advertising a fixed 1 column
+    // mislabels every empty multi-column result for any consumer that
+    // shapes itself from RowDescription
+    val ncols = rows.headOption.map(_.length).getOrElse(
+      try math.max(1, backend.describe(sql).length)
+      catch { case _: Exception => 1 })
     val desc = new ByteArrayOutputStream()
     val d = new DataOutputStream(desc)
     d.writeShort(ncols)
@@ -387,13 +402,32 @@ final class PgWireServer(backend: PgTransport,
     val fmt: Byte = if (sql.toLowerCase.contains("binary")) 1 else 0
     send(out, 'G', Array[Byte](fmt, 0, 0)) // CopyInResponse
     out.flush()
-    val sink = backend.copyIn(sql)
+    // Once CopyInResponse is on the wire the client is in the COPY
+    // sub-protocol: ANY backend failure from here on must be recorded
+    // and the client's 'd'/'c'/'f' frames DRAINED before replying —
+    // letting an exception escape to simpleQuery's catch would leave
+    // those frames in the stream to be misparsed as frontend messages
+    // (one spurious error + ReadyForQuery per frame, connection
+    // carrying stale responses).
     var failed: Option[String] = None
+    val sink: java.io.OutputStream =
+      try backend.copyIn(sql)
+      catch {
+        case e: Exception =>
+          failed = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          null
+      }
     var done = false
     while (!done) {
       val m = read(in)
       m.tag.toChar match {
-        case 'd' => if (failed.isEmpty) sink.write(m.body)
+        case 'd' =>
+          if (failed.isEmpty)
+            try sink.write(m.body)
+            catch {
+              case e: Exception =>
+                failed = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
         case 'c' => done = true
         case 'f' => failed = Some(readCstr(m.in)); done = true
         case 'S' | 'H' => // Sync/Flush between copy messages: ignore
@@ -403,8 +437,15 @@ final class PgWireServer(backend: PgTransport,
     }
     failed match {
       case None =>
-        sink.close()
-        commandComplete(out, "COPY")
+        try {
+          sink.close()
+          commandComplete(out, "COPY")
+        } catch {
+          // completion applies the buffered rows — its failure is the
+          // copy's failure, not a protocol error
+          case e: Exception =>
+            sendError(out, s"COPY failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       case Some(msg) =>
         // deliberately NOT closed: closing the sink would commit the
         // partial copy; a failed COPY must discard it (PG aborts the

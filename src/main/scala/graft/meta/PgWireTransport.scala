@@ -175,12 +175,7 @@ final class PgWireTransport(host: String, port: Int, database: String, user: Str
       case 5 => // md5: md5(md5(password + user) + salt)
         val salt = new Array[Byte](4)
         mi.readFully(salt)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
-        val inner = hex(md.digest((requirePassword("md5") + user).getBytes(UTF_8)))
-        md.reset()
-        md.update(inner.getBytes(UTF_8)); md.update(salt)
-        sendFlush(out, 'p', cstr("md5" + hex(md.digest())))
+        sendFlush(out, 'p', cstr(PgMd5.response(user, requirePassword("md5"), salt)))
       case 10 => // AuthenticationSASL: choose SCRAM-SHA-256
         var mechs = List.empty[String]
         var s = readCstr(mi)
@@ -452,14 +447,16 @@ object PgWireTransport {
     val hostPort = hostPortDb.substring(0, slash)
     val colon = hostPort.lastIndexOf(':')
     require(colon > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
+    // values arrive pct-encoded (PgDsn.assemble) so credentials may
+    // contain &/=/%; decode is a no-op on plain values
     def connect(mode: String) = new PgWireTransport(
       hostPort.substring(0, colon),
       hostPort.substring(colon + 1).toInt,
       db,
-      params.getOrElse("user", "spark"),
-      params.get("password"),
+      params.get("user").map(PgDsn.pctDecode).getOrElse("spark"),
+      params.get("password").map(PgDsn.pctDecode),
       mode,
-      params.get("sslrootcert"))
+      params.get("sslrootcert").map(PgDsn.pctDecode))
     if (sslmode == "allow") {
       // plaintext first; on a server-sent refusal, one retry over TLS
       // ("require" — the server just demanded it; no cert verification

@@ -971,18 +971,24 @@ class PostgresConnectorSpec extends AnyFunSuite {
       "completed scan left a snapshot lease holding a server transaction")
   }
 
-  test("secret-style options assemble a DSN with libpq quoting; passwords redact") {
+  test("secret-style options assemble an openable tcp DSN; passwords redact") {
     import graft.meta.PgDsn
+    // the assembled form is the one PgTransportFactory actually opens
     assert(PgDsn.assemble(Map(
       "host" -> "db.example.com", "port" -> "5433", "user" -> "app",
       "password" -> "s3cr3t", "database" -> "prod")) ==
-      Some("host=db.example.com port=5433 user=app password=s3cr3t dbname=prod"))
-    // values with spaces/quotes get libpq quoting
-    assert(PgDsn.assemble(Map("host" -> "h", "password" -> "p w'd")) ==
-      Some("host=h password='p w\\'d'"))
+      Some("tcp:db.example.com:5433/prod?user=app&password=s3cr3t"))
+    // port defaults, db falls back to user; special chars pct-encode
+    // and survive the round-trip (decode is fromDsn's job)
+    assert(PgDsn.assemble(Map("host" -> "h", "user" -> "u",
+      "password" -> "p&w=d e")) ==
+      Some("tcp:h:5432/u?user=u&password=p%26w%3Dd%20e"))
+    assert(PgDsn.pctDecode("p%26w%3Dd%20e") == "p&w=d e")
+    assert(PgDsn.pctDecode("plus+stays") == "plus+stays")
     assert(PgDsn.assemble(Map("table" -> "t")).isEmpty)
-    assert(PgDsn.redact("host=h password=s3cr3t dbname=d") ==
-      "host=h password=******** dbname=d")
+    assert(PgDsn.redact("tcp:h:5432/d?user=u&password=s3cr3t&sslmode=verify-full") ==
+      "tcp:h:5432/d?user=u&password=********&sslmode=verify-full",
+      "redaction must stop at '&' so the TLS params an operator needs survive")
     assert(PgDsn.redact("host=h password='p w\\'d' dbname=d") ==
       "host=h password=******** dbname=d")
     // the scan's table name never leaks a password into plan output
