@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.Pipeline2.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline3.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline4.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Pipeline5.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.TpchCatalog.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds.entries.map { case (k, (fn, _)) => k -> fn } ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.queries.Pipeline2.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline3.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline4.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Pipeline5.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.TpchCatalog.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++

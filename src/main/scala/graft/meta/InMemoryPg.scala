@@ -505,6 +505,16 @@ final class InMemoryPg(val name: String) extends PgTransport {
   val copyOutStatements: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
   private val copyOutLogCap = 512
 
+  /** Consistent view of the COPY OUT log for assertions. Readers must
+    * come through here (or hold the buffer's monitor themselves): a
+    * still-running stream polls min/max probes on scheduler threads,
+    * and iterating the live buffer races those appends. */
+  def copyOutSnapshot: Seq[String] =
+    copyOutStatements.synchronized(copyOutStatements.toVector)
+
+  def clearCopyOutLog(): Unit =
+    copyOutStatements.synchronized(copyOutStatements.clear())
+
   /** Served-scan cache. A real server reads COPY payloads out of its
     * native heap storage — work proportional to the data; this double
     * would otherwise re-ENCODE InternalRows to PGCOPY bytes on every

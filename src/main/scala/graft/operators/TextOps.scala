@@ -252,4 +252,91 @@ object TextOps {
       .withColumn("pos", row_number().over(w))
       .drop("__k")
   }
+
+  /** CORPUS-GLOBAL segment-level exact dedup — the C4 cleanup step
+    * that keeps only the FIRST occurrence of any duplicated span
+    * across the whole corpus (C4 uses three-sentence spans; here the
+    * unit is the same non-overlapping `segLen`-token segment as
+    * removeBoilerplate, whose per-SOURCE frequency rule this
+    * complements with a global first-wins rule). "First" is the
+    * smallest (idCol, segment index) — a total order, so the kept
+    * instance is unique and rerun-stable. Returns one row per
+    * document with ≥ segLen tokens: (idCol, n_seg, n_removed,
+    * kept_tokens).
+    *
+    * Shape at scale — every stage is skew-safe, deliberately NOT a
+    * segment-partitioned window: a viral span (boilerplate, a chain
+    * letter) can appear in millions of documents, and a window must
+    * sort all its instances in ONE task. Instead: (1) instances
+    * reduce to (seg, doc, min seg_i, cnt) with map-side combine
+    * soaking in-document repetition; (2) the per-segment winner is a
+    * narrow min-struct aggregate (combine again bounds hot
+    * segments); (3) the winner relation (1 row/segment) joins back
+    * keyed by segment — a hot key there is AQE skew-split, which a
+    * window sort cannot be; (4) per-doc totals are a final narrow
+    * aggregate. Counts are arithmetic (each removed instance drops
+    * exactly segLen tokens), so stats-only callers never rebuild
+    * text. */
+  def dedupSegmentsGlobal(df: DataFrame, idCol: String, textCol: String,
+      segLen: Int = 3): DataFrame = {
+    val n = segLen
+    val base = Scale.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("tok"))
+      .filter(size(col("tok")) >= n)
+      .withColumn("n_seg", (size(col("tok")) / n).cast("int"))
+    val inst = base
+      .select(col(idCol), col("n_seg"), size(col("tok")).as("n_tok"),
+        col("tok"), explode(sequence(lit(0), col("n_seg") - 1)).as("seg_i"))
+      .select(col(idCol), col("n_seg"), col("n_tok"), col("seg_i"),
+        concat_ws(" ",
+          (0 until n).map(o => col("tok")(col("seg_i") * n + o)): _*).as("seg"))
+    val red = inst.groupBy(col("seg"), col(idCol))
+      .agg(min(col("seg_i")).as("mi"), count(lit(1)).as("cnt"),
+        max(col("n_seg")).as("n_seg"), max(col("n_tok")).as("n_tok"))
+    val winner = red.groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("mi"))).as("w"))
+      .select(col("seg"), col("w")(idCol).as("w_id"))
+    red.join(winner, "seg")
+      .withColumn("rm",
+        col("cnt") - when(col(idCol) === col("w_id"), 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(max(col("n_seg")).cast("long").as("n_seg"),
+        sum(col("rm")).as("n_removed"),
+        (max(col("n_tok")) - lit(n) * sum(col("rm"))).cast("long")
+          .as("kept_tokens"))
+  }
+
+  /** Overlapping fixed-window chunking — the retrieval-corpus prep
+    * step (RAG indexing, embedding-model input shaping) that slices
+    * each document's token stream into `window`-token chunks every
+    * `stride` tokens (overlap = window − stride keeps context across
+    * boundaries). Chunk starts are 0, stride, 2·stride, …; the last
+    * chunk begins at the last start < n_tok − window + stride and may
+    * be short. Emits one row per chunk: (idCol, chunk_i, start_tok,
+    * n_tok chunk length, fp = md5 of the chunk text) — the
+    * fingerprint is what a downstream chunk-dedup or index join keys
+    * on, md5 because every engine computes the identical digest.
+    *
+    * Pure map-side row expansion (explode of per-doc arithmetic) — no
+    * shuffle at any scale; expansion factor ≈ n_tok/stride rows per
+    * document, each row narrow. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && window >= stride,
+      "need window >= stride >= 1 (overlap = window - stride)")
+    val extra = floor((col("n_tok") - lit(window - stride + 1))
+      .cast("double") / lit(stride)).cast("int")
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("tok"))
+      .withColumn("n_tok", size(col("tok")))
+      .withColumn("n_extra",
+        when(col("n_tok") <= window, lit(0)).otherwise(extra))
+      .select(col(idCol), col("tok"), col("n_tok"),
+        explode(sequence(lit(0), col("n_extra"))).as("chunk_i"))
+      .withColumn("start_tok", col("chunk_i") * stride)
+      .withColumn("len", least(lit(window), col("n_tok") - col("start_tok")))
+      .select(col(idCol), col("chunk_i"), col("start_tok"),
+        col("len").cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("tok"), col("start_tok") + 1, col("len")))).as("fp"))
+  }
 }

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-pipeline probe set, fifth wave — the curation stages between
+  * the battery's existing dedup/scoring entries and a finished
+  * training corpus:
+  *
+  *  - p32: corpus-GLOBAL segment dedup (the C4 "discard duplicated
+  *    three-sentence spans, keep the first occurrence" rule —
+  *    complements p28, whose boilerplate rule is per-source
+  *    frequency, with a global first-wins rule).
+  *  - p33: LM-quality bucketing (CCNet's head/middle/tail split): the
+  *    p30 unigram-LM score gated against FIXED cutoffs — faithful to
+  *    CCNet practice, where perplexity thresholds are chosen offline
+  *    per language and then applied as constants in the map stage, so
+  *    the bucket assignment is pure per-row arithmetic with no global
+  *    sort or quantile pass at corpus scale.
+  *  - p34: overlapping fixed-window chunking (RAG/embedding-index
+  *    prep): window-64/stride-48 token chunks with md5 fingerprints —
+  *    the row-expansion step a retrieval index build runs after
+  *    dedup.
+  *
+  * Scale shape: p32 is three skew-safe narrow stages (see
+  * TextOps.dedupSegmentsGlobal — deliberately NOT a
+  * segment-partitioned window, which would serialize a viral span's
+  * instances into one sort task); p33 adds zero exchanges beyond
+  * p30's LM build (the bucket gate is map-side); p34 is shuffle-free
+  * row expansion.
+  */
+object Pipeline5 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- //
+  // p32: global segment dedup — every non-overlapping 3-token segment
+  // keeps only its corpus-FIRST instance (smallest (doc_id, seg_i));
+  // per document: segment count, removed-instance count, tokens kept.
+  // ---------------------------------------------------------------- //
+  def p32_line_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps
+      .dedupSegmentsGlobal(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_seg"), col("n_removed"), col("kept_tokens"))
+      .orderBy(col("doc_id"))
+
+  val p32_sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, tok, CAST(floor(len(tok)/3) AS INT) AS n_seg, len(tok) AS n_tok
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)
+      |  WHERE len(tok) >= 3),
+      |inst AS (
+      |  SELECT doc_id, n_seg, n_tok, seg_i,
+      |    array_to_string(list_slice(tok, seg_i*3+1, seg_i*3+3), ' ') AS seg
+      |  FROM (SELECT doc_id, n_seg, n_tok, tok, unnest(range(0, n_seg)) AS seg_i FROM b)),
+      |fl AS (
+      |  SELECT doc_id, n_seg, n_tok,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_i) > 1
+      |         THEN 1 ELSE 0 END AS rm
+      |  FROM inst)
+      |SELECT doc_id, CAST(MAX(n_seg) AS BIGINT) AS n_seg,
+      |  CAST(SUM(rm) AS BIGINT) AS n_removed,
+      |  CAST(MAX(n_tok) - 3*SUM(rm) AS BIGINT) AS kept_tokens
+      |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p33: CCNet-style LM-quality buckets — p30's mean token likelihood
+  // compared against fixed offline-chosen cutoffs (the production
+  // shape: CCNet computes its perplexity thresholds once per language
+  // and ships them as constants). head ≥ HI > middle ≥ LO > tail; the
+  // comparison runs at full double precision (both engines compute
+  // the identical IEEE division chain from exact integer sums), the
+  // 9-digit rounding below is display-only.
+  // ---------------------------------------------------------------- //
+  private val p33Hi = 0.03332
+  private val p33Lo = 0.03327
+
+  def p33_ppl_buckets(s: SparkSession, dir: String): DataFrame = {
+    val spread = PipelineOps.spread(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+    graft.operators.TextOps
+      .unigramLmScores(spread.select(col("doc_id"), PipelineOps.tokens.as("tok")),
+        "doc_id", "tok")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("mean_lik"), 9).as("mean_lik"),
+        when(col("mean_lik") >= p33Hi, lit("head"))
+          .when(col("mean_lik") >= p33Lo, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p33_sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+       |        FROM documents)
+       |  GROUP BY doc_id, token),
+       |lm AS (
+       |  SELECT token, CAST(SUM(c) AS BIGINT) AS cnt FROM tf GROUP BY token),
+       |total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM lm),
+       |sc AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(CAST(SUM(c * cnt) AS BIGINT) AS DOUBLE)
+       |      / CAST(SUM(c) AS BIGINT) / n_corpus AS ml
+       |  FROM tf JOIN lm USING (token) CROSS JOIN total
+       |  GROUP BY doc_id, n_corpus)
+       |SELECT doc_id, n_tokens, round(ml, 9) AS mean_lik,
+       |  CASE WHEN ml >= $p33Hi THEN 'head'
+       |       WHEN ml >= $p33Lo THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p34: overlapping chunking — 64-token windows every 48 tokens, one
+  // row per chunk with its md5 fingerprint (the key a chunk-level
+  // dedup or retrieval index joins on).
+  // ---------------------------------------------------------------- //
+  def p34_chunk_overlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps
+      .chunkDocs(PipelineOps.spread(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "doc_id", "text", window = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_i"), col("start_tok"),
+        col("n_tok"), col("fp"))
+      .orderBy(col("doc_id"), col("chunk_i"))
+
+  val p34_sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, tok, len(tok) AS n_tok,
+      |    CASE WHEN len(tok) <= 64 THEN 0
+      |         ELSE CAST(floor((len(tok) - 17)/48.0) AS INT) END AS n_extra
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)),
+      |ch AS (
+      |  SELECT doc_id, chunk_i, chunk_i*48 AS start_tok,
+      |    least(64, n_tok - chunk_i*48) AS clen, tok
+      |  FROM (SELECT doc_id, tok, n_tok, unnest(range(0, n_extra + 1)) AS chunk_i FROM b))
+      |SELECT doc_id, CAST(chunk_i AS INT) AS chunk_i, CAST(start_tok AS INT) AS start_tok,
+      |  CAST(clen AS BIGINT) AS n_tok,
+      |  md5(array_to_string(list_slice(tok, start_tok+1, start_tok+clen), ' ')) AS fp
+      |FROM ch ORDER BY doc_id, chunk_i""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "p32_line_dedup" -> ((p32_line_dedup _, Some(p32_sql))),
+    "p33_ppl_buckets" -> ((p33_ppl_buckets _, Some(p33_sql))),
+    "p34_chunk_overlap" -> ((p34_chunk_overlap _, Some(p34_sql))))
+}

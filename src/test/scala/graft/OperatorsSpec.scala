@@ -316,6 +316,94 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("TextOps.dedupSegmentsGlobal keeps exactly the corpus-first instance") {
+    import spark.implicits._
+    // "aa bb cc" appears in docs 1 (seg 0), 2 (seg 1), and TWICE in
+    // doc 3; only doc 1's instance (smallest (id, seg_i)) survives.
+    // Doc 4 has no duplicated segment; doc 5 is under segLen.
+    val df = Seq(
+      (1L, "aa bb cc xx yy zz"),
+      (2L, "pp qq rr aa bb cc"),
+      (3L, "aa bb cc aa bb cc tail"),
+      (4L, "unique words only here"),
+      (5L, "too short")).toDF("id", "text")
+    val out = graft.operators.TextOps
+      .dedupSegmentsGlobal(df, "id", "text").orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(0).getAs[Long]("n_removed") == 0 &&
+      out(0).getAs[Long]("kept_tokens") == 6)
+    assert(out(1).getAs[Long]("n_removed") == 1 &&
+      out(1).getAs[Long]("kept_tokens") == 3)
+    // both of doc 3's instances lose to doc 1's
+    assert(out(2).getAs[Long]("n_removed") == 2 &&
+      out(2).getAs[Long]("kept_tokens") == 1) // the 1-token tail
+    assert(out(3).getAs[Long]("n_removed") == 0 &&
+      out(3).getAs[Long]("kept_tokens") == 4)
+  }
+
+  test("TextOps.dedupSegmentsGlobal accounting holds over random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("aa", "bb", "cc")
+    val docs = (0 until 60).map { id =>
+      val words = Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.length)))
+      (id.toLong, words.mkString(" "))
+    }
+    val out = graft.operators.TextOps
+      .dedupSegmentsGlobal(docs.toDF("id", "text"), "id", "text").collect()
+    val inTok = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).length }.toMap
+    assert(out.map(_.getAs[Long]("id")).toSet ==
+      inTok.filter(_._2 >= 3).keySet)
+    // exactly one instance of every distinct segment survives corpus-wide
+    val segs = docs.flatMap { case (_, t) =>
+      t.split(" ").filter(_.nonEmpty).grouped(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+    }
+    val expectedRemoved = segs.length - segs.distinct.length
+    assert(out.map(_.getAs[Long]("n_removed")).sum == expectedRemoved)
+    out.foreach { r =>
+      val nTok = inTok(r.getAs[Long]("id"))
+      assert(r.getAs[Long]("n_seg") == nTok / 3)
+      assert(r.getAs[Long]("kept_tokens") ==
+        nTok - 3 * r.getAs[Long]("n_removed"))
+    }
+  }
+
+  test("TextOps.chunkDocs covers every token with the declared overlap") {
+    import spark.implicits._
+    // lengths straddling the window/stride boundaries: 1, 63, 64, 65,
+    // 112 (=64+48), 113
+    val docs = Seq(1, 63, 64, 65, 112, 113).zipWithIndex.map {
+      case (len, i) => (i.toLong, (0 until len).map(j => s"t$j").mkString(" "))
+    }
+    val out = graft.operators.TextOps
+      .chunkDocs(docs.toDF("id", "text"), "id", "text", window = 64, stride = 48)
+      .orderBy("id", "chunk_i").collect()
+    val byDoc = out.groupBy(_.getAs[Long]("id")).view.mapValues(_.sortBy(_.getAs[Int]("chunk_i")))
+    assert(byDoc(0L).length == 1 && byDoc(0L).head.getAs[Long]("n_tok") == 1)
+    assert(byDoc(2L).length == 1) // exactly one window
+    assert(byDoc(3L).length == 2) // one token past the window
+    assert(byDoc(3L)(1).getAs[Int]("start_tok") == 48 &&
+      byDoc(3L)(1).getAs[Long]("n_tok") == 17)
+    assert(byDoc(4L).length == 2 && byDoc(4L)(1).getAs[Long]("n_tok") == 64)
+    assert(byDoc(5L).length == 3 && byDoc(5L)(2).getAs[Long]("n_tok") == 17)
+    // coverage: chunk i starts at i*stride and the last chunk reaches n_tok
+    docs.foreach { case (id, t) =>
+      val n = t.split(" ").length
+      val chunks = byDoc(id)
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("start_tok") == i * 48)
+      }
+      val last = chunks.last
+      assert(last.getAs[Int]("start_tok") + last.getAs[Long]("n_tok") == n)
+    }
+    // fingerprints of identical chunk text agree across documents
+    val fp112 = byDoc(4L).head.getAs[String]("fp")
+    val fp113 = byDoc(5L).head.getAs[String]("fp")
+    assert(fp112 == fp113) // both are md5 of tokens t0..t63
+  }
+
   test("Multimodal.windowFingerprints overlaps at the hop, not the window") {
     import spark.implicits._
     // 128 ASCII bytes → windows start at 0, 32, 64 ((128-64)/32 = 2,

@@ -530,13 +530,13 @@ class PostgresConnectorSpec extends AnyFunSuite {
 
   test("COUNT(*) aggregate pushdown ships one int8 per partition") {
     pg
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val n = spark.read.format("postgres")
       .option("dsn", dsn).option("table", "people")
       .option("pagesPerTask", "2").load().count()
     assert(n == 300)
-    val countSqls = pg.copyOutStatements.filter(_.contains("count(*)"))
-    assert(countSqls.nonEmpty, s"no pushed count(*): ${pg.copyOutStatements}")
+    val countSqls = pg.copyOutSnapshot.filter(_.contains("count(*)"))
+    assert(countSqls.nonEmpty, s"no pushed count(*): ${pg.copyOutSnapshot}")
     assert(countSqls.forall(_.contains("ctid BETWEEN")))
   }
 
@@ -571,13 +571,13 @@ class PostgresConnectorSpec extends AnyFunSuite {
     (0 until 200).map(i => (s"g${i % 3}", i.toLong, i * 0.5,
         BigDecimal(i).setScale(2).bigDecimal))
       .toDF("grp", "x", "d", "de").writeTo("pg.public.gagg").append()
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val got = spark.sql(
       """SELECT grp, count(*) AS n, min(x) AS mn, max(x) AS mx,
         |  sum(x) AS sx, sum(d) AS sd, sum(de) AS sde
         |FROM pg.public.gagg GROUP BY grp ORDER BY grp""".stripMargin).collect()
-    val pushed = pg.copyOutStatements.filter(_.contains("GROUP BY"))
-    assert(pushed.nonEmpty, s"no pushed group-by: ${pg.copyOutStatements}")
+    val pushed = pg.copyOutSnapshot.filter(_.contains("GROUP BY"))
+    assert(pushed.nonEmpty, s"no pushed group-by: ${pg.copyOutSnapshot}")
     assert(got.length == 3)
     // expected per group: g0 has 0,3,...,198 (67 values), g1 1..199 (67), g2 2..197 (66)
     val byGrp = got.map(r => r.getString(0) -> r).toMap
@@ -738,20 +738,20 @@ class PostgresConnectorSpec extends AnyFunSuite {
 
   test("limit pushdown reaches each task's COPY and bounds served rows") {
     pg
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val n = spark.read.format("postgres")
       .option("dsn", dsn).option("table", "people")
       .option("pagesPerTask", "2").load()
       .select("id").limit(7).count()
     assert(n == 7)
-    val scans = pg.copyOutStatements.filter(_.contains("\"people\""))
+    val scans = pg.copyOutSnapshot.filter(_.contains("\"people\""))
     assert(scans.nonEmpty && scans.forall(_.contains("LIMIT 7")),
       s"expected LIMIT 7 in every task scan: $scans")
   }
 
   test("top-N pushdown orders remotely; text sort keys stay host-side") {
     pg
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val top = spark.read.format("postgres")
       .option("dsn", dsn).option("table", "people")
       .option("pagesPerTask", "2").load()
@@ -759,20 +759,20 @@ class PostgresConnectorSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSeq
     // highest scores are the highest ids (score = id/10)
     assert(top == Seq(299L, 298L, 297L, 296L, 295L))
-    val scans = pg.copyOutStatements.filter(_.contains("\"people\""))
+    val scans = pg.copyOutSnapshot.filter(_.contains("\"people\""))
     assert(scans.nonEmpty && scans.forall(
       _.contains("ORDER BY \"score\" DESC NULLS LAST, \"id\" ASC NULLS FIRST LIMIT 5")),
       s"expected pushed top-N in every task scan: $scans")
 
     // a varchar sort key must NOT be pushed (collation divergence):
     // the scan carries neither ORDER BY nor LIMIT and Spark sorts
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val byName = spark.read.format("postgres")
       .option("dsn", dsn).option("table", "people").load()
       .orderBy(col("name")).limit(3)
       .select("name").collect().map(_.getString(0)).toSeq
     assert(byName == Seq("name_0", "name_1", "name_10"))
-    val nameScans = pg.copyOutStatements.filter(_.contains("\"people\""))
+    val nameScans = pg.copyOutSnapshot.filter(_.contains("\"people\""))
     assert(nameScans.nonEmpty && nameScans.forall(s =>
       !s.contains("ORDER BY") && !s.contains("LIMIT")),
       s"text top-N must not push: $nameScans")
@@ -788,10 +788,10 @@ class PostgresConnectorSpec extends AnyFunSuite {
       .option("dsn", dsn).option("table", "people")
       .option("pagesPerTask", "2").load()
       .withColumn("id", col("id"))
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val n = fact.join(dim, "id").count()
     assert(n == 3) // ids 7, 107, 207 exist among people 0..299
-    val scans = pg.copyOutStatements.filter(_.contains("\"people\""))
+    val scans = pg.copyOutSnapshot.filter(_.contains("\"people\""))
     assert(scans.nonEmpty && scans.forall(_.contains(""""id" IN (""")),
       s"expected the runtime IN in every task scan: $scans")
   }
@@ -1146,14 +1146,14 @@ class PostgresConnectorSpec extends AnyFunSuite {
   test("filterPushdown=false suppresses the remote WHERE entirely") {
     pg
     def scanWheres(pushdown: Boolean): Seq[String] = {
-      pg.copyOutStatements.clear()
+      pg.clearCopyOutLog()
       spark.read.format("postgres")
         .option("dsn", dsn).option("table", "people")
         .option("filterPushdown", pushdown.toString)
         .load()
         .filter(col("id") < 10L)
         .collect()
-      pg.copyOutStatements.toSeq.filter(_.contains("\"id\" <"))
+      pg.copyOutSnapshot.filter(_.contains("\"id\" <"))
     }
     assert(scanWheres(pushdown = true).nonEmpty,
       "default: the predicate must reach the remote WHERE")
@@ -1173,10 +1173,10 @@ class PostgresConnectorSpec extends AnyFunSuite {
       sourceSchema = "public", sinkSchema = Some("pgv"),
       overwrite = true, filterPushdown = false)
     assert(created.contains("pgv_people"))
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val n = spark.sql("SELECT count(*) AS n FROM pgv_people WHERE id < 20").head.getLong(0)
     assert(n == 20)
-    assert(pg.copyOutStatements.forall(!_.contains("\"id\" <")))
+    assert(pg.copyOutSnapshot.forall(!_.contains("\"id\" <")))
   }
 
   test("pushed string equality round-trips quoting hazards end to end") {
@@ -1196,12 +1196,12 @@ class PostgresConnectorSpec extends AnyFunSuite {
       // equality on the hazard string must travel the remote WHERE and
       // still match exactly one row (Spark re-checks the residual, so a
       // broken quote would usually surface as 0 rows or a parse error)
-      pg.copyOutStatements.clear()
+      pg.clearCopyOutLog()
       val got = spark.read.format("postgres")
         .option("dsn", dsn).option("table", "quoted").load()
         .filter(col("v") === v).collect()
       assert(got.length == 1 && got.head.getInt(0) == i, s"value <$v>")
-      assert(pg.copyOutStatements.exists(_.contains("WHERE")),
+      assert(pg.copyOutSnapshot.exists(_.contains("WHERE")),
         s"predicate for <$v> was not pushed")
     }
   }
@@ -1278,7 +1278,7 @@ class PostgresConnectorSpec extends AnyFunSuite {
 
   test("exact filters are consumed and aggregates push under the WHERE") {
     pg
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     // integer predicate: exact → consumed → aggregate pushes with WHERE
     val n = spark.read.format("postgres")
       .option("dsn", dsn).option("table", "people")
@@ -1286,25 +1286,25 @@ class PostgresConnectorSpec extends AnyFunSuite {
       .filter(col("id") < 100)
       .agg(count(lit(1)).as("n")).collect().head.getLong(0)
     assert(n == 100)
-    val aggScans = pg.copyOutStatements.filter(s =>
+    val aggScans = pg.copyOutSnapshot.filter(s =>
       s.contains("\"people\"") && s.contains("count(*)"))
     assert(aggScans.nonEmpty && aggScans.forall(_.contains("\"id\" < 100")),
-      s"expected pushed count(*) under the integer WHERE: ${pg.copyOutStatements}")
+      s"expected pushed count(*) under the integer WHERE: ${pg.copyOutSnapshot}")
 
     // string predicate: residual (collations) → no aggregate pushdown,
     // raw rows ship and Spark filters + counts
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val m = spark.read.format("postgres")
       .option("dsn", dsn).option("table", "people").load()
       .filter(col("name") === "name_7")
       .agg(count(lit(1)).as("n")).collect().head.getLong(0)
     assert(m == 1)
-    assert(!pg.copyOutStatements.exists(s =>
+    assert(!pg.copyOutSnapshot.exists(s =>
       s.contains("\"people\"") && s.contains("count(*)")),
-      s"string-filtered aggregate must not push: ${pg.copyOutStatements}")
+      s"string-filtered aggregate must not push: ${pg.copyOutSnapshot}")
 
     // decimal predicate under grouped agg: pushed WHERE + GROUP BY
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val grouped = spark.read.format("postgres")
       .option("dsn", dsn).option("table", "people").load()
       .filter(col("score") >= BigDecimal("25.00"))
@@ -1428,27 +1428,27 @@ class PostgresConnectorSpec extends AnyFunSuite {
 
   test("OFFSET pushes to the single-partition query scan, never to parallel ctid scans") {
     pg
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val viaQuery = PgFunctions
       .postgresQuery(spark, dsn, """SELECT "id", "name" FROM "public"."people"""")
       .orderBy(col("id")).offset(280).limit(10)
       .collect().map(_.getLong(0)).toSeq
     assert(viaQuery == (280L until 290L))
-    val pushed = pg.copyOutStatements.filter(_.contains("OFFSET"))
-    assert(pushed.nonEmpty, s"OFFSET not pushed: ${pg.copyOutStatements}")
+    val pushed = pg.copyOutSnapshot.filter(_.contains("OFFSET"))
+    assert(pushed.nonEmpty, s"OFFSET not pushed: ${pg.copyOutSnapshot}")
     assert(pushed.exists(s => s.contains("OFFSET 280") && s.contains("ORDER BY")),
       s"pushed statement malformed: $pushed")
     // the parallel ctid scan must NOT push (a full offset per task would
     // drop rows globally); Spark applies it host-side instead
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val viaScan = spark.read.format("postgres")
       .option("dsn", dsn).option("table", "people")
       .option("pagesPerTask", "2").load()
       .orderBy(col("id")).offset(280).limit(10)
       .collect().map(_.getLong(0)).toSeq
     assert(viaScan == (280L until 290L))
-    assert(pg.copyOutStatements.forall(!_.contains("OFFSET")),
-      s"parallel scan pushed OFFSET: ${pg.copyOutStatements.filter(_.contains("OFFSET"))}")
+    assert(pg.copyOutSnapshot.forall(!_.contains("OFFSET")),
+      s"parallel scan pushed OFFSET: ${pg.copyOutSnapshot.filter(_.contains("OFFSET"))}")
   }
 
   test("copyDatabase clones a schema across servers: definitions + data, binary and text modes") {

@@ -57,14 +57,14 @@ class PostgresStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table(name).count() == 100)
 
-      pg.copyOutStatements.clear()
+      pg.clearCopyOutLog()
       addRows(pg, "ticks", 100 until 130)
       q.processAllAvailable()
       assert(spark.table(name).count() == 130)
 
       // the incremental batch's COPY must carry the key interval — not
       // a full rescan
-      val scans = pg.copyOutStatements.filter(s =>
+      val scans = pg.copyOutSnapshot.filter(s =>
         s.contains("\"ticks\"") && !s.contains("max(") && !s.contains("min("))
       assert(scans.nonEmpty && scans.forall(s =>
         s.contains("\"id\" > 99") && s.contains("\"id\" <= 129")),
@@ -81,7 +81,7 @@ class PostgresStreamSpec extends AnyFunSuite {
   test("wide backfill interval splits into streamTasks parallel key ranges") {
     val pg = freshTable("backfill", "streamspec")
     addRows(pg, "backfill", 0 until 90)
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
 
     val stream = spark.readStream.format("postgres")
       .option("dsn", dsn).option("table", "backfill")
@@ -97,7 +97,7 @@ class PostgresStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table(name).count() == 90)
       assert(spark.table(name).select("id").distinct().count() == 90)
-      val scans = pg.copyOutStatements.filter(s =>
+      val scans = pg.copyOutSnapshot.filter(s =>
         s.contains("\"backfill\"") && !s.contains("max(") && !s.contains("min("))
       assert(scans.length == 3, s"expected 3 key sub-range scans: $scans")
     } finally {
@@ -109,7 +109,7 @@ class PostgresStreamSpec extends AnyFunSuite {
   test("streamMaxKeysPerBatch bounds catch-up into multiple micro-batches") {
     val pg = freshTable("catchup", "streamspec")
     addRows(pg, "catchup", 0 until 100)
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
 
     val stream = spark.readStream.format("postgres")
       .option("dsn", dsn).option("table", "catchup")
@@ -128,7 +128,7 @@ class PostgresStreamSpec extends AnyFunSuite {
       // catch-up ran as bounded steps: 30+30+30+10, four interval scans
       // (distinct: a task retry under load re-issues an identical
       // interval statement without changing the batch boundaries)
-      val scans = pg.copyOutStatements.filter(s =>
+      val scans = pg.copyOutSnapshot.filter(s =>
         s.contains("\"catchup\"") && !s.contains("max(") && !s.contains("min("))
       assert(scans.distinct.length == 4,
         s"expected 4 bounded catch-up scans: $scans")
