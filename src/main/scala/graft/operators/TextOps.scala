@@ -264,19 +264,28 @@ object TextOps {
     * document with ≥ segLen tokens: (idCol, n_seg, n_removed,
     * kept_tokens).
     *
-    * Shape at scale — every stage is skew-safe, deliberately NOT a
-    * segment-partitioned window: a viral span (boilerplate, a chain
-    * letter) can appear in millions of documents, and a window must
-    * sort all its instances in ONE task. Instead: (1) instances
-    * reduce to (seg, doc, min seg_i, cnt) with map-side combine
-    * soaking in-document repetition; (2) the per-segment winner is a
-    * narrow min-struct aggregate (combine again bounds hot
-    * segments); (3) the winner relation (1 row/segment) joins back
-    * keyed by segment — a hot key there is AQE skew-split, which a
-    * window sort cannot be; (4) per-doc totals are a final narrow
-    * aggregate. Counts are arithmetic (each removed instance drops
-    * exactly segLen tokens), so stats-only callers never rebuild
-    * text. */
+    * Shape at scale — every stage is skew-safe, and there is no
+    * segment-keyed JOIN at all, let alone a segment-partitioned
+    * window (a viral span — boilerplate, a chain letter — can appear
+    * in millions of documents; a window must sort all its instances
+    * in ONE task, and even a join-back puts the hot key through a
+    * single build side). The identity that removes both: a document's
+    * removed count is its total instances minus the number of
+    * segments it WON, so the per-segment winner relation only ever
+    * re-aggregates BY DOCUMENT — (1) instances reduce to (seg, doc,
+    * min seg_i, cnt) with map-side combine soaking in-document
+    * repetition; (2) the per-segment winner is a narrow min-struct
+    * aggregate (combine again bounds hot segments — min is
+    * partial-aggregable); (3) winners count up per winning document
+    * (bounded by that document's own length); (4) the doc-keyed
+    * win counts left-join the doc-keyed per-document stats — both
+    * sides exit their aggregates already hash-partitioned on the
+    * document id, so the join plans with no extra exchange. The
+    * reduced relation materializes once (localCheckpoint) for its
+    * two consumers, the winner chain and the stats aggregate —
+    * narrow rows, unlike re-running scan→tokenize→explode twice.
+    * Counts are arithmetic (each removed instance drops exactly
+    * segLen tokens), so stats-only callers never rebuild text. */
   def dedupSegmentsGlobal(df: DataFrame, idCol: String, textCol: String,
       segLen: Int = 3): DataFrame = {
     val n = segLen
@@ -293,16 +302,19 @@ object TextOps {
     val red = inst.groupBy(col("seg"), col(idCol))
       .agg(min(col("seg_i")).as("mi"), count(lit(1)).as("cnt"),
         max(col("n_seg")).as("n_seg"), max(col("n_tok")).as("n_tok"))
-    val winner = red.groupBy(col("seg"))
+      .localCheckpoint()
+    val wins = red.groupBy(col("seg"))
       .agg(min(struct(col(idCol), col("mi"))).as("w"))
-      .select(col("seg"), col("w")(idCol).as("w_id"))
-    red.join(winner, "seg")
-      .withColumn("rm",
-        col("cnt") - when(col(idCol) === col("w_id"), 1L).otherwise(0L))
-      .groupBy(col(idCol))
-      .agg(max(col("n_seg")).cast("long").as("n_seg"),
-        sum(col("rm")).as("n_removed"),
-        (max(col("n_tok")) - lit(n) * sum(col("rm"))).cast("long")
+      .groupBy(col("w")(idCol).as(idCol))
+      .agg(count(lit(1)).as("won"))
+    val stats = red.groupBy(col(idCol))
+      .agg(max(col("n_seg")).as("n_seg"), max(col("n_tok")).as("n_tok"),
+        sum(col("cnt")).as("n_inst"))
+    stats.join(wins, Seq(idCol), "left_outer")
+      .withColumn("won", coalesce(col("won"), lit(0L)))
+      .select(col(idCol), col("n_seg").cast("long").as("n_seg"),
+        (col("n_inst") - col("won")).as("n_removed"),
+        (col("n_tok") - lit(n) * (col("n_inst") - col("won"))).cast("long")
           .as("kept_tokens"))
   }
 
