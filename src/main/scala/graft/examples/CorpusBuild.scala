@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   *   1. language-ID + quality gate      (cheap per-row filters first)
   *   2. per-source boilerplate removal  (TextOps.removeBoilerplate)
   *   3. exact dedup                     (hash groupBy on cleaned text)
+  *   3b. global-duplication gate        (TextOps.dedupSegmentsGlobal:
+  *       drop docs mostly made of corpus-duplicated spans)
   *   4. near-dup clusters, keep canon   (TextDedup pairs → clusters)
   *   5. eval-set decontamination        (TextOps.decontaminate)
   *   6. semantic dedup on embeddings    (Ann.semanticDups, SemDeDup)
-  *   7. unigram-LM quality gate         (corpus-trained rare-token rate)
+  *   7. unigram-LM quality gate         (ONE corpus-trained LM pass
+  *       gates both the rare-token rate and the CCNet tail bucket)
   *   8. PII scrub                       (TextOps.piiScrub)
   *   9. token counts + sequence packing (TextOps.packSequences)
+  *   9b. retrieval chunks side output   (TextOps.chunkDocs — the RAG
+  *       index feed, written next to the training shards)
   *  10. deterministic shuffle + shard, write packed parquet
   *
   * Every stage is declarative DataFrame work — at 100 TB the same
@@ -69,8 +74,21 @@ object CorpusBuild {
       .filter(col("rn") === 1).drop("rn")
     stage("exact dedup", exact.count())
 
+    // 3b. global-duplication gate: a doc whose segments are mostly
+    // duplicates of spans seen earlier in the corpus (the C4
+    // first-wins rule) is a copy even if no single doc matches it —
+    // drop when more than half its segments lose their first-instance
+    // race
+    val dupFrac = graft.operators.TextOps
+      .dedupSegmentsGlobal(exact, "doc_id", "clean_text")
+      .filter(col("n_removed") * 2 > col("n_seg"))
+      .select(col("doc_id").as("dup_id"))
+    val globalKept = pin(exact.join(
+      dupFrac, col("doc_id") === col("dup_id"), "left_anti"))
+    stage("global-dup gate", globalKept.count())
+
     // 4. near-dup clusters; keep each cluster's canonical doc
-    val toks = pin(exact.withColumn("tok", split(col("clean_text"), " ")))
+    val toks = pin(globalKept.withColumn("tok", split(col("clean_text"), " ")))
     val pairs = graft.operators.TextDedup
       .nearDupPairs(toks, "doc_id", "source", "tok")
     val clusters = graft.operators.TextDedup.dupClusters(pairs)
@@ -99,17 +117,21 @@ object CorpusBuild {
       semDrop, col("doc_id") === col("sem_id"), "left_anti"))
     stage("semantic dedup", semKept.count())
 
-    // 7. unigram-LM quality gate: train the LM on the surviving corpus
-    // itself, drop documents whose token instances are mostly types
-    // seen in fewer than 3 documents (the CCNet-style rarity signal)
-    val rare = graft.operators.TextOps
+    // 7. unigram-LM quality gate, ONE pass: train the LM on the
+    // surviving corpus itself and gate on both signals it yields —
+    // the rare-token rate (CCNet-style rarity: token instances mostly
+    // of types seen in < 3 documents) and the likelihood tail bucket
+    // (CCNet's head/middle/tail split with offline-fixed cutoffs; the
+    // tail is what CCNet discards). Cutoff per Pipeline5.p33.
+    val lmTailCutoff = 0.03327
+    val lmDrop = graft.operators.TextOps
       .unigramLmScores(
         semKept.select(col("doc_id"), split(col("clean_text"), " ").as("lm_tok")),
-        "doc_id", "lm_tok", includeLikelihood = false)
-      .filter(col("rare_rate") > 0.5)
-      .select(col("doc_id").as("rare_id"))
+        "doc_id", "lm_tok")
+      .filter(col("rare_rate") > 0.5 || col("mean_lik") < lmTailCutoff)
+      .select(col("doc_id").as("lm_drop_id"))
     val qualified = pin(semKept.join(
-      rare, col("doc_id") === col("rare_id"), "left_anti"))
+      lmDrop, col("doc_id") === col("lm_drop_id"), "left_anti"))
     stage("lm-quality gate", qualified.count())
 
     // 8-9. PII scrub, token counts, GPT-style packing at 2048 tokens
@@ -120,6 +142,15 @@ object CorpusBuild {
     val packed = graft.operators.TextOps
       .packSequences(counted, "doc_id", "source", "n_tokens", budget = 2048)
     stage("packed", packed.count())
+
+    // 9b. retrieval chunks: the same cleaned corpus sliced into
+    // overlapping 64/48-token windows with md5 fingerprints — the
+    // feed a RAG/embedding index builds from; written beside the
+    // training shards (pure map-side expansion, no shuffle)
+    val chunks = graft.operators.TextOps
+      .chunkDocs(scrubbed, "doc_id", "final_text")
+    chunks.write.mode("overwrite").parquet(out + "_chunks")
+    stage("retrieval chunks", chunks.count())
 
     // 10. deterministic shuffle + shard: hash-derived shard,
     // within-shard order by the full hash — a reproducible training
