@@ -142,8 +142,50 @@ object Pipeline5 {
       |  md5(array_to_string(list_slice(tok, start_tok+1, start_tok+clen), ' ')) AS fp
       |FROM ch ORDER BY doc_id, chunk_i""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p35: BPE merge-pair counting — the tokenizer-training primitive.
+  // One merge round of byte-pair encoding: count adjacent character
+  // pairs across the corpus weighted by word frequency, emit the top
+  // 20 merge candidates (count desc, pair asc — a total order, so the
+  // cut is deterministic). Full BPE training is K successive rounds
+  // of exactly this aggregation with the winning pair merged between
+  // rounds; the round is the part that touches the corpus.
+  //
+  // Shape at scale: the word-frequency dict is vocabulary-bounded
+  // after map-side combine (classic BPE trains on the word dict, not
+  // the running text), pair counts are alphabet²-bounded, and the
+  // top-k is a TakeOrdered — every exchange in the plan carries
+  // dictionary-sized relations, never corpus-sized ones.
+  // ---------------------------------------------------------------- //
+  def p35_bpe_pairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = PipelineOps.spread(
+      t(s, dir, "documents").select(col("text")))
+    val wf = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf.filter(length(col("w")) >= 2)
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  val p35_sql: String =
+    """WITH wf AS (
+      |  SELECT tok AS w, COUNT(*) AS f
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |pairs AS (
+      |  SELECT substr(w, i, 2) AS pair, f
+      |  FROM (SELECT w, f, unnest(range(1, len(w))) AS i FROM wf WHERE len(w) >= 2))
+      |SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+      |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p32_line_dedup" -> ((p32_line_dedup _, Some(p32_sql))),
     "p33_ppl_buckets" -> ((p33_ppl_buckets _, Some(p33_sql))),
-    "p34_chunk_overlap" -> ((p34_chunk_overlap _, Some(p34_sql))))
+    "p34_chunk_overlap" -> ((p34_chunk_overlap _, Some(p34_sql))),
+    "p35_bpe_pairs" -> ((p35_bpe_pairs _, Some(p35_sql))))
 }
