@@ -26,14 +26,14 @@ object AggPushdownDemo {
         |SELECT CASE WHEN id % 4 = 0 THEN 'north' WHEN id % 4 = 1 THEN 'south'
         |            WHEN id % 4 = 2 THEN 'east' ELSE 'west' END, id
         |FROM range(1000) t(id)""".stripMargin)
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     spark.sql(
       """SELECT region, count(*) n, min(amount) mn, max(amount) mx, sum(amount) total
         |FROM pg.public.sales GROUP BY region ORDER BY region""".stripMargin).show()
     println("remote statements with GROUP BY: " +
-      pg.copyOutStatements.count(_.contains("GROUP BY")))
+      pg.copyOutSnapshot.count(_.contains("GROUP BY")))
     println("example remote SQL: " +
-      pg.copyOutStatements.find(_.contains("GROUP BY")).getOrElse("none"))
+      pg.copyOutSnapshot.find(_.contains("GROUP BY")).getOrElse("none"))
     spark.stop()
   }
 }

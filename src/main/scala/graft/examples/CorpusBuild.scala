@@ -147,8 +147,8 @@ object CorpusBuild {
     // overlapping 64/48-token windows with md5 fingerprints — the
     // feed a RAG/embedding index builds from; written beside the
     // training shards (pure map-side expansion, no shuffle)
-    val chunks = graft.operators.TextOps
-      .chunkDocs(scrubbed, "doc_id", "final_text")
+    val chunks = pin(graft.operators.TextOps
+      .chunkDocs(scrubbed, "doc_id", "final_text"))
     chunks.write.mode("overwrite").parquet(out + "_chunks")
     stage("retrieval chunks", chunks.count())
 

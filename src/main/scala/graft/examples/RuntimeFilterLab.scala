@@ -30,12 +30,12 @@ object RuntimeFilterLab {
       .option("pagesPerTask", "1000").load()
     val dim = spark.range(0, 100000).toDF("id")
       .filter(pmod(col("id"), lit(40000)) === 3)
-    pg.copyOutStatements.clear()
+    pg.clearCopyOutLog()
     val joined = fact.join(dim, "id")
     joined.explain(true)
     println("rows=" + joined.count())
     println("--- served COPY statements ---")
-    pg.copyOutStatements.foreach(println)
+    pg.copyOutSnapshot.foreach(println)
     spark.stop()
   }
 }

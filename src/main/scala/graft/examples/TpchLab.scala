@@ -34,11 +34,10 @@ object TpchLab {
       s"SELECT n_name FROM $cat.public.nation WHERE n_name = 'NATION_1' OR n_name = 'NATION_2'")
       .show(5, false)
     val pg = graft.meta.InMemoryPg.forName("c_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-    pg.copyOutStatements.synchronized(pg.copyOutStatements.clear())
+    pg.clearCopyOutLog()
     println("single OR pruned again: " + spark.sql(
       s"SELECT n_name FROM $cat.public.nation WHERE n_name = 'NATION_1' OR n_name = 'NATION_2'").count())
-    pg.copyOutStatements.synchronized(
-      pg.copyOutStatements.foreach(st => println("COPYOUT: " + st)))
+    pg.copyOutSnapshot.foreach(st => println("COPYOUT: " + st))
     spark.stop()
   }
 }

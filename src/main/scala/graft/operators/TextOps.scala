@@ -307,14 +307,17 @@ object TextOps {
       .agg(min(struct(col(idCol), col("mi"))).as("w"))
       .groupBy(col("w")(idCol).as(idCol))
       .agg(count(lit(1)).as("won"))
+    // a document's instance total IS its n_seg (inst emits exactly one
+    // row per seg_i in [0, n_seg)), so the identity needs no separate
+    // sum(cnt): removed = n_seg − segments won
     val stats = red.groupBy(col(idCol))
-      .agg(max(col("n_seg")).as("n_seg"), max(col("n_tok")).as("n_tok"),
-        sum(col("cnt")).as("n_inst"))
+      .agg(max(col("n_seg")).cast("long").as("n_seg"),
+        max(col("n_tok")).as("n_tok"))
     stats.join(wins, Seq(idCol), "left_outer")
       .withColumn("won", coalesce(col("won"), lit(0L)))
-      .select(col(idCol), col("n_seg").cast("long").as("n_seg"),
-        (col("n_inst") - col("won")).as("n_removed"),
-        (col("n_tok") - lit(n) * (col("n_inst") - col("won"))).cast("long")
+      .select(col(idCol), col("n_seg"),
+        (col("n_seg") - col("won")).as("n_removed"),
+        (col("n_tok") - lit(n) * (col("n_seg") - col("won"))).cast("long")
           .as("kept_tokens"))
   }
 
@@ -338,7 +341,11 @@ object TextOps {
       "need window >= stride >= 1 (overlap = window - stride)")
     val extra = floor((col("n_tok") - lit(window - stride + 1))
       .cast("double") / lit(stride)).cast("int")
-    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("tok"))
+    // whitespace-only text must emit NO chunk: split(trim("")) yields
+    // [""], which would otherwise count as one token and fingerprint
+    // an empty chunk into the feed
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("tok"))
       .withColumn("n_tok", size(col("tok")))
       .withColumn("n_extra",
         when(col("n_tok") <= window, lit(0)).otherwise(extra))

@@ -132,7 +132,8 @@ object Pipeline5 {
       |  SELECT doc_id, tok, len(tok) AS n_tok,
       |    CASE WHEN len(tok) <= 64 THEN 0
       |         ELSE CAST(floor((len(tok) - 17)/48.0) AS INT) END AS n_extra
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)),
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+      |        FROM documents WHERE trim(text) <> '')),
       |ch AS (
       |  SELECT doc_id, chunk_i, chunk_i*48 AS start_tok,
       |    least(64, n_tok - chunk_i*48) AS clen, tok
