@@ -184,9 +184,44 @@ object Pipeline5 {
       |SELECT pair, CAST(SUM(f) AS BIGINT) AS n
       |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p36: blocklist gate — C4's "bad words" filter (Raffel et al. 2020
+  // drop any page containing a term from a fixed blocklist; the list
+  // here stands in for the production one). Emits per document the
+  // blocked-instance count and the keep verdict, case-insensitive.
+  // Pure map-side arithmetic over the token array — no shuffle at any
+  // scale, the blocklist ships inside the plan as a literal (a large
+  // production list would broadcast-join instead).
+  // ---------------------------------------------------------------- //
+  private val p36Blocklist = Seq("slow", "stale", "spill")
+
+  def p36_blocklist(s: SparkSession, dir: String): DataFrame = {
+    val bl = typedlit(p36Blocklist)
+    PipelineOps.spread(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), PipelineOps.tokens.as("tok"))
+      .select(col("doc_id"),
+        size(filter(col("tok"),
+          tk => array_contains(bl, lower(tk)))).cast("long").as("n_blocked"),
+        size(col("tok")).cast("long").as("n_tokens"))
+      .withColumn("keep", col("n_blocked") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val p36_sql: String = {
+    val lst = p36Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(tok, t -> list_contains($lst, lower(t)))) AS BIGINT) AS n_blocked,
+       |  CAST(len(tok) AS BIGINT) AS n_tokens,
+       |  len(list_filter(tok, t -> list_contains($lst, lower(t)))) = 0 AS keep
+       |FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p32_line_dedup" -> ((p32_line_dedup _, Some(p32_sql))),
     "p33_ppl_buckets" -> ((p33_ppl_buckets _, Some(p33_sql))),
     "p34_chunk_overlap" -> ((p34_chunk_overlap _, Some(p34_sql))),
-    "p35_bpe_pairs" -> ((p35_bpe_pairs _, Some(p35_sql))))
+    "p35_bpe_pairs" -> ((p35_bpe_pairs _, Some(p35_sql))),
+    "p36_blocklist" -> ((p36_blocklist _, Some(p36_sql))))
 }

@@ -417,6 +417,31 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got.toSet == ref.toSet, "heap top-k diverged from the window form")
   }
 
+  test("global segment dedup plans no segment-keyed join or window") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.operators.TextOps.dedupSegmentsGlobal(docs, "doc_id", "text")
+    out.collect() // finalize the adaptive plan
+    // the AQE string repeats everything under "== Initial Plan ==" —
+    // count operators in the FINAL plan only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the viral-span hazard: nothing may sort or join on the segment —
+    // the only seg-keyed operator allowed is the partial-aggregable
+    // min-struct aggregate (one exchange)
+    assert(!plan.contains("Window"),
+      s"no window anywhere in the dedup plan:\n$plan")
+    val segExchanges = "Exchange hashpartitioning\\(seg".r.findAllIn(plan).length
+    assert(segExchanges == 1,
+      s"expected exactly one seg-keyed exchange (the winner aggregate), got $segExchanges:\n$plan")
+    // the final stats ⋈ wins join is doc-keyed: both sides exit their
+    // aggregates hash-partitioned on the id, so (with broadcast
+    // disabled in this suite) the join itself inserts no exchange —
+    // every hashpartitioning in the plan belongs to an aggregate
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(allExchanges == 3,
+      s"expected 3 aggregate exchanges (seg winner, wins-by-doc, stats-by-doc), got $allExchanges:\n$plan")
+  }
+
   test("battery scans keep parquet filter pushdown and column pruning") {
     val df = graft.queries.Relational.q02_filter_pushdown(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.explainString(
