@@ -262,14 +262,17 @@ object Pipeline3 {
       .select(col("source"),
         xxhash64((0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)
           .as("sh"))
-      .distinct()
     // group-by-shingle + in-row pair expansion, not a self-join: the
-    // join form computes the scan→explode→distinct relation twice (its
-    // two branches don't canonicalize to one exchange), and shuffles
+    // join form computes the scan→explode relation twice (its two
+    // branches don't canonicalize to one exchange), and shuffles
     // every (sh, source) row a second time. Here the heavy relation is
     // aggregated ONCE on the shingle key; the source set per shingle is
     // tiny (≤ #sources), so the ordered-pair expansion is in-row work
     // and the second shuffle carries only (src_a, src_b) pairs.
+    // No pre-distinct: collect_set dedups (sh, source) itself, and its
+    // partial (map-side) merge does the dedup BEFORE the one shuffle —
+    // a separate distinct() would shuffle the same rows a second time
+    // for nothing.
     sh.groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")) >= 2)
