@@ -471,10 +471,17 @@ object Relational {
   // ---------------------------------------------------------------- //
   // q26: cube (full grouping-sets lattice)
   // ---------------------------------------------------------------- //
+  // two-level: aggregate the fact to the (flag, status) base grid
+  // FIRST, then cube the tiny grid re-summing the partials — Expand
+  // multiplies the 9-row pre-aggregate by the lattice, never the fact
+  // table (exact for these algebraic aggregates: count re-sums, the
+  // decimal partial sums re-sum before the one final double cast)
   def q26_cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pn"), sum(dec(col("l_quantity"))).as("pq"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 

@@ -181,11 +181,17 @@ object Tpcds2 {
   // against their own grain, never against leaves).
   // ---------------------------------------------------------------- //
   def q49_rollup_rank(s: SparkSession, dir: String): DataFrame = {
+    // two-level (the q26 pattern): the fact join aggregates to the
+    // (brand, type) grid first; Expand multiplies only that tiny grid
+    // into the rollup lattice, never the joined fact rows — exact,
+    // the decimal partials re-sum before the one double cast
     val agg = t(s, dir, "lineitem")
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .withColumn("ext", ext)
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(sum(col("ext")).as("pe"))
       .rollup(col("p_brand"), col("p_type"))
-      .agg(sum(col("ext")).cast("double").as("rev"),
+      .agg(sum(col("pe")).cast("double").as("rev"),
         grouping(col("p_brand")).cast("int").as("g_b"),
         grouping(col("p_type")).cast("int").as("g_t"))
     val w = Window.partitionBy(col("g_b"), col("g_t"))
