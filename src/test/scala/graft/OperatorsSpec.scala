@@ -402,6 +402,12 @@ class OperatorsSpec extends AnyFunSuite {
     val fp112 = byDoc(4L).head.getAs[String]("fp")
     val fp113 = byDoc(5L).head.getAs[String]("fp")
     assert(fp112 == fp113) // both are md5 of tokens t0..t63
+    // whitespace-only text emits NO chunk (split(trim("")) = [""]
+    // would otherwise fingerprint a phantom 1-token chunk)
+    val empty = graft.operators.TextOps
+      .chunkDocs(Seq((9L, "   "), (10L, "one")).toDF("id", "text"), "id", "text")
+      .collect()
+    assert(empty.map(_.getAs[Long]("id")).toSeq == Seq(10L))
   }
 
   test("Multimodal.windowFingerprints overlaps at the hop, not the window") {
