@@ -185,46 +185,56 @@ object TextOps {
     * identical under any partitioning. `df`: (idCol, tokCol:
     * array<string>). Returns (idCol, n_tokens, mean_lik, rare_rate).
     *
-    * The per-(doc, token) counts materialize once (localCheckpoint):
-    * the LM-table branch otherwise re-plans the whole
-    * scan→explode→aggregate chain (its aggregate canonicalizes such
-    * that ReuseExchange cannot fire — the p20 lesson). */
+    * Movement: NOTHING corpus-sized ever materializes. An earlier form
+    * pre-aggregated to (doc, token, c) and localCheckpointed that
+    * relation for its two consumers (the p20 ReuseExchange lesson) —
+    * measured out at every scale (examples/LmLab, isolated JVMs,
+    * warm): sf0.1 1.16 s vs 0.95 s, sf10 cold 14.6 vs 14.7 but warm
+    * 53.4 vs 6.0 — the checkpointed blocks (|docs|·|types per doc|
+    * rows) stay resident for the session and the NEXT big query pays
+    * for them in evictions. Instead the token stream is walked twice
+    * (the LM-table pass and the scoring pass — tokenize is cheaper
+    * than materializing the per-doc type relation), every shuffle is
+    * bounded by the vocabulary except the (token, doc) dedup the
+    * document frequency genuinely needs, and the scoring identities
+    * are per-instance: sum_types(tf·cnt) = sum_instances(cnt), and
+    * instances-of-rare-types = sum_instances([df < k]). */
   def unigramLmScores(df: DataFrame, idCol: String, tokCol: String,
       rareDocFreq: Int = 3, includeLikelihood: Boolean = true): DataFrame = {
-    val tf = df.select(col(idCol), explode(col(tokCol)).as("__token"))
-      .groupBy(col(idCol), col("__token")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+    val inst = df.select(col(idCol), explode(col(tokCol)).as("__token"))
+    // df = distinct documents per type, via the two-level (token, doc)
+    // aggregate; cnt = total instances per type (sum of the per-doc
+    // counts the first level already has)
+    val lm0 = inst.groupBy(col("__token"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__token"))
+    val nr = sum(when(col("__df") < rareDocFreq, 1L).otherwise(0L)).as("__nr")
     if (includeLikelihood) {
-      val lm = tf.groupBy(col("__token"))
-        .agg(sum(col("__c")).as("__cnt"), count(lit(1)).as("__df"))
+      val lm = lm0.agg(sum(col("__c")).as("__cnt"), count(lit(1)).as("__df"))
       val total = lm.agg(sum(col("__cnt")).as("__n_corpus"))
-      tf.join(broadcast(lm), "__token")
+      inst.join(broadcast(lm), "__token")
         .crossJoin(broadcast(total))
         .groupBy(col(idCol), col("__n_corpus"))
-        .agg(sum(col("__c")).as("n_tokens"),
-          // tf·corpus-count products can exceed 2^63 on a large corpus
-          // (Spark's long sum would wrap SILENTLY under non-ANSI while
-          // the DuckDB twin widens to HUGEINT) — accumulate in
-          // DECIMAL(38,0), exact past the int128 range, per the house
-          // decimal-exact pattern
-          sum(col("__c").cast(org.apache.spark.sql.types.DecimalType(18, 0)) *
-            col("__cnt").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+        .agg(count(lit(1)).as("n_tokens"),
+          // per-instance corpus counts can sum past 2^63 on a large
+          // corpus (Spark's long sum would wrap SILENTLY under
+          // non-ANSI while the DuckDB twin widens to HUGEINT) —
+          // accumulate in DECIMAL(38,0), exact past the int128 range,
+          // per the house decimal-exact pattern
+          sum(col("__cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .as("__wsum"),
-          sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(lit(0L)))
-            .as("__nr"))
+          nr)
         .select(col(idCol), col("n_tokens"),
           (col("__wsum").cast("double") / col("n_tokens") / col("__n_corpus"))
             .as("mean_lik"),
           (col("__nr").cast("double") / col("n_tokens")).as("rare_rate"))
     } else {
       // rare-rate-only callers (e.g. a pure quality gate) skip the
-      // corpus-total pass and the per-doc likelihood sum entirely
-      val lm = tf.groupBy(col("__token")).agg(count(lit(1)).as("__df"))
-      tf.join(broadcast(lm), "__token")
+      // corpus-total pass and the per-instance likelihood sum entirely
+      val lm = lm0.agg(count(lit(1)).as("__df"))
+      inst.join(broadcast(lm), "__token")
         .groupBy(col(idCol))
-        .agg(sum(col("__c")).as("n_tokens"),
-          sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(lit(0L)))
-            .as("__nr"))
+        .agg(count(lit(1)).as("n_tokens"), nr)
         .select(col(idCol), col("n_tokens"),
           (col("__nr").cast("double") / col("n_tokens")).as("rare_rate"))
     }
