@@ -182,7 +182,15 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
             if (e.sqlState == "42P01")
               throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
             else throw e
-          // the in-process endpoint throws plain exceptions; message
+          // the in-process endpoint attaches the state at the raise
+          // site too; must match BEFORE the IAE text fallbacks so a
+          // typed 42703 (missing column) is never swallowed as
+          // table-not-found
+          case e: graft.meta.PgBackendException =>
+            if (e.sqlState == "42P01")
+              throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+            else throw e
+          // legacy in-process raises without a state; message
           // matching stays as ITS classification only
           case e: IllegalArgumentException if e.getMessage != null &&
             e.getMessage.contains("not found") =>

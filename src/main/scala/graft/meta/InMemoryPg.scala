@@ -24,6 +24,16 @@ import graft.types.PgType._
   * rows whose page falls in range, DELETE ... WHERE ctid IN removes by
   * (page,row) id leaving holes, and relpages drives task planning.
   */
+/** Backend error that carries its SQLSTATE from the raise site. The
+  * wire server forwards this state verbatim instead of inferring one
+  * from rendered message text — text matching would reclassify any
+  * unrelated error that merely mentions a missing relation (e.g. a
+  * probe failing on a relation referenced inside a view) as 42P01.
+  * Extends IllegalArgumentException so existing mem-DSN callers that
+  * branch on IAE keep working. */
+private[graft] final class PgBackendException(val sqlState: String, message: String)
+  extends IllegalArgumentException(message)
+
 final class InMemoryPg(val name: String) extends PgTransport {
 
   val RowsPerPage = 64
@@ -72,10 +82,17 @@ final class InMemoryPg(val name: String) extends PgTransport {
       * copy, not the decode. */
     def packedPageBytes(p: Int): Array[Byte] = this.synchronized {
       if (p < packedPages.length) packedPages(p)
+      // tail page may be gone by the time a reader who saw it in
+      // packedPagesCount fetches it (concurrent TRUNCATE, or an
+      // exactly page-aligned seal moved it into packedPages): serve
+      // an empty page, mirroring how the boxed path degrades
+      else if (openPage == null) Array.emptyByteArray
       else { openPageOut.flush(); openPage.toByteArray }
     }
     def packedRowsInPage(p: Int): Int = this.synchronized {
-      if (p < packedPages.length) RowsPerPage else openPageRows
+      if (p < packedPages.length) RowsPerPage
+      else if (openPage == null) 0
+      else openPageRows
     }
     def packedPagesCount: Int = this.synchronized {
       packedPages.length + (if (openPageRows > 0) 1 else 0)
@@ -138,7 +155,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
   def getTable(schema: String, table: String): MemTable = {
     val t = tables.get((schema, table))
-    require(t != null, s"relation $schema.$table does not exist")
+    if (t == null) throw new PgBackendException("42P01",
+      s"relation $schema.$table does not exist")
     t
   }
 
@@ -882,8 +900,9 @@ final class InMemoryPg(val name: String) extends PgTransport {
     // shape ("does not exist") so connector-side staleness detection
     // sees what PG would say
     projCols.foreach { case (c, _) =>
-      require(c == "ctid" || t.colIndex(c) >= 0,
-        s"""column "$c" does not exist in ${t.schema}.${t.table}""")
+      if (c != "ctid" && t.colIndex(c) < 0)
+        throw new PgBackendException("42703",
+          s"""column "$c" does not exist in ${t.schema}.${t.table}""")
     }
     // a ::VARCHAR cast on a non-text column means the server renders
     // the value as its text literal (the CAST_TO_VARCHAR trick for
@@ -1261,7 +1280,15 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
   /** parse a PG text literal into the internal value for `t`. */
   private def parseTextValue(f: String, t: PgType): Any = t match {
-    case PgBool => f == "t" || f == "true"
+    // PG's accepted boolean spellings, case-insensitive (bool.c);
+    // anything else is a 22P02 input-syntax error — never a silent
+    // default to false
+    case PgBool => f.trim.toLowerCase match {
+      case "t" | "true" | "y" | "yes" | "on" | "1" => true
+      case "f" | "false" | "n" | "no" | "off" | "0" => false
+      case other => throw new PgBackendException("22P02",
+        s"""invalid input syntax for type boolean: "$other"""")
+    }
     case PgInt2 => f.toShort
     case PgInt4 => f.toInt
     case PgInt8 => f.toLong
@@ -1661,8 +1688,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
         // 42P07; IF NOT EXISTS is a no-op that keeps the existing table
         if (tables.containsKey((sch, tbl))) {
           if (ifNotExists == null)
-            throw new IllegalArgumentException(
-              s"""relation "$tbl" already exists (42P07)""")
+            throw new PgBackendException("42P07",
+              s"""relation "$tbl" already exists""")
         } else createTable(sch, tbl, parseColumns(colDefs))
       case DropTableRe(sch, tbl) => tables.remove((sch, tbl))
       case TruncateRe(sch, tbl) =>
@@ -1712,7 +1739,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
         val IdxRe = """CREATE (UNIQUE )?INDEX "([^"]+)" ON "([^"]+)"\."([^"]+)" \(([^)]*)\)""".r
         s match {
           case IdxRe(uniq, name, sch, tbl, cols) =>
-            require(hasTable(sch, tbl), s"relation $sch.$tbl does not exist")
+            if (!hasTable(sch, tbl)) throw new PgBackendException("42P01",
+              s"relation $sch.$tbl does not exist")
             indexes.put(name, (sch, tbl, uniq != null,
               cols.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq))
           case _ => throw new IllegalArgumentException(s"bad CREATE INDEX: $s")

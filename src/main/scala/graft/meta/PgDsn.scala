@@ -23,6 +23,7 @@ object PgDsn {
       case '&' => "%26"
       case '=' => "%3D"
       case '?' => "%3F"
+      case '/' => "%2F" // keeps the db path segment unambiguous
       case ' ' => "%20"
       case c => c.toString
     }
@@ -58,15 +59,22 @@ object PgDsn {
     if (host.isEmpty) None
     else {
       val port = opt("port").getOrElse("5432")
-      val db = opt("database").orElse(opt("dbname"))
-        .orElse(opt("user")).getOrElse("postgres")
+      // the db segment is pct-encoded too: a database name containing
+      // '?', '/' or '&' (all legal in PG) must not be parsed as the
+      // path/param separators on the decode side (fromDsn pct-decodes)
+      val db = pctEncode(opt("database").orElse(opt("dbname"))
+        .orElse(opt("user")).getOrElse("postgres"))
+      // an IPv6 host literal contains ':' — bracket it (RFC 3986 form)
+      // so fromDsn's host:port split stays unambiguous
+      val h = host.get
+      val hostSeg = if (h.contains(':') && !h.startsWith("[")) s"[$h]" else h
       val params = Seq(
         opt("user").map(v => s"user=${pctEncode(v)}"),
         opt("password").map(v => s"password=${pctEncode(v)}"),
         opt("sslmode").map(v => s"sslmode=${pctEncode(v)}"),
         opt("sslrootcert").map(v => s"sslrootcert=${pctEncode(v)}")).flatten
       val query = if (params.isEmpty) "" else params.mkString("?", "&", "")
-      Some(s"tcp:${host.get}:$port/$db$query")
+      Some(s"tcp:$hostSeg:$port/$db$query")
     }
   }
 

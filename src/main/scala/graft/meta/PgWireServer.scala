@@ -131,7 +131,7 @@ final class PgWireServer(backend: PgTransport,
       case e: Throwable =>
         try {
           if (out != null) {
-            sendError(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            sendError(out, "", e)
             readyForQuery(out)
           }
         } catch { case _: Throwable => }
@@ -280,16 +280,32 @@ final class PgWireServer(backend: PgTransport,
     out.flush()
   }
 
-  private def sendError(out: DataOutputStream, message: String): Unit = {
-    // map the backend's canonical messages onto real SQLSTATEs here —
-    // the one seam where the state is attached — so wire clients can
-    // branch on the error CLASS (the catalog's 42P01 → NoSuchTable
-    // classification depends on this)
-    val state =
-      if (message != null && message.matches("(?s).*relation .* does not exist.*")) "42P01"
-      else if (message != null && message.contains("already exists")) "42P07"
-      else "XX000"
-    send(out, 'E', errorBody("ERROR", state, message))
+  /** Protocol-level error with no backend origin: XX000. */
+  private def sendError(out: DataOutputStream, message: String): Unit =
+    send(out, 'E', errorBody("ERROR", "XX000", message))
+
+  /** Backend error: forward the SQLSTATE the raise site attached
+    * ([[PgBackendException]], walked through the cause chain) so wire
+    * clients branch on the error CLASS (the catalog's 42P01 →
+    * NoSuchTable classification depends on this). Never inferred from
+    * message text — an unrelated error that merely mentions a missing
+    * relation must NOT be reclassified as table-not-found. */
+  private def sendError(out: DataOutputStream, context: String, e: Throwable): Unit =
+    send(out, 'E', errorBody("ERROR", backendState(e),
+      s"$context${e.getClass.getSimpleName}: ${e.getMessage}"))
+
+  /** SQLSTATE carried by a [[PgBackendException]] anywhere in the
+    * cause chain; XX000 otherwise. */
+  private def backendState(e: Throwable): String = {
+    var c: Throwable = e
+    while (c != null) {
+      c match {
+        case b: PgBackendException => return b.sqlState
+        case _ =>
+      }
+      c = if (c eq c.getCause) null else c.getCause
+    }
+    "XX000"
   }
 
   private def commandComplete(out: DataOutputStream, tag: String): Unit =
@@ -309,8 +325,7 @@ final class PgWireServer(backend: PgTransport,
         commandComplete(out, firstWord(sql))
       }
     } catch {
-      case e: Throwable =>
-        sendError(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      case e: Throwable => sendError(out, "", e)
     }
     readyForQuery(out)
   }
@@ -373,8 +388,7 @@ final class PgWireServer(backend: PgTransport,
       }
       send(out, 'T', desc.toByteArray)
     } catch {
-      case e: Throwable =>
-        sendError(out, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      case e: Throwable => sendError(out, "", e)
     }
   }
 
@@ -410,11 +424,13 @@ final class PgWireServer(backend: PgTransport,
     // (one spurious error + ReadyForQuery per frame, connection
     // carrying stale responses).
     var failed: Option[String] = None
+    var failedEx: Throwable = null // backend cause, for the SQLSTATE
     val sink: java.io.OutputStream =
       try backend.copyIn(sql)
       catch {
         case e: Exception =>
           failed = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          failedEx = e
           null
       }
     var done = false
@@ -427,6 +443,7 @@ final class PgWireServer(backend: PgTransport,
             catch {
               case e: Exception =>
                 failed = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                failedEx = e
             }
         case 'c' => done = true
         case 'f' => failed = Some(readCstr(m.in)); done = true
@@ -443,14 +460,15 @@ final class PgWireServer(backend: PgTransport,
         } catch {
           // completion applies the buffered rows — its failure is the
           // copy's failure, not a protocol error
-          case e: Exception =>
-            sendError(out, s"COPY failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          case e: Exception => sendError(out, "COPY failed: ", e)
         }
       case Some(msg) =>
         // deliberately NOT closed: closing the sink would commit the
         // partial copy; a failed COPY must discard it (PG aborts the
         // transaction on CopyFail)
-        sendError(out, s"COPY failed: $msg")
+        send(out, 'E', errorBody("ERROR",
+          if (failedEx != null) backendState(failedEx) else "XX000",
+          s"COPY failed: $msg"))
     }
   }
 }

@@ -443,15 +443,29 @@ object PgWireTransport {
     PgTls.validateMode(sslmode)
     val slash = hostPortDb.lastIndexOf('/')
     require(slash > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
-    val db = hostPortDb.substring(slash + 1)
+    // the db segment is pct-encoded by PgDsn.assemble (a name with
+    // '/', '?' or '&' must not shift the split points); decode is a
+    // no-op on plain names
+    val db = PgDsn.pctDecode(hostPortDb.substring(slash + 1))
     val hostPort = hostPortDb.substring(0, slash)
-    val colon = hostPort.lastIndexOf(':')
-    require(colon > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
+    // bracketed IPv6 literal: tcp:[::1]:5432/db
+    val (hostStr, portStr) =
+      if (hostPort.startsWith("[")) {
+        val close = hostPort.indexOf(']')
+        require(close > 1 && close + 1 < hostPort.length &&
+          hostPort.charAt(close + 1) == ':',
+          s"malformed tcp dsn '$dsn' (want tcp:[v6host]:port/db)")
+        (hostPort.substring(1, close), hostPort.substring(close + 2))
+      } else {
+        val colon = hostPort.lastIndexOf(':')
+        require(colon > 0, s"malformed tcp dsn '$dsn' (want tcp:host:port/db)")
+        (hostPort.substring(0, colon), hostPort.substring(colon + 1))
+      }
     // values arrive pct-encoded (PgDsn.assemble) so credentials may
     // contain &/=/%; decode is a no-op on plain values
     def connect(mode: String) = new PgWireTransport(
-      hostPort.substring(0, colon),
-      hostPort.substring(colon + 1).toInt,
+      hostStr,
+      portStr.toInt,
       db,
       params.get("user").map(PgDsn.pctDecode).getOrElse("spark"),
       params.get("password").map(PgDsn.pctDecode),

@@ -930,8 +930,10 @@ final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType
       // through the marker table). One writer per sink is already the
       // contract (concurrent writers would collide on the epoch
       // marker), so anything matching this sink's staging prefix and
-      // not this jobId is dead.
-      val stgPrefix = s"${tbl.take(24)}_stg_"
+      // not this jobId is dead. The prefix embeds sinkTag(full name)
+      // so truncating the table name to 24 chars can never alias two
+      // distinct sinks into sweeping each other's live stagings.
+      val stgPrefix = s"${tbl.take(24)}_${PgSqlGen.sinkTag(opts.schema, tbl)}_stg_"
       t.query(graft.meta.PgCatalogQueries.listTables(opts.schema))
         .map(_.head)
         .filter(n => n.startsWith(stgPrefix) && !n.startsWith(s"$stgPrefix$jobId"))
@@ -942,7 +944,7 @@ final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType
     } finally t.close()
     new PostgresStreamingWriterFactory(opts.dsn, opts.schema, tbl,
       writeSchema, colNames, pgTypes, opts.nullByteReplacement, opts.useBinaryCopy,
-      s"${tbl.take(24)}_stg_$jobId")
+      s"${tbl.take(24)}_${PgSqlGen.sinkTag(opts.schema, tbl)}_stg_$jobId")
   }
 
   private def epochCommitted(t: PgTransport, epochId: Long): Boolean = {
@@ -1078,7 +1080,9 @@ final class PostgresBatchWrite(
     }
     new PostgresWriterFactory(opts.dsn, opts.schema, tbl,
       writeSchema, colNames, pgTypes, opts.nullByteReplacement, opts.useBinaryCopy,
-      stagingPrefix = if (opts.stagedWrites) Some(s"${tbl.take(24)}_stg_$jobId") else None)
+      stagingPrefix = if (opts.stagedWrites)
+        Some(s"${tbl.take(24)}_${PgSqlGen.sinkTag(opts.schema, tbl)}_stg_$jobId")
+      else None)
   }
 
   /** The reference's insert runs in ONE catalog transaction

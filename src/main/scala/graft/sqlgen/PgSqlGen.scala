@@ -164,6 +164,17 @@ object PgSqlGen {
 
   def quoteIdent(s: String): String = PgType.quoteIdent(s)
 
+  /** 8-hex-char tag of the full sink identity. Staging-table names
+    * embed it so a truncated table-name prefix can never alias two
+    * sinks: two sinks whose names share the first 24 characters would
+    * otherwise match each other's orphan-sweep prefix, and starting
+    * one could DROP the other's live staging tables mid-epoch. */
+  def sinkTag(schema: String, table: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$schema.$table".getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
   /** Standard-conforming string literal: only quotes are doubled;
     * backslashes are literal under PG's default
     * standard_conforming_strings=on (the reference likewise doubles

@@ -135,6 +135,36 @@ class PgWireSpec extends AnyFunSuite {
     } finally t.close()
   }
 
+  test("SQLSTATE travels from the raise site, never inferred from message text") {
+    seed()
+    val t = PgTransportFactory.open(tcpDsn)
+    try {
+      // missing relation: typed 42P01 attached where the backend raises
+      val miss = intercept[graft.meta.PgServerErrorException](
+        t.copyOut("""COPY (SELECT "k" FROM "public"."no_such_rel") """ +
+          "TO STDOUT (FORMAT binary)").read())
+      assert(miss.sqlState == "42P01", s"got ${miss.sqlState}: ${miss.getMessage}")
+      // an unrelated failure whose MESSAGE merely contains the missing-
+      // relation phrase must NOT be reclassified as table-not-found
+      val other = intercept[graft.meta.PgServerErrorException](
+        t.execute("FROBNICATE relation x does not exist"))
+      assert(other.sqlState == "XX000", s"got ${other.sqlState}: ${other.getMessage}")
+      // duplicate create: typed 42P07
+      t.execute("""CREATE TABLE "public"."wire_dup_t" ("a" INTEGER)""")
+      val dup = intercept[graft.meta.PgServerErrorException](
+        t.execute("""CREATE TABLE "public"."wire_dup_t" ("a" INTEGER)"""))
+      assert(dup.sqlState == "42P07", s"got ${dup.sqlState}: ${dup.getMessage}")
+      // db names with pct-encoded path separators parse (the weird db
+      // rides the startup packet; the backend here ignores it)
+      val weird = graft.meta.PgTransportFactory.open(
+        graft.meta.PgDsn.assemble(Map(
+          "host" -> "127.0.0.1", "port" -> server.port.toString,
+          "database" -> "we?ird/db&x")).get)
+      try weird.execute("SET standard_conforming_strings = on")
+      finally weird.close()
+    } finally t.close()
+  }
+
   test("SCRAM-SHA-256 authentication round-trips; wrong password is 28P01") {
     seed()
     val srv = new PgWireServer(InMemoryPg.forName(memName),

@@ -206,6 +206,28 @@ class PostgresConnectorSpec extends AnyFunSuite {
       (295 until 300).map(i => s"name_$i"))
   }
 
+  test("boolean literals accept PG's spellings case-insensitively; garbage rejects") {
+    val p = graft.meta.InMemoryPg.forName("boolspec")
+    val t = graft.meta.PgTransportFactory.open("mem:boolspec")
+    try {
+      t.execute("""CREATE TABLE "public"."bools" ("i" INTEGER, "b" BOOLEAN)""")
+      t.execute("""INSERT INTO "public"."bools" VALUES """ +
+        "(1, TRUE), (2, 'True'), (3, 'yes'), (4, '1'), (5, 'on'), " +
+        "(6, 'f'), (7, 'NO'), (8, 'off'), (9, '0'), (10, false)")
+      val vals = p.getTable("public", "bools").slots.flatten
+        .map(r => (r.getInt(0), r.getBoolean(1))).toSeq.sorted
+      assert(vals == Seq(1 -> true, 2 -> true, 3 -> true, 4 -> true,
+        5 -> true, 6 -> false, 7 -> false, 8 -> false, 9 -> false,
+        10 -> false))
+      // unrecognized spellings are a 22P02 input-syntax error, never a
+      // silent false
+      val bad = intercept[Exception](
+        t.execute("""INSERT INTO "public"."bools" VALUES (11, 'maybe')"""))
+      assert(bad.getMessage.contains("invalid input syntax"),
+        s"got: ${bad.getMessage}")
+    } finally t.close()
+  }
+
   test("pg_temp namespace: create, insert, query, drop round-trip") {
     // the reference's attach_temporary_table.test surface (upstream
     // marks its own test `mode skip`): temp tables created and
@@ -991,6 +1013,13 @@ class PostgresConnectorSpec extends AnyFunSuite {
       "redaction must stop at '&' so the TLS params an operator needs survive")
     assert(PgDsn.redact("host=h password='p w\\'d' dbname=d") ==
       "host=h password=******** dbname=d")
+    // db segment encodes too: '?', '/' or '&' in a database name (all
+    // legal in PG) must not shift fromDsn's path/param split points
+    assert(PgDsn.assemble(Map("host" -> "h", "database" -> "we?ird/db&x")) ==
+      Some("tcp:h:5432/we%3Fird%2Fdb%26x"))
+    // IPv6 host literals bracket (RFC 3986) so host:port stays parseable
+    assert(PgDsn.assemble(Map("host" -> "::1", "database" -> "d")) ==
+      Some("tcp:[::1]:5432/d"))
     // the scan's table name never leaks a password into plan output
     val opts = graft.sources.postgres.PostgresOptions(Map(
       "dsn" -> "mem:spec", "table" -> "people"))
