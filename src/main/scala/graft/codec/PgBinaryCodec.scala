@@ -241,8 +241,9 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
   }
 
   /** base-10000 numeric reconstruction
-    * (ref: binary_reader.hpp:204-264). */
-  private def readNumeric(buf: java.nio.ByteBuffer, target: DataType): Any = {
+    * (ref: binary_reader.hpp:204-264). Public: the columnar fast path
+    * decodes numerics through the same code. */
+  def readNumeric(buf: java.nio.ByteBuffer, target: DataType): Any = {
     val ndigits = buf.getShort.toInt
     val weight = buf.getShort.toInt
     val sign = buf.getShort.toInt & 0xffff

@@ -93,6 +93,12 @@ final case class PostgresOptions(all: Map[String, String]) {
     * the toggle is the escape hatch (ref: src/postgres_extension.cpp:
     * 176-178). */
   val filterPushdown: Boolean = get("filterPushdown").forall(_.toBoolean)
+  /** vectorized COPY decode (default on): scans whose projected types
+    * all map to flat column vectors fill 2048-row ColumnarBatches
+    * instead of per-row boxed rows — the analogue of the reference's
+    * columnar DataChunk fill (src/postgres_scanner.cpp:430-432). Off
+    * forces the row reader everywhere (the escape hatch). */
+  val vectorizedRead: Boolean = get("vectorizedRead").forall(_.toBoolean)
   /** pg_connection_cache / pg_debug_show_queries are global settings in
     * the reference; setting the option applies them globally here too */
   val connectionCache: Option[Boolean] = get("connectionCache").map(_.toBoolean)
@@ -748,7 +754,7 @@ final class PostgresScan(
       !graft.meta.PgServerVersion.inRecoveryCached(dsn)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PostgresReaderFactory(scanColumns, required)
+    new PostgresReaderFactory(scanColumns, required, table.opts.vectorizedRead)
 
   /** ref: cardinality model, src/postgres_scanner.cpp:500-514 */
   override def estimateStatistics(): Statistics = new Statistics {
@@ -765,33 +771,44 @@ final case class PostgresInputPartition(
     dsn: String, sql: String, snapshot: Option[graft.meta.SnapshotRef])
     extends InputPartition
 
-final class PostgresReaderFactory(cols: Seq[ScanColumn], required: StructType)
+final class PostgresReaderFactory(
+    cols: Seq[ScanColumn], required: StructType, vectorized: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[PostgresInputPartition]
     new PostgresPartitionReader(p.dsn, p.sql, p.snapshot, cols, required)
   }
+
+  /** Columnar fast path: only when every projected (pg type → spark
+    * target) pair decodes into a flat vector — nested/exotic shapes
+    * and count(*)-only NULL projections stay on the row reader. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorized && cols.nonEmpty &&
+      cols.length == required.fields.length &&
+      cols.zip(required.fields).forall { case (c, f) =>
+        PostgresColumnarReader.supported(c.pgType, f.dataType)
+      }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[PostgresInputPartition]
+    new PostgresColumnarReader(p.dsn, p.sql, p.snapshot, cols, required)
+  }
 }
 
-final class PostgresPartitionReader(
-    dsn: String,
-    sql: String,
-    snapshot: Option[graft.meta.SnapshotRef],
-    cols: Seq[ScanColumn],
-    required: StructType)
-    extends PartitionReader[InternalRow] {
-
-  private val transport = PgTransportFactory.open(dsn)
-  private val reader = new graft.codec.PgBinaryReader(
-    cols.map(_.pgType), required.fields.map(_.dataType).toSeq)
-  // Everything after the acquire runs under a close-on-failure guard:
-  // Spark never calls close() on a reader whose CONSTRUCTOR threw, so
-  // any unguarded failure here (snapshot adoption, copyOut, header
-  // read) would leak the pooled connection and its permit — enough
-  // task retries against a flaky server would then exhaust the pool
-  // and hang every later scan on the DSN.
-  private val in: DataInputStream =
+/** Shared scan-open sequence for the row and columnar readers: acquire
+  * a pooled connection, adopt the exported snapshot, start the COPY,
+  * consume the PGCOPY header. Everything after the acquire runs under
+  * a close-on-failure guard: Spark never calls close() on a reader
+  * whose CONSTRUCTOR threw, so any unguarded failure here (snapshot
+  * adoption, copyOut, header read) would leak the pooled connection
+  * and its permit — enough task retries against a flaky server would
+  * then exhaust the pool and hang every later scan on the DSN. */
+private[postgres] object PgScanOpen {
+  def open(dsn: String, sql: String, snapshot: Option[graft.meta.SnapshotRef])
+      : (graft.meta.PgTransport, DataInputStream) = {
+    val transport = PgTransportFactory.open(dsn)
     try {
       // adopt the exported snapshot before streaming, then report the
       // adoption so the lease can release once the last reader is in
@@ -819,13 +836,27 @@ final class PostgresPartitionReader(
                 "(PostgresCatalog.invalidateTable/invalidateAll, the " +
                 "pg_clear_cache analogue) and re-run", e)
         })
-      reader.readHeader(d)
-      d
+      new graft.codec.PgBinaryReader(Seq.empty).readHeader(d)
+      (transport, d)
     } catch {
       case e: Throwable =>
         try transport.close() catch { case _: Exception => () }
         throw e
     }
+  }
+}
+
+final class PostgresPartitionReader(
+    dsn: String,
+    sql: String,
+    snapshot: Option[graft.meta.SnapshotRef],
+    cols: Seq[ScanColumn],
+    required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader = new graft.codec.PgBinaryReader(
+    cols.map(_.pgType), required.fields.map(_.dataType).toSeq)
+  private val (transport, in) = PgScanOpen.open(dsn, sql, snapshot)
 
   private var current: InternalRow = _
 

@@ -179,7 +179,7 @@ final class PostgresMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PostgresReaderFactory(scanColumns, required)
+    new PostgresReaderFactory(scanColumns, required, opts.vectorizedRead)
 
   override def commit(end: Offset): Unit = ()
 

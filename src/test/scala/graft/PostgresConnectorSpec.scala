@@ -54,6 +54,51 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(df.count() == 300)
   }
 
+  test("vectorized read: columnar batches engage, match the row reader exactly") {
+    pg
+    def read(vec: Boolean) = spark.read.format("postgres")
+      .option("dsn", dsn).option("table", "people")
+      .option("vectorizedRead", vec.toString).load()
+    val vecDf = read(true)
+    // the columnar path is live: Spark inserts ColumnarToRow above the
+    // batch scan only when supportColumnarReads said yes
+    assert(vecDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "vectorized scan did not take the columnar path")
+    assert(!read(false).queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "vectorizedRead=false must force the row reader")
+    // bit-identical results across both decoders, all 300 rows
+    val a = vecDf.orderBy("id").collect().toSeq
+    val b = read(false).orderBy("id").collect().toSeq
+    assert(a == b)
+    assert(a.length == 300)
+    // NULL handling + filters through the columnar decode
+    val f = vecDf.where(col("id") >= 290).orderBy("id")
+      .collect().map(_.getString(1)).toSeq
+    assert(f == (290 until 300).map(i => s"name_$i"))
+  }
+
+  test("vectorized read: exotic projections fall back to the row reader") {
+    val p = graft.meta.InMemoryPg.forName("vecfall")
+    if (!p.hasTable("public", "witharr")) {
+      val t = p.createTable("public", "witharr", Seq(
+        "id" -> PgInt8, "tags" -> PgArray(PgInt4, 1, 1007)))
+      (0 until 5).foreach { i =>
+        t.slots += Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong,
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](i, i + 1)))))
+      }
+    }
+    val df = spark.read.format("postgres")
+      .option("dsn", "mem:vecfall").option("table", "witharr").load()
+    // an array column disqualifies the whole scan from columnar
+    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(df.count() == 5)
+    // but pruning the projection down to flat types re-enables it
+    val flat = df.select("id")
+    assert(flat.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(flat.collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L))
+  }
+
   test("parallel ctid ranges cover all pages exactly once") {
     pg
     val df = spark.read.format("postgres")
