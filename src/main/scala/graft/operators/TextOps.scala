@@ -281,19 +281,16 @@ object TextOps {
     * in ONE task, and even a join-back puts the hot key through a
     * single build side). The identity that removes both: a document's
     * removed count is its total instances minus the number of
-    * segments it WON, so the per-segment winner relation only ever
-    * re-aggregates BY DOCUMENT — (1) instances reduce to (seg, doc,
-    * min seg_i, cnt) with map-side combine soaking in-document
-    * repetition; (2) the per-segment winner is a narrow min-struct
-    * aggregate (combine again bounds hot segments — min is
-    * partial-aggregable); (3) winners count up per winning document
-    * (bounded by that document's own length); (4) the doc-keyed
-    * win counts left-join the doc-keyed per-document stats — both
-    * sides exit their aggregates already hash-partitioned on the
-    * document id, so the join plans with no extra exchange. The
-    * reduced relation materializes once (localCheckpoint) for its
-    * two consumers, the winner chain and the stats aggregate —
-    * narrow rows, unlike re-running scan→tokenize→explode twice.
+    * segments it WON, so nothing downstream of the winner aggregate
+    * ever keys by segment — (1) the per-segment winner is ONE
+    * min-struct aggregate straight over the exploded instances
+    * (min is partial-aggregable: map-side combine collapses each
+    * task to one row per segment, bounding hot segments before the
+    * only seg-keyed exchange); (2) winners count up per winning
+    * document (bounded by that document's own length); (3) the
+    * doc-keyed win counts left-join per-document stats that are
+    * plain arithmetic on the tokenized base — n_seg and n_tok are
+    * per-row values, never an aggregate over the exploded relation.
     * Counts are arithmetic (each removed instance drops exactly
     * segLen tokens), so stats-only callers never rebuild text. */
   def dedupSegmentsGlobal(df: DataFrame, idCol: String, textCol: String,
@@ -304,25 +301,29 @@ object TextOps {
       .filter(size(col("tok")) >= n)
       .withColumn("n_seg", (size(col("tok")) / n).cast("int"))
     val inst = base
-      .select(col(idCol), col("n_seg"), size(col("tok")).as("n_tok"),
-        col("tok"), explode(sequence(lit(0), col("n_seg") - 1)).as("seg_i"))
-      .select(col(idCol), col("n_seg"), col("n_tok"), col("seg_i"),
+      .select(col(idCol), col("tok"),
+        explode(sequence(lit(0), col("n_seg") - 1)).as("seg_i"))
+      .select(col(idCol), col("seg_i"),
         concat_ws(" ",
           (0 until n).map(o => col("tok")(col("seg_i") * n + o)): _*).as("seg"))
-    val red = inst.groupBy(col("seg"), col(idCol))
-      .agg(min(col("seg_i")).as("mi"), count(lit(1)).as("cnt"),
-        max(col("n_seg")).as("n_seg"), max(col("n_tok")).as("n_tok"))
-      .localCheckpoint()
-    val wins = red.groupBy(col("seg"))
-      .agg(min(struct(col(idCol), col("mi"))).as("w"))
+    // The winner aggregate runs DIRECTLY on the exploded instances:
+    // min(struct(id, seg_i)) per segment is partial-aggregable, so the
+    // map-side combine collapses each task's instances to ONE row per
+    // segment before the (only) seg-keyed exchange — a strictly
+    // stronger reduction than the former per-(seg, doc) pre-reduce,
+    // whose extra exploded-scale shuffle and localCheckpoint this
+    // replaces (r8 floor attribution: that chain was the whole cost).
+    // Struct min orders by id first, then seg_i — identical winners.
+    val wins = inst.groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("seg_i"))).as("w"))
       .groupBy(col("w")(idCol).as(idCol))
       .agg(count(lit(1)).as("won"))
-    // a document's instance total IS its n_seg (inst emits exactly one
-    // row per seg_i in [0, n_seg)), so the identity needs no separate
-    // sum(cnt): removed = n_seg − segments won
-    val stats = red.groupBy(col(idCol))
-      .agg(max(col("n_seg")).cast("long").as("n_seg"),
-        max(col("n_tok")).as("n_tok"))
+    // A document's instance total IS its n_seg (inst emits exactly one
+    // row per seg_i in [0, n_seg)), and its stats are per-row
+    // arithmetic on the tokenized base — never an aggregate over the
+    // exploded relation: removed = n_seg − segments won
+    val stats = base.select(col(idCol), col("n_seg").cast("long").as("n_seg"),
+      size(col("tok")).as("n_tok"))
     stats.join(wins, Seq(idCol), "left_outer")
       .withColumn("won", coalesce(col("won"), lit(0L)))
       .select(col(idCol), col("n_seg"),
