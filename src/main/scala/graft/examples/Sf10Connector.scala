@@ -29,14 +29,21 @@ object Sf10Connector {
     graft.queries.ConnectorOps.seedPackedTpch(spark, dir)
     println(f"SEED packed tpch from $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // min-of-2 (SF10C_PASSES to change): single cold passes at sf10
+    // swing ±40% with page-cache/GC state right after the 60M-row
+    // seed — one repeat per entry separates plan cost from that noise
+    val passes = sys.env.get("SF10C_PASSES").map(_.toInt).getOrElse(2)
     val results = entries.map { name =>
       val fn = graft.SparkEntry.queries(name)
-      val t1 = System.nanoTime()
       try {
-        fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
-        val dt = (System.nanoTime() - t1) / 1e9
-        println(f"SF10C $name%-20s $dt%.2f s")
-        name -> dt
+        val times = (1 to passes).map { p =>
+          val t1 = System.nanoTime()
+          fn(spark, dir).queryExecution.toRdd.foreach(_ => ())
+          val dt = (System.nanoTime() - t1) / 1e9
+          println(f"SF10C $name%-20s pass$p $dt%.2f s")
+          dt
+        }
+        name -> times.min
       } catch {
         case e: Throwable =>
           println(s"SF10C FAIL $name: ${e.getClass.getName}: ${e.getMessage}")

@@ -925,6 +925,24 @@ final class InMemoryPg(val name: String) extends PgTransport {
         require(i >= 0, s"column $c not found in ${t.schema}.${t.table}")
         (i, renders(c, cast))
     }
+    // PACKED VERBATIM FAST PATH: a page already holds the tuples as
+    // PGCOPY bytes, and a field's wire encoding is identical whether
+    // it travels alone or inside the full row — so a plain projection
+    // (no predicate, order, limit, ctid or text-render) serves by
+    // parsing LENGTHS and copying the projected fields' bytes, never
+    // decoding a value into a boxed row and re-encoding it. This is
+    // where a 60M-row bench scan spends most of its serving wall.
+    val packedVerbatim: Option[Array[Int]] =
+      if (t.packed && preds.isEmpty && orderBy.isEmpty && limit.isEmpty &&
+        offset.isEmpty && projCols.nonEmpty && idx.forall { case (i, rend) => i >= 0 && !rend }) {
+        val ids = idx.map(_._1)
+        if (ids.zip(ids.tail).forall { case (a, b) => a < b }) Some(ids.toArray)
+        else None // out-of-order projection: the slow path reorders
+      } else None
+    if (packedVerbatim.isDefined) {
+      val (loPage0, hiPage0) = pageRange.getOrElse((0L, Long.MaxValue))
+      return servePackedVerbatim(t, packedVerbatim.get, loPage0, hiPage0)
+    }
     val textRenderer = new graft.codec.PgTextWriter(t.colTypes)
     val writer = new PgBinaryWriter(outTypes)
     val bos = new ByteArrayOutputStream()
@@ -987,6 +1005,55 @@ final class InMemoryPg(val name: String) extends PgTransport {
       writer.writeRow(out, new GenericInternalRow(vals))
     }
     writer.writeTrailer(out)
+    out.flush()
+    new ByteArrayInputStream(bos.toByteArray)
+  }
+
+  /** Serve a packed page range as verbatim PGCOPY bytes: full in-order
+    * projections copy whole sealed pages; subsets copy each projected
+    * field's (length + data) bytes and skip the rest. NULL fields
+    * carry length -1 and zero data bytes — max(len, 0) handles both. */
+  private def servePackedVerbatim(t: MemTable, proj: Array[Int],
+      loPage: Long, hiPage: Long): InputStream = {
+    val lo = math.max(0L, loPage).toInt
+    val hi = math.min(t.packedPagesCount.toLong, hiPage).toInt
+    val ncols = t.columns.length
+    val full = proj.length == ncols // in-order by construction → identity
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(graft.codec.PgWire.Signature)
+    out.writeInt(0) // flags
+    out.writeInt(0) // header extension length
+    var p = lo
+    while (p < hi) {
+      val page = t.packedPageBytes(p)
+      if (full) out.write(page)
+      else {
+        val n = t.packedRowsInPage(p)
+        var off = 0
+        var r = 0
+        while (r < n) {
+          off += 2 // stored nfields == ncols (writeRow wrote all columns)
+          out.writeShort(proj.length)
+          var c = 0
+          var pi = 0
+          while (c < ncols) {
+            val len = ((page(off) & 0xff) << 24) | ((page(off + 1) & 0xff) << 16) |
+              ((page(off + 2) & 0xff) << 8) | (page(off + 3) & 0xff)
+            val width = 4 + math.max(len, 0)
+            if (pi < proj.length && proj(pi) == c) {
+              out.write(page, off, width)
+              pi += 1
+            }
+            off += width
+            c += 1
+          }
+          r += 1
+        }
+      }
+      p += 1
+    }
+    out.writeShort(-1)
     out.flush()
     new ByteArrayInputStream(bos.toByteArray)
   }

@@ -30,7 +30,7 @@ object ConnectorOps {
 
   private[queries] def dsnName(dir: String): String =
     "c_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-  private[queries] def dsn(dir: String): String = "mem:" + dsnName(dir)
+  private[graft] def dsn(dir: String): String = "mem:" + dsnName(dir)
 
   /** small page ranges so even sf0.01 scans fan out over several ctid
     * tasks (exercising snapshot export + adoption); at sf0.1 this is
