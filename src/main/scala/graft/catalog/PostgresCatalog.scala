@@ -114,7 +114,21 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
     * temp-table semantics for script ports. */
   private val TempNs = "pg_temp"
 
-  private def tempNsSupported: Boolean = dsn != null && dsn.startsWith("mem:")
+  /** mem: DSNs always (one shared store, exact semantics); wire DSNs
+    * while a `PgFunctions.withTransaction` block pins a session for
+    * this DSN — pg_temp operations then route onto that connection
+    * ([[PgTempWireTable]]), which is the only place they can work. */
+  private def tempNsSupported: Boolean = dsn != null &&
+    (dsn.startsWith("mem:") || graft.functions.PgTxnRegistry.lookup(dsn).isDefined)
+
+  private def tempNsOverWire: Boolean = dsn != null && !dsn.startsWith("mem:")
+
+  private def pinnedTransport(what: String): graft.meta.PgTransport =
+    graft.functions.PgTxnRegistry.lookup(dsn).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot $what: pg_temp through a pooled catalog has no session affinity " +
+          "on a real server — use PgFunctions.withTransaction(dsn) { s => ... } " +
+          "and run pg_temp operations inside the block"))
 
   private def assertTempNsUsable(what: String): Unit =
     if (!tempNsSupported) throw new UnsupportedOperationException(
@@ -159,12 +173,30 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
   // ---------------- tables ---------------- //
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    withTransport(_.query(PgCatalogQueries.listTables(namespace.head)))
+    if (namespace.headOption.contains(TempNs) && tempNsOverWire) {
+      assertTempNsUsable("list pg_temp tables")
+      pinnedTransport("list pg_temp tables")
+        .query(PgCatalogQueries.listTables(TempNs))
+        .map(r => Identifier.of(namespace, r.head)).toArray
+    } else withTransport(_.query(PgCatalogQueries.listTables(namespace.head)))
       .map(r => Identifier.of(namespace, r.head)).toArray
 
   override def loadTable(ident: Identifier): Table = {
     val key = (nsOf(ident), ident.name())
-    if (key._1 == TempNs) assertTempNsUsable("resolve a pg_temp table")
+    if (key._1 == TempNs) {
+      assertTempNsUsable("resolve a pg_temp table")
+      // wire DSN: bind over the pinned session connection, uncached —
+      // the table dies with the session, so a cached binding would
+      // outlive it
+      if (tempNsOverWire)
+        return try PgTempWireTable.discover(dsn, ident.name())
+          catch {
+            case e: graft.meta.PgServerErrorException if e.sqlState == "42P01" =>
+              throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+            case e: graft.meta.PgBackendException if e.sqlState == "42P01" =>
+              throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+          }
+    }
     val cached = tableCache.get(key)
     if (cached != null) cached
     else {
@@ -232,7 +264,9 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
         s"CREATE TEMPORARY TABLE ${PgSqlGen.quoteIdent(ident.name())} ($cols)"
       else
         s"CREATE TABLE ${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())} ($cols)"
-    withTransport(_.execute(ddl))
+    if (ns == TempNs && tempNsOverWire)
+      pinnedTransport("CREATE TABLE in pg_temp").execute(ddl)
+    else withTransport(_.execute(ddl))
     loadTable(ident)
   }
 
@@ -269,7 +303,9 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
       val target =
         if (ns == TempNs) PgSqlGen.quoteIdent(ident.name())
         else s"${PgSqlGen.quoteIdent(ns)}.${PgSqlGen.quoteIdent(ident.name())}"
-      withTransport(_.execute(s"DROP TABLE $target"))
+      if (ns == TempNs && tempNsOverWire)
+        pinnedTransport("DROP TABLE in pg_temp").execute(s"DROP TABLE $target")
+      else withTransport(_.execute(s"DROP TABLE $target"))
       invalidateTable(ident)
     }
     existed

@@ -5,6 +5,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.meta.{PgCatalogQueries, PgTransportFactory}
 import graft.sqlgen.PgSqlGen
 
+/** Active pinned session transactions, keyed by DSN. Registered for
+  * the span of a [[PgFunctions.withTransaction]] block so the attached
+  * catalog can route `pg_temp` operations — which only have meaning on
+  * ONE connection — onto the pinned transport instead of the pool.
+  * One active session per DSN: a second concurrent block on the same
+  * DSN would make "the session's temp table" ambiguous. */
+private[graft] object PgTxnRegistry {
+  private val active =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.meta.PgTransport]()
+
+  def register(dsn: String, t: graft.meta.PgTransport): Unit =
+    if (active.putIfAbsent(dsn, t) != null)
+      throw new IllegalStateException(
+        s"a session transaction is already active for ${graft.meta.PgDsn.redact(dsn)}")
+
+  def unregister(dsn: String): Unit = active.remove(dsn)
+
+  def lookup(dsn: String): Option[graft.meta.PgTransport] = Option(active.get(dsn))
+}
+
 /** Session-level helpers mirroring the reference's table functions
   * (SURVEY.md §7.1 `functions` module). */
 object PgFunctions {
@@ -115,6 +135,9 @@ object PgFunctions {
   def withTransaction[A](dsn: String,
       isolation: String = "READ COMMITTED")(body: PgTxnSession => A): A = {
     val t = PgTransportFactory.openUnpooled(dsn)
+    // visible to the attached catalog for the block's span: pg_temp
+    // DDL/reads/writes route onto THIS connection (session affinity)
+    PgTxnRegistry.register(dsn, t)
     try {
       t.execute(s"BEGIN ISOLATION LEVEL $isolation")
       try {
@@ -127,7 +150,10 @@ object PgFunctions {
           catch { case r: Throwable => e.addSuppressed(r) }
           throw e
       }
-    } finally t.close()
+    } finally {
+      PgTxnRegistry.unregister(dsn)
+      t.close()
+    }
   }
 
   /** `COPY FROM DATABASE` analogue (ref: test/sql/storage/

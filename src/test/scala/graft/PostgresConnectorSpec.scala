@@ -302,6 +302,45 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(!pg.hasTable("pg_temp", "session_scratch"))
   }
 
+  test("pg_temp over a wire DSN: round-trip inside withTransaction, fail-fast outside") {
+    val backend = graft.meta.InMemoryPg.forName("tmpwire")
+    val srv = new graft.meta.PgWireServer(backend)
+    val tdsn = srv.dsn()
+    spark.conf.set("spark.sql.catalog.pgtw", "graft.catalog.PostgresCatalog")
+    spark.conf.set("spark.sql.catalog.pgtw.dsn", tdsn)
+    // outside a session block the namespace still fails fast with the
+    // withTransaction pointer (a pooled catalog has no session affinity)
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE pgtw.pg_temp.scratch (k BIGINT, v STRING)"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("withTransaction")), s"got: ${chain(e)}")
+    // inside the block: DDL/insert/scan/drop all route on the pinned
+    // session connection
+    graft.functions.PgFunctions.withTransaction(tdsn) { _ =>
+      spark.sql("CREATE TABLE pgtw.pg_temp.scratch (k BIGINT, v STRING)")
+      assert(backend.hasTable("pg_temp", "scratch"))
+      spark.sql("INSERT INTO pgtw.pg_temp.scratch VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      val back = spark.sql(
+        "SELECT k, v FROM pgtw.pg_temp.scratch ORDER BY k").collect()
+      assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // column pruning reaches the driver-side COPY
+      assert(spark.sql("SELECT v FROM pgtw.pg_temp.scratch WHERE k = 2")
+        .collect().map(_.getString(0)).toSeq == Seq("b"))
+      assert(spark.sql("SHOW TABLES IN pgtw.pg_temp").collect()
+        .map(_.getString(1)).contains("scratch"))
+      spark.sql("DROP TABLE pgtw.pg_temp.scratch")
+      assert(!backend.hasTable("pg_temp", "scratch"))
+    }
+    // the block ended: the pinned session is gone, back to fail-fast
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE pgtw.pg_temp.late (k BIGINT)"))
+    assert(chain(e2).exists(_.contains("withTransaction")))
+    srv.close()
+  }
+
   test("withTransaction: BEGIN/op/op/COMMIT on one pinned connection; ROLLBACK on error") {
     pg
     pg.execute("""CREATE TABLE IF NOT EXISTS "public"."txn_t" ("k" BIGINT, "v" VARCHAR)""")
