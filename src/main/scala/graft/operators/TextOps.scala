@@ -125,13 +125,16 @@ object TextOps {
     // the heavy stage, so spread a single-split source BEFORE it — and
     // below the text projection so nothing pushes the work scan-side.
     //
-    // base and inst MATERIALIZE (localCheckpoint): three consumers read
-    // them (the frequency pass, the flag join, the final rebuild), and
-    // without the checkpoint each consumer re-evaluates the whole
-    // scan→tokenize(→segment) chain — tokenization, the heavy stage,
-    // ran 3x (measured: the fused form is ~2x faster at sf0.1, and the
-    // saving grows with corpus size since it is per-row work, not a
-    // constant).
+    // base and inst MATERIALIZE (localCheckpoint): three consumers
+    // read them (the frequency pass, the flag join, the final
+    // rebuild), and without the checkpoints each consumer
+    // re-evaluates the whole scan→tokenize(→segment) chain. Measured
+    // twice: fused form ~2x faster than no checkpoints (r8); dropping
+    // ONLY base's checkpoint (rebuild re-runs scan→split) measured
+    // 1.63 s vs 1.41 s with it — the tok-array materialization is
+    // cheaper than re-tokenizing here because the rebuild consumer
+    // needs the FULL wide rows, unlike p32's stats arithmetic
+    // (r9 A/B, BENCH_NOTES).
     val base = Scale.spread(df.select(col(idCol), col(sourceCol), col(textCol)))
       .select(col(idCol), col(sourceCol),
         split(trim(col(textCol)), "\\s+").as("tok"))
@@ -330,6 +333,77 @@ object TextOps {
         (col("n_seg") - col("won")).as("n_removed"),
         (col("n_tok") - lit(n) * (col("n_seg") - col("won"))).cast("long")
           .as("kept_tokens"))
+  }
+
+  /** Iterative BPE trainer — the merge LOOP that a single-round pair
+    * count (p35) is one step of: `rounds` successive
+    * count-best-pair → apply-merge passes over the word-frequency
+    * dictionary, returning the merge table
+    * (merge_round, l_sym, r_sym, n).
+    *
+    * Representation: each dictionary word is a sentinel-delimited
+    * symbol string (U+0001 between and around symbols: word "ab" is
+    * &lt;S&gt;a&lt;S&gt;b&lt;S&gt;), so applying a merge of (l, r) is ONE
+    * non-overlapping left-to-right string replace of &lt;S&gt;l&lt;S&gt;r&lt;S&gt;
+    * with &lt;S&gt;lr&lt;S&gt; — the sentinel boundaries make a false match
+    * across symbol edges impossible, and the expression is one every
+    * engine evaluates identically (the oracle replays the same rounds
+    * in SQL, same replace semantics). For l ≠ r this IS the classic
+    * trainer's greedy in-word order (matches are never adjacent, so
+    * restart-after-replacement changes nothing); for a same-symbol
+    * merge (l == r) over an in-word run of ≥ 3 — "aaa" under (a,a) —
+    * the replace consumes the shared boundary and the run merges as
+    * [aa, a, a, ...] instead of strict-greedy [aa, aa, ...]: a
+    * documented, deterministic variant, pinned by the unit test.
+    *
+    * Shape at scale: the corpus is touched ONCE (the word-frequency
+    * aggregate, map-side combined); every round after that runs on
+    * the vocabulary-bounded dict — pair counting is a vocab-bounded
+    * aggregate, the argmax is a 1-row TakeOrdered (the only
+    * driver-side value; BPE's merge decision is inherently
+    * sequential), the merge application is a map. The dict
+    * localCheckpoints per round to cut the growing lineage; the
+    * driver holds only the merge table, one row per round. */
+  def trainBpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val s = df.sparkSession
+    val S = "\u0001"
+    var dict = Scale.spread(df.select(col(textCol)))
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(concat(lit(S), concat_ws(S, split(col("w"), "")), lit(S)).as("sym"),
+        col("f"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val best = dict
+        .select(col("f"), filter(split(col("sym"), S), x => x =!= "").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("f"),
+          explode(sequence(lit(0), size(col("s")) - 2)).as("i"), col("s"))
+        .select(element_at(col("s"), col("i") + 1).as("l"),
+          element_at(col("s"), col("i") + 2).as("r"), col("f"))
+        .groupBy(col("l"), col("r")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .head(1)
+      if (best.isEmpty) exhausted = true // dict fully merged early
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round, l, r, n))
+        dict = dict
+          .select(replace(col("sym"), lit(S + l + S + r + S), lit(S + l + r + S))
+            .as("sym"), col("f"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("merge_round", "l_sym", "r_sym", "n")
+      .select(col("merge_round").cast("int").as("merge_round"),
+        col("l_sym"), col("r_sym"), col("n"))
+      .orderBy(col("merge_round"))
   }
 
   /** Overlapping fixed-window chunking — the retrieval-corpus prep

@@ -218,10 +218,57 @@ object Pipeline5 {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- //
+  // p37: iterative BPE trainer — the merge LOOP p35's single round is
+  // one step of. Six rounds of count-best-pair → apply-merge over the
+  // word-frequency dict (TextOps.trainBpeMerges); output is the merge
+  // table, one row per round. The oracle replays the same six rounds
+  // as chained CTEs: identical sentinel-delimited representation,
+  // identical argmax order (n DESC, l, r), identical left-to-right
+  // non-overlapping replace.
+  // ---------------------------------------------------------------- //
+  private val BpeRounds = 6
+
+  def p37_bpe_train(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.trainBpeMerges(
+      t(s, dir, "documents").select(col("text")), "text", BpeRounds)
+
+  val p37_sql: String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT chr(1) || array_to_string(
+        |           list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), chr(1))
+        |         || chr(1) AS sym,
+        |         CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        |  WHERE len(w) >= 1
+        |  GROUP BY 1)""".stripMargin
+    def round(i: Int) =
+      s"""p$i AS (
+         |  SELECT l, r, CAST(SUM(f) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(s)), j -> s[j])) AS l,
+         |           unnest(list_transform(range(1, len(s)), j -> s[j + 1])) AS r, f
+         |    FROM (SELECT list_filter(string_split(sym, chr(1)), x -> x <> '') AS s, f
+         |          FROM w${i - 1})
+         |    WHERE len(s) >= 2)
+         |  GROUP BY l, r),
+         |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(sym, chr(1) || b$i.l || chr(1) || b$i.r || chr(1),
+         |                 chr(1) || b$i.l || b$i.r || chr(1)) AS sym, f
+         |  FROM w${i - 1}, b$i)""".stripMargin
+    val rounds = (1 to BpeRounds).map(round).mkString(",\n")
+    val union = (1 to BpeRounds)
+      .map(i => s"SELECT $i AS merge_round, l AS l_sym, r AS r_sym, n FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $w0,\n$rounds\n$union\nORDER BY merge_round"
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p32_line_dedup" -> ((p32_line_dedup _, Some(p32_sql))),
     "p33_ppl_buckets" -> ((p33_ppl_buckets _, Some(p33_sql))),
     "p34_chunk_overlap" -> ((p34_chunk_overlap _, Some(p34_sql))),
     "p35_bpe_pairs" -> ((p35_bpe_pairs _, Some(p35_sql))),
-    "p36_blocklist" -> ((p36_blocklist _, Some(p36_sql))))
+    "p36_blocklist" -> ((p36_blocklist _, Some(p36_sql))),
+    "p37_bpe_train" -> ((p37_bpe_train _, Some(p37_sql))))
 }

@@ -341,6 +341,25 @@ class OperatorsSpec extends AnyFunSuite {
       out(3).getAs[Long]("kept_tokens") == 4)
   }
 
+  test("TextOps.trainBpeMerges replays the classic trainer on a hand-computed corpus") {
+    import spark.implicits._
+    // words: "ab"×3, "abc"×1, "b"×1.
+    // round 1: (a,b) = 3+1 = 4 beats (b,c) = 1 → merge (a,b)
+    // round 2: only "abc" (now [ab, c]) has a pair → merge (ab, c), n=1
+    // round 3: no pairs remain → the trainer stops early
+    val df = Seq("ab ab abc", "ab b").toDF("text")
+    val out = graft.operators.TextOps.trainBpeMerges(df, "text", 5).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq == Seq((1, "a", "b", 4L), (2, "ab", "c", 1L)))
+    // same-symbol merge over a run: the documented restart-after-
+    // replacement order — "aaaa" under (a,a) merges to [aa, a, a] and
+    // "aaa" to [aa, a] — so round 2 counts (aa,a) twice and (a,a) once
+    val df2 = Seq("aaaa aaa").toDF("text")
+    val out2 = graft.operators.TextOps.trainBpeMerges(df2, "text", 2).collect()
+    assert(out2.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq == Seq((1, "a", "a", 5L), (2, "aa", "a", 2L)))
+  }
+
   test("TextOps.dedupSegmentsGlobal accounting holds over random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
