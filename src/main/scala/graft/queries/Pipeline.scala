@@ -325,11 +325,17 @@ object PipelineOps {
   // explode + groupBy (one shuffle on doc_id at scale).
   // ---------------------------------------------------------------- //
   def p09_simhash(s: SparkSession, dir: String): DataFrame = {
+    // bit i = (nibble i of md5 >= 8) = (hex char i ∈ '8'..'f'): ONE
+    // translate per token maps the 16 leading hex chars to '0'/'1',
+    // and each bit test is a 1-char compare — replacing 16 per-token
+    // conv() string-parses (the map-side hot loop; the shuffle behind
+    // it is already partial-aggregated to one row per doc per task)
     val exploded = spread(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("h", translate(substring(md5(col("tok")), 1, 16),
+        "0123456789abcdef", "0000000011111111"))
     val bitSums = (0 until 16).map { i =>
-      sum(when(expr(s"conv(substring(h, ${i + 1}, 1), 16, 10)").cast("int") >= 8, 1)
+      sum(when(substring(col("h"), i + 1, 1) === "1", 1)
         .otherwise(-1)).as(s"s$i")
     }
     val agg = exploded.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)

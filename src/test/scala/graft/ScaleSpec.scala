@@ -442,6 +442,47 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"expected 3 aggregate exchanges (seg winner, wins-by-doc, stats-by-doc), got $allExchanges:\n$plan")
   }
 
+  test("dupClusters: a mega-component owning ~99% of nodes stays correct " +
+      "through the distributed label loop") {
+    // The watch item on the path-halving hop (TextDedup.dupClusters):
+    // once labels converge, every row of one giant component carries
+    // the SAME label value, so the hop's self-join on `label` keys the
+    // whole component into one reducer — the shape AQE skew-split must
+    // absorb. This pins behavior under the worst case: a star (every
+    // label collapses to the hub immediately — maximum single-label
+    // volume from round 1) plus a long chain (exercises the geometric
+    // chain collapse over many rounds) fused into ONE component that
+    // owns ~99% of all nodes, with broadcast disabled suite-wide so
+    // the hop cannot hide behind a broadcast lookup.
+    import spark.implicits._
+    val starN = 20000
+    val chainN = 512
+    val star = (1 until starN).map(i => (0L, i.toLong))
+    // chain hangs off the hub: 0-30000, 30000-30001, ..., so the star
+    // and the chain are one component whose minimum is the hub
+    val chain = (0 until chainN).map { i =>
+      val a = if (i == 0) 0L else 30000L + i - 1
+      (a, 30000L + i)
+    }
+    // two small separate components — the 1% that must NOT be absorbed
+    val smalls = Seq((900001L, 900002L), (900003L, 900004L), (900004L, 900005L))
+    val pairs = (star ++ chain ++ smalls).toDF("doc_a", "doc_b")
+    // force the distributed regime (the default threshold would take
+    // the single-task union-find and never exercise the loop)
+    val out = graft.operators.TextDedup.dupClusters(pairs, unionFindMaxEdges = 10L)
+      .collect()
+    val byNode = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mega = out.filter(_.getLong(1) == 0L)
+    assert(mega.length == starN + chainN,
+      s"mega-component must own star+chain nodes, got ${mega.length}")
+    assert(byNode(900002L) == 900001L && byNode(900005L) == 900003L,
+      "small components must keep their own minima, not be absorbed")
+    // exactly one canonical row per cluster, and it is the minimum
+    val canon = out.filter(_.getBoolean(2)).map(r => r.getLong(0) -> r.getLong(1))
+    assert(canon.toSeq.sorted == Seq(0L -> 0L, 900001L -> 900001L, 900003L -> 900003L))
+    assert(out.length == starN + chainN + 5)
+  }
+
   test("battery scans keep parquet filter pushdown and column pruning") {
     val df = graft.queries.Relational.q02_filter_pushdown(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.explainString(
