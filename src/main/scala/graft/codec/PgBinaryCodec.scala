@@ -389,13 +389,71 @@ final class PgBinaryWriter(
     var i = 0
     while (i < types.length) {
       if (row.isNullAt(i)) out.writeInt(-1)
-      else {
-        val bytes = valueBytes(row.get(i, sources(i)), types(i), sources(i))
-        out.writeInt(bytes.length)
-        out.write(bytes)
-      }
+      else writeValue(out, row.get(i, sources(i)), types(i), sources(i))
       i += 1
     }
+  }
+
+  // single-value scratch for variable-width scalars whose byte length
+  // is only known after encoding (numeric, bit, timetz, geometry) —
+  // reset per value instead of allocating a fresh buffer pair. NEVER
+  // used for nested types: arrays/composites recurse through
+  // valueBytes, which would clobber a shared buffer mid-value.
+  private val scratch = new java.io.ByteArrayOutputStream()
+  private val scratchOut = new DataOutputStream(scratch)
+
+  /** Write one length-prefixed field straight to `out`: fixed-width
+    * scalars and byte-slice types skip the intermediate per-value
+    * buffer `valueBytes` allocates (the write path's hot loop — one
+    * COPY IN of a 60M-row seed runs this per field). */
+  private def writeValue(out: DataOutputStream, v: Any, t: PgType, source: DataType): Unit = t match {
+    case PgBool =>
+      out.writeInt(1); out.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case PgInt2 => out.writeInt(2); out.writeShort(v.asInstanceOf[Short])
+    case PgInt4 => out.writeInt(4); out.writeInt(v.asInstanceOf[Int])
+    case PgInt8 => out.writeInt(8); out.writeLong(v.asInstanceOf[Long])
+    case PgOid => out.writeInt(4); out.writeInt(v.asInstanceOf[Long].toInt)
+    case PgFloat4 => out.writeInt(4); out.writeFloat(v.asInstanceOf[Float])
+    case PgFloat8 => out.writeInt(8); out.writeDouble(v.asInstanceOf[Double])
+    case PgDate =>
+      out.writeInt(4); out.writeInt(v.asInstanceOf[Int] - PgWire.DateEpochShiftDays)
+    case PgTime => out.writeInt(8); out.writeLong(v.asInstanceOf[Long])
+    case PgTimestamp | PgTimestampTz =>
+      out.writeInt(8); out.writeLong(v.asInstanceOf[Long] - PgWire.TsEpochShiftMicros)
+    case PgCtid =>
+      val packed = v.asInstanceOf[Long]
+      out.writeInt(6)
+      out.writeInt((packed >> 16).toInt)
+      out.writeShort((packed & 0xffff).toInt)
+    case PgUuid =>
+      val u = java.util.UUID.fromString(v.asInstanceOf[UTF8String].toString)
+      out.writeInt(16)
+      out.writeLong(u.getMostSignificantBits); out.writeLong(u.getLeastSignificantBits)
+    case PgInterval =>
+      val ci = v.asInstanceOf[CalendarInterval]
+      out.writeInt(16)
+      out.writeLong(ci.microseconds); out.writeInt(ci.days); out.writeInt(ci.months)
+    case PgText | PgVarchar | _: PgBpchar | PgJson | _: PgEnum | _: PgUnknown =>
+      val b = cleanText(v.asInstanceOf[UTF8String])
+      out.writeInt(b.length); out.write(b)
+    case PgJsonb =>
+      val b = cleanText(v.asInstanceOf[UTF8String])
+      out.writeInt(b.length + 1); out.writeByte(1); out.write(b)
+    case PgBytea =>
+      val b = v.asInstanceOf[Array[Byte]]
+      out.writeInt(b.length); out.write(b)
+    case _: PgNumeric =>
+      scratch.reset()
+      writeNumeric(scratchOut, v, source)
+      scratchOut.flush()
+      out.writeInt(scratch.size())
+      scratch.writeTo(out)
+    case _ =>
+      // nested/rare shapes (arrays, composites, geometry, bit, timetz)
+      // keep the buffered form — safe under recursion
+      val bytes = valueBytes(v, t, source)
+      out.writeInt(bytes.length)
+      out.write(bytes)
   }
 
   def valueBytes(v: Any, t: PgType, source: DataType): Array[Byte] = {
