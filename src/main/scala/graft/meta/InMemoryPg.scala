@@ -781,11 +781,12 @@ final class InMemoryPg(val name: String) extends PgTransport {
       // only when every conjunct was bound.
       var pageRange: Option[(Long, Long)] = None
       val preds = mutable.ArrayBuffer.empty[InternalRow => Boolean]
+      val predCols = mutable.Set.empty[Int]
       var unbound = false
       Option(whereOrNull).toSeq.flatMap(splitConjuncts).foreach {
         case CtidRangeRe(lo, hi) => pageRange = Some((lo.toLong, hi.toLong))
         case p =>
-          try preds += parseWherePred(t, p)
+          try preds += parseWherePred(t, p, predCols)
           catch { case _: IllegalArgumentException | _: MatchError => unbound = true }
       }
       val projCols: Seq[(String, Boolean)] =
@@ -802,7 +803,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
         if (unbound) Nil else orderBy,
         if (unbound) None else limit,
         if (unbound) None else offset,
-        preds.toSeq)
+        preds.toSeq, predCols.toArray.sorted)
     case other =>
       throw new IllegalArgumentException(s"InMemoryPg: unsupported COPY OUT: $other")
   }
@@ -895,7 +896,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
       orderBy: Seq[OrderKey] = Nil,
       limit: Option[Int] = None,
       offset: Option[Int] = None,
-      preds: Seq[InternalRow => Boolean] = Nil): InputStream = {
+      preds: Seq[InternalRow => Boolean] = Nil,
+      predCols: Array[Int] = Array.empty): InputStream = {
     // a live server rejects unknown columns up front — keep the message
     // shape ("does not exist") so connector-side staleness detection
     // sees what PG would say
@@ -927,13 +929,15 @@ final class InMemoryPg(val name: String) extends PgTransport {
     }
     // PACKED VERBATIM FAST PATH: a page already holds the tuples as
     // PGCOPY bytes, and a field's wire encoding is identical whether
-    // it travels alone or inside the full row — so a plain projection
-    // (no predicate, order, limit, ctid or text-render) serves by
-    // parsing LENGTHS and copying the projected fields' bytes, never
-    // decoding a value into a boxed row and re-encoding it. This is
-    // where a 60M-row bench scan spends most of its serving wall.
+    // it travels alone or inside the full row — so a projection with
+    // no order/limit/ctid/text-render serves by parsing LENGTHS and
+    // copying the projected fields' bytes, never decoding a value into
+    // a boxed row and re-encoding it. A pushed WHERE decodes ONLY the
+    // predicate's columns per tuple (predCols, collected at bind
+    // time); everything else stays verbatim. This is where a 60M-row
+    // bench scan spends most of its serving wall.
     val packedVerbatim: Option[Array[Int]] =
-      if (t.packed && preds.isEmpty && orderBy.isEmpty && limit.isEmpty &&
+      if (t.packed && orderBy.isEmpty && limit.isEmpty &&
         offset.isEmpty && projCols.nonEmpty && idx.forall { case (i, rend) => i >= 0 && !rend }) {
         val ids = idx.map(_._1)
         if (ids.zip(ids.tail).forall { case (a, b) => a < b }) Some(ids.toArray)
@@ -941,7 +945,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
       } else None
     if (packedVerbatim.isDefined) {
       val (loPage0, hiPage0) = pageRange.getOrElse((0L, Long.MaxValue))
-      return servePackedVerbatim(t, packedVerbatim.get, loPage0, hiPage0)
+      return servePackedVerbatim(t, packedVerbatim.get, loPage0, hiPage0,
+        preds, predCols)
     }
     val textRenderer = new graft.codec.PgTextWriter(t.colTypes)
     val writer = new PgBinaryWriter(outTypes)
@@ -1012,13 +1017,25 @@ final class InMemoryPg(val name: String) extends PgTransport {
   /** Serve a packed page range as verbatim PGCOPY bytes: full in-order
     * projections copy whole sealed pages; subsets copy each projected
     * field's (length + data) bytes and skip the rest. NULL fields
-    * carry length -1 and zero data bytes — max(len, 0) handles both. */
+    * carry length -1 and zero data bytes — max(len, 0) handles both.
+    * Pushed predicates decode only `predCols` per tuple (into a
+    * reused row whose other slots stay untouched — the compiled
+    * predicates read exactly the indices they bound). */
   private def servePackedVerbatim(t: MemTable, proj: Array[Int],
-      loPage: Long, hiPage: Long): InputStream = {
+      loPage: Long, hiPage: Long,
+      preds: Seq[InternalRow => Boolean] = Nil,
+      predCols: Array[Int] = Array.empty): InputStream = {
     val lo = math.max(0L, loPage).toInt
     val hi = math.min(t.packedPagesCount.toLong, hiPage).toInt
     val ncols = t.columns.length
-    val full = proj.length == ncols // in-order by construction → identity
+    // in-order by construction → identity; whole-page copy only when
+    // nothing filters
+    val full = proj.length == ncols && preds.isEmpty
+    val reader = new PgBinaryReader(t.colTypes)
+    val predRow = new GenericInternalRow(ncols)
+    val predTargets = t.colTypes.map(PgType.toSpark)
+    val fieldOff = new Array[Int](ncols)
+    val fieldLen = new Array[Int](ncols)
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.write(graft.codec.PgWire.Signature)
@@ -1034,19 +1051,37 @@ final class InMemoryPg(val name: String) extends PgTransport {
         var r = 0
         while (r < n) {
           off += 2 // stored nfields == ncols (writeRow wrote all columns)
-          out.writeShort(proj.length)
           var c = 0
-          var pi = 0
           while (c < ncols) {
             val len = ((page(off) & 0xff) << 24) | ((page(off + 1) & 0xff) << 16) |
               ((page(off + 2) & 0xff) << 8) | (page(off + 3) & 0xff)
-            val width = 4 + math.max(len, 0)
-            if (pi < proj.length && proj(pi) == c) {
-              out.write(page, off, width)
+            fieldOff(c) = off
+            fieldLen(c) = len
+            off += 4 + math.max(len, 0)
+            c += 1
+          }
+          var keep = true
+          if (preds.nonEmpty) {
+            var k = 0
+            while (k < predCols.length) {
+              val i = predCols(k)
+              val len = fieldLen(i)
+              if (len < 0) predRow.setNullAt(i)
+              else predRow.update(i, reader.readValue(
+                java.util.Arrays.copyOfRange(page, fieldOff(i) + 4, fieldOff(i) + 4 + len),
+                t.colTypes(i), predTargets(i)))
+              k += 1
+            }
+            keep = preds.forall(_(predRow))
+          }
+          if (keep) {
+            out.writeShort(proj.length)
+            var pi = 0
+            while (pi < proj.length) {
+              val i = proj(pi)
+              out.write(page, fieldOff(i), 4 + math.max(fieldLen(i), 0))
               pi += 1
             }
-            off += width
-            c += 1
           }
           r += 1
         }
@@ -1524,11 +1559,21 @@ final class InMemoryPg(val name: String) extends PgTransport {
     * unparseable conjunct as unbound and serves extra rows, which the
     * connector's residual filter then removes). Anything else throws
     * IllegalArgumentException → unbound. */
-  private def parseWherePred(t: MemTable, p0: String): InternalRow => Boolean = {
+  /** `used` (when non-null) collects every column index the returned
+    * predicate reads — the verbatim packed serving path decodes ONLY
+    * those columns per tuple. */
+  private def parseWherePred(t: MemTable, p0: String,
+      used: mutable.Set[Int] = null): InternalRow => Boolean = {
     val p = stripWrappingParens(p0)
+    def bind(col: String): Int = {
+      val i = t.colIndex(unq(col))
+      require(i >= 0, s"DELETE column $col not found")
+      if (used != null) used += i
+      i
+    }
     val ors = splitTopLevelKw(p, " OR ")
     if (ors.length > 1) {
-      val ps = ors.map(parseWherePred(t, _))
+      val ps = ors.map(parseWherePred(t, _, used))
       return r => ps.exists(_(r))
     }
     // `x BETWEEN a AND b` never reaches here (only the ctid-range
@@ -1536,25 +1581,22 @@ final class InMemoryPg(val name: String) extends PgTransport {
     // so a bare top-level AND is always a boolean conjunction
     val ands = splitTopLevelKw(p, " AND ")
     if (ands.length > 1) {
-      val ps = ands.map(parseWherePred(t, _))
+      val ps = ands.map(parseWherePred(t, _, used))
       return r => ps.forall(_(r))
     }
     val NullRe = """"?([\w]+)"?\s+IS\s+(NOT\s+)?NULL""".r
     val InRe = """(?s)"?([\w]+)"?\s+IN\s+\((.+)\)""".r
     p match {
       case NullRe(col, notOrNull) =>
-        val i = t.colIndex(unq(col))
-        require(i >= 0, s"DELETE column $col not found")
+        val i = bind(col)
         val wantNull = notOrNull == null
         r => r.isNullAt(i) == wantNull
       case InRe(col, list) =>
-        val i = t.colIndex(unq(col))
-        require(i >= 0, s"column $col not found")
+        val i = bind(col)
         val cmps = splitTop(list).map(v => compiledLeafCmp(t, i, litValue(v.trim)))
         r => !r.isNullAt(i) && cmps.exists(_(r) == 0)
       case PredRe(col, op, lit) =>
-        val i = t.colIndex(unq(col))
-        require(i >= 0, s"DELETE column $col not found")
+        val i = bind(col)
         val cmp = compiledLeafCmp(t, i, litValue(lit))
         r => !r.isNullAt(i) && {
           val c = cmp(r)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -264,11 +264,69 @@ object Pipeline5 {
     s"WITH $w0,\n$rounds\n$union\nORDER BY merge_round"
   }
 
+  // ---------------------------------------------------------------- //
+  // p38: tokenize the corpus with the TRAINED merges — the other half
+  // of tokenizer training (p37 trains, p38 applies): per document, the
+  // word count and the BPE token count under the 6-round merge table.
+  // The merge table is driver-held (one row per round), so application
+  // is the SAME sentinel-replace chain unrolled into the expression
+  // tree at plan time — pure map-side work, zero shuffles beyond the
+  // scan; at corpus scale the tokenizer pass is embarrassingly
+  // parallel while the (tiny) merge table rides inside the plan. The
+  // oracle recomputes the identical merge table (p37's chained CTEs)
+  // and applies the same replaces via a cross join of the 1-row b_i.
+  // ---------------------------------------------------------------- //
+  def p38_bpe_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val S = "\u0001"
+    val merges = graft.operators.TextOps
+      .trainBpeMerges(t(s, dir, "documents").select(col("text")), "text", BpeRounds)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    def symCount(w: Column): Column = {
+      val init = concat(lit(S), concat_ws(S, split(w, "")), lit(S))
+      val merged = merges.foldLeft(init) { case (e, (l, r)) =>
+        replace(e, lit(S + l + S + r + S), lit(S + l + r + S))
+      }
+      size(filter(split(merged, S), x => x =!= ""))
+    }
+    PipelineOps.spread(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tok"))
+      .select(col("doc_id"), size(col("tok")).cast("long").as("n_words"),
+        aggregate(transform(col("tok"), symCount(_)), lit(0L),
+          (acc, x) => acc + x).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p38_sql: String = {
+    // same merge-table CTEs as p37, then the replace chain applied per
+    // word (b1..b6 are 1-row relations, cross-joined into scope)
+    val withClause = p37_sql.substring(0, p37_sql.indexOf("\nSELECT 1 AS merge_round"))
+    val sym0 = "chr(1) || array_to_string(list_transform(range(1, len(w) + 1), " +
+      "i -> substr(w, i, 1)), chr(1)) || chr(1)"
+    val merged = (1 to BpeRounds).foldLeft(sym0) { (e, i) =>
+      s"replace($e, chr(1) || b$i.l || chr(1) || b$i.r || chr(1), " +
+        s"chr(1) || b$i.l || b$i.r || chr(1))"
+    }
+    val bs = (1 to BpeRounds).map(i => s"b$i").mkString(", ")
+    // NO outer stripMargin: the embedded CTEs contain line-leading
+    // `||` concats that a second stripMargin would mangle
+    withClause + "\n" +
+      "SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_words,\n" +
+      "  CAST(list_sum(list_transform(tok,\n" +
+      s"    w -> len(list_filter(string_split($merged, chr(1)), x -> x <> ''))))\n" +
+      "    AS BIGINT) AS n_bpe\n" +
+      "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok\n" +
+      s"      FROM documents WHERE len(trim(text)) > 0), $bs\n" +
+      "ORDER BY doc_id"
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p32_line_dedup" -> ((p32_line_dedup _, Some(p32_sql))),
     "p33_ppl_buckets" -> ((p33_ppl_buckets _, Some(p33_sql))),
     "p34_chunk_overlap" -> ((p34_chunk_overlap _, Some(p34_sql))),
     "p35_bpe_pairs" -> ((p35_bpe_pairs _, Some(p35_sql))),
     "p36_blocklist" -> ((p36_blocklist _, Some(p36_sql))),
-    "p37_bpe_train" -> ((p37_bpe_train _, Some(p37_sql))))
+    "p37_bpe_train" -> ((p37_bpe_train _, Some(p37_sql))),
+    "p38_bpe_tokenize" -> ((p38_bpe_tokenize _, Some(p38_sql))))
 }

@@ -403,6 +403,20 @@ class PostgresConnectorSpec extends AnyFunSuite {
     assert(aggP == aggB)
     // ctid-parallel page math holds (multiple ranges, no dup/miss)
     assert(packedDf.select(countDistinct(col("id"))).head.getLong(0) == 300)
+    // predicate-bearing scans ride the verbatim fast path (only the
+    // predicate's columns decode; projected fields copy as raw bytes):
+    // exact equality with the boxed twin across filter shapes,
+    // including a projection that EXCLUDES the filtered column
+    def both(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      (f(packedDf).collect().toSeq, f(src).collect().toSeq)
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => d.filter(col("id") >= 100 && col("id") < 140).orderBy("id"),
+      d => d.filter(col("score") > 14.5).select("name").orderBy("name"),
+      d => d.filter(col("name") === "name_42").select("id", "score"),
+      d => d.filter(col("id") < 10 || col("id") >= 295).orderBy("id"),
+      d => d.filter(col("name").isNotNull && col("id") =!= 7)
+        .select("id").orderBy("id")
+    ).foreach { f => val (a, b) = both(f); assert(a == b && a.nonEmpty) }
     // row DML must reject rather than silently corrupt
     val e = intercept[Exception] {
       pg.execute("""DELETE FROM "public"."packed_people" WHERE ctid IN ('(0,1)'::tid)""")
