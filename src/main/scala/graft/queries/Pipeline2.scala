@@ -79,6 +79,7 @@ object Pipeline2 {
     // tokens stays broadcastable at any corpus size.
     val tf = spread.select(col("doc_id"), explode(tokens).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("token"))
