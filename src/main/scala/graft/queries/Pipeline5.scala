@@ -278,9 +278,11 @@ object Pipeline5 {
   // ---------------------------------------------------------------- //
   def p38_bpe_tokenize(s: SparkSession, dir: String): DataFrame = {
     val S = "\u0001"
+    // the merge table is ≤ BpeRounds rows by construction — the one
+    // driver-side value of the whole entry
     val merges = graft.operators.TextOps
       .trainBpeMerges(t(s, dir, "documents").select(col("text")), "text", BpeRounds)
-      .collect().map(r => (r.getString(1), r.getString(2)))
+      .head(BpeRounds).map(r => (r.getString(1), r.getString(2)))
     def symCount(w: Column): Column = {
       val init = concat(lit(S), concat_ws(S, split(w, "")), lit(S))
       val merged = merges.foldLeft(init) { case (e, (l, r)) =>
