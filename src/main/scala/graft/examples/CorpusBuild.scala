@@ -152,6 +152,15 @@ object CorpusBuild {
     chunks.write.mode("overwrite").parquet(out + "_chunks")
     stage("retrieval chunks", chunks.count())
 
+    // 9c. tokenizer artifacts from the FINAL corpus: train the BPE
+    // merge table on the cleaned text (rounds on the vocab-bounded
+    // dict, the corpus touched once) and write it beside the shards —
+    // the tokenizer a training run would pair with this corpus
+    val merges = graft.operators.TextOps
+      .trainBpeMerges(scrubbed.select(col("final_text")), "final_text", rounds = 16)
+    merges.write.mode("overwrite").parquet(out + "_bpe_merges")
+    println(f"STAGE bpe merge table     ${merges.count()}%8d merges")
+
     // 10. deterministic shuffle + shard: hash-derived shard,
     // within-shard order by the full hash — a reproducible training
     // order — written partitioned by shard so the trainer streams
