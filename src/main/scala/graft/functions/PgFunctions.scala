@@ -22,6 +22,11 @@ private[graft] object PgTxnRegistry {
 
   def unregister(dsn: String): Unit = active.remove(dsn)
 
+  /** Remove only if `t` is the registered transport — a belt-and-
+    * braces guard against ever unregistering another block's session. */
+  def unregister(dsn: String, t: graft.meta.PgTransport): Unit =
+    active.remove(dsn, t)
+
   def lookup(dsn: String): Option[graft.meta.PgTransport] = Option(active.get(dsn))
 }
 
@@ -136,8 +141,16 @@ object PgFunctions {
       isolation: String = "READ COMMITTED")(body: PgTxnSession => A): A = {
     val t = PgTransportFactory.openUnpooled(dsn)
     // visible to the attached catalog for the block's span: pg_temp
-    // DDL/reads/writes route onto THIS connection (session affinity)
-    PgTxnRegistry.register(dsn, t)
+    // DDL/reads/writes route onto THIS connection (session affinity).
+    // A rejected registration (another block already active on this
+    // DSN) must close the connection it just opened — the finally
+    // below is only reached after a successful register.
+    try PgTxnRegistry.register(dsn, t)
+    catch {
+      case e: Throwable =>
+        try t.close() catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
+    }
     try {
       t.execute(s"BEGIN ISOLATION LEVEL $isolation")
       try {
@@ -151,7 +164,7 @@ object PgFunctions {
           throw e
       }
     } finally {
-      PgTxnRegistry.unregister(dsn)
+      PgTxnRegistry.unregister(dsn, t)
       t.close()
     }
   }

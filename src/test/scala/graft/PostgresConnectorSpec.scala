@@ -341,6 +341,22 @@ class PostgresConnectorSpec extends AnyFunSuite {
     srv.close()
   }
 
+  test("withTransaction: a second block on the same DSN rejects without breaking the first") {
+    val d = "mem:txnreg"
+    graft.meta.InMemoryPg.forName("txnreg")
+    graft.functions.PgFunctions.withTransaction(d) { s =>
+      val e = intercept[IllegalStateException](
+        graft.functions.PgFunctions.withTransaction(d) { _ => () })
+      assert(e.getMessage.contains("already active"))
+      // the rejected inner block must not tear down the outer's
+      // registration (its cleanup closes only ITS own connection)
+      assert(graft.functions.PgTxnRegistry.lookup(d).isDefined)
+      s.execute("SET standard_conforming_strings = on") // outer usable
+    }
+    assert(graft.functions.PgTxnRegistry.lookup(d).isEmpty,
+      "registration must clear when the block ends")
+  }
+
   test("withTransaction: BEGIN/op/op/COMMIT on one pinned connection; ROLLBACK on error") {
     pg
     pg.execute("""CREATE TABLE IF NOT EXISTS "public"."txn_t" ("k" BIGINT, "v" VARCHAR)""")
