@@ -19,6 +19,7 @@ object SparkEntry {
       graft.queries.Pipeline3.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline4.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline5.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Pipeline6.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.TpchCatalog.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds.entries.map { case (k, (fn, _)) => k -> fn } ++
@@ -44,6 +45,7 @@ object SparkEntry {
       graft.queries.Pipeline3.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline4.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline5.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Pipeline6.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.TpchCatalog.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++

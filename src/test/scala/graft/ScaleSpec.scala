@@ -442,6 +442,39 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"expected 3 aggregate exchanges (seg winner, wins-by-doc, stats-by-doc), got $allExchanges:\n$plan")
   }
 
+  test("BM25 retrieval: stats broadcast, map-side scoring, bounded top-k — no wide shuffle") {
+    val out = graft.queries.Pipeline6.p39_bm25_topk(spark, "/root/testdata/sf0.001")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the collection-stats relation must ride in as a broadcast (one
+    // row), never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"collection stats must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffled join anywhere in a scoring pass:\n$plan")
+    // top-10 must be the bounded TakeOrdered, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort in retrieval:\n$plan")
+    // the only exchanges allowed are the stats aggregate's (partial →
+    // single-row final) — nothing keyed by a data-dependent key
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 0,
+      s"scoring must not hash-shuffle the corpus, got $hashEx exchanges:\n$plan")
+  }
+
+  test("cluster prototypes: per-cluster quota via bounded heap, not a window sort") {
+    val out = graft.queries.Pipeline6.p40_cluster_protos(spark, "/root/testdata/sf0.001")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("topk_by"),
+      s"expected the bounded-heap aggregate for the quota:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the quota must not window-sort each cluster into one task:\n$plan")
+  }
+
   test("dupClusters: a mega-component owning ~99% of nodes stays correct " +
       "through the distributed label loop") {
     // The watch item on the path-halving hop (TextDedup.dupClusters):
