@@ -50,8 +50,21 @@ object Bench {
     // default warm+min-of-2 protocol)
     val doWarmup = sys.env.get("SPARK_GRAFT_WARMUP").forall(_.toBoolean)
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(2)
+    // Inter-entry hygiene (untimed, between entries only): entries
+    // using localCheckpoint leave blocks in the BlockManager until a
+    // GC lets the ContextCleaner reap them, so in a 244-entry battery
+    // later entries inherit earlier entries' storage and heap pressure
+    // — the measured in-battery-vs-isolated inflation (p08 2.9x in
+    // battery, 1.27x isolated same day). A GC between entries moves
+    // that reclamation off the next entry's clock, measuring each
+    // entry closer to its isolated truth. The DuckDB twin frees its
+    // memory deterministically between queries, so this keeps the
+    // comparison symmetric rather than gaming it.
+    val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").exists(_.toBoolean)
+    def hygiene(): Unit = if (gcBetween) { System.gc(); Thread.sleep(30) }
     if (doWarmup) queries.foreach { case (_, fn) =>
       try force(fn) catch { case _: Throwable => }
+      hygiene()
     }
     // two timed passes, min per query: sub-second queries carry
     // ±10-15% scheduler/GC noise that min-of-2 mostly removes. The
@@ -64,7 +77,9 @@ object Bench {
           // a failed query must not masquerade as a fast one
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      hygiene()
+      name -> dt
     }
     val allPasses = (1 to math.max(1, passes)).map(_ => timedPass())
     val results = allPasses.head.keys.map { name =>
@@ -96,7 +111,8 @@ object Bench {
          |             "forcing": "toRdd.foreach",
          |             "protocol": "${
              (if (doWarmup) "warm" else "cold") +
-               (if (passes > 1) s"+min-of-$passes" else "+single-pass")}"},
+               (if (passes > 1) s"+min-of-$passes" else "+single-pass") +
+               (if (gcBetween) "+gc-between" else "")}"},
          |  "queries": {
          |$perQuery
          |  }
