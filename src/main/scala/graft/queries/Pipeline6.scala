@@ -53,6 +53,10 @@ object Pipeline6 {
           bm25Terms.zipWithIndex.map { case (tm, i) =>
             size(filter(col("tok"), x => x === lit(tm))).cast("long").as(s"tf$i")
           }: _*)
+      // two consumers (stats aggregate + score pass): materialize the
+      // narrow (doc_id, dl, tf*) relation — ~40 B/doc — so the corpus
+      // is tokenized once, the same trade as p20's tf checkpoint
+      .localCheckpoint()
     val statCols = Seq(count(lit(1)).as("n_total"), sum(col("dl")).as("sum_dl")) ++
       bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
