@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-pipeline probe set, seventh wave — corpus cardinality sketching
+  * and within-document repetition trimming:
+  *
+  *  - p41: k-minimum-values distinct sketch (Bar-Yossef et al. 2002)
+  *    over 5-token shingles, per source — the "how big is the dedup
+  *    problem" estimator that runs BEFORE committing to a full
+  *    shingle-keyed shuffle. COUNT(DISTINCT shingle) moves every
+  *    distinct shingle through an exchange; the sketch reduces each
+  *    partition to ≤ k longs per source map-side (functions.KmvMinima),
+  *    so the exchange carries `sources · k · 8` bytes at any corpus
+  *    size, and per-shard sketches merge exactly for incremental use.
+  *  - p42: within-document repeated-segment trimming (the Gopher-style
+  *    repetition cleanup applied as a TRANSFORM, not a filter): drop
+  *    every repeat of an already-seen segment inside the same document,
+  *    keep first occurrences in order. Pure map-side row work — zero
+  *    shuffles at any scale — because the dedup scope is the document
+  *    itself, unlike p32's corpus-global first-wins.
+  *
+  * Float determinism: p41's estimate is one multiply and one divide
+  * over exactly-represented integer-valued doubles, written with the
+  * same association in both engines; the hash is the house-portable
+  * md5-hex-prefix parse (60 bits here), so the kept minima are
+  * bit-identical across engines and the oracle checks the sketch
+  * CONTENT, not just the estimate.
+  */
+object Pipeline7 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- //
+  // p41: per-source distinct-shingle cardinality estimate, k = 256.
+  // Scale shape: explode shingles map-side → 60-bit portable hash →
+  // groupBy(source) with the bounded KMV buffer; no distinct, no
+  // shingle-keyed exchange, ever.
+  // ---------------------------------------------------------------- //
+  private val kmvK = 256
+  private val shingleN = 5
+  // 2^60: the hash is conv(md5-prefix of 15 hex chars), uniform on [0, 2^60)
+  private val hashSpace = 1152921504606846976L
+
+  def p41_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.KmvFunctions.register(s)
+    import graft.functions.KmvFunctions.kmv_minima
+    val n = shingleN
+    val sh = PipelineOps.spread(
+        t(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), PipelineOps.tokens.as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(col("source"), col("tok"),
+        explode(sequence(lit(0), size(col("tok")) - n)).as("i"))
+      .select(col("source"),
+        // shingle string only long enough to md5 it; 15 hex chars of
+        // the digest parse to a 60-bit non-negative long identically
+        // in both engines (the p07/minhash recipe, widened)
+        conv(substring(md5(concat_ws(" ",
+          (0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)), 1, 15),
+          16, 10).cast("long").as("h"))
+    sh.groupBy(col("source"))
+      .agg(kmv_minima(col("h"), kmvK).as("mins"))
+      .select(col("source"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_min"),
+        // same association as the SQL: (k-1) * M / kth, all doubles
+        round(when(size(col("mins")) < kmvK, size(col("mins")).cast("double"))
+          .otherwise(lit(kmvK - 1).cast("double") * lit(hashSpace).cast("double") /
+            element_at(col("mins"), size(col("mins"))).cast("double")), 4)
+          .as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val p41_sql: String =
+    s"""WITH sh AS (
+       |  SELECT source, unnest(list_transform(range(1, len(tok)-${shingleN - 2}),
+       |    i -> ${(0 until shingleN).map(o => s"tok[i+$o]").mkString(" || ' ' || ")})) AS sh
+       |  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS tok FROM documents)
+       |  WHERE len(tok) >= $shingleN),
+       |hh AS (SELECT DISTINCT source, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+       |ranked AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_min,
+       |  round(CASE WHEN COUNT(*) < $kmvK THEN CAST(COUNT(*) AS DOUBLE)
+       |    ELSE CAST(${kmvK - 1} AS DOUBLE) * CAST($hashSpace AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END, 4) AS est_distinct
+       |FROM ranked WHERE rn <= $kmvK GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p42: within-doc keep-first segment dedup. The corpus has no
+  // newlines, so the repetition unit is the fixed non-overlapping
+  // 2-token segment (the same no-newline convention as p28/p32; two
+  // tokens rather than three so natural bigram repeats actually
+  // exercise the trim). Everything happens inside one projection over
+  // one document's arrays — the operator's cost is exactly one corpus
+  // pass regardless of scale.
+  // ---------------------------------------------------------------- //
+  private val segN = 2
+
+  def p42_repeat_trim(s: SparkSession, dir: String): DataFrame =
+    PipelineOps.spread(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), PipelineOps.tokens.as("tok"))
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, cast(ceil(size(tok) / $segN.0) as int) - 1),
+           |  i -> array_join(slice(tok, i * $segN + 1, $segN), ' '))""".stripMargin)
+        .as("segs"))
+      .select(col("doc_id"),
+        // array_distinct is ORDER-PRESERVING in Spark (first occurrence
+        // wins), which is exactly keep-first — and O(n) per document,
+        // so one monster document can't turn into a quadratic hot row.
+        // DuckDB's list_distinct hashes away the order, so the oracle
+        // reconstructs keep-first via list_position instead; the md5
+        // over the joined result pins both to the same string.
+        size(col("segs")).cast("long").as("n_seg"),
+        size(array_distinct(col("segs"))).cast("long").as("n_kept"),
+        md5(array_join(array_distinct(col("segs")), " ")).as("trimmed_fp"))
+      .orderBy(col("doc_id"))
+
+  val p42_sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+       |  WHERE len(trim(text)) > 0),
+       |seg AS (
+       |  SELECT doc_id, list_transform(range(0, CAST(ceil(len(tok) / $segN.0) AS BIGINT)),
+       |    i -> array_to_string(tok[i * $segN + 1 : least((i + 1) * $segN, len(tok))], ' ')) AS segs
+       |  FROM base),
+       |kept AS (
+       |  SELECT doc_id, segs,
+       |    list_filter(range(1, len(segs) + 1), i -> list_position(segs, segs[i]) = i) AS keep_idx
+       |  FROM seg)
+       |SELECT doc_id,
+       |  CAST(len(segs) AS BIGINT) AS n_seg,
+       |  CAST(len(keep_idx) AS BIGINT) AS n_kept,
+       |  md5(array_to_string(list_transform(keep_idx, i -> segs[i]), ' ')) AS trimmed_fp
+       |FROM kept ORDER BY doc_id""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "p41_kmv_distinct" -> ((p41_kmv_distinct _, Some(p41_sql))),
+    "p42_repeat_trim" -> ((p42_repeat_trim _, Some(p42_sql))))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{KmvBuffer, KmvFunctions}
+
+class KmvSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    KmvFunctions.register(s)
+    s
+  }
+
+  test("kmv_minima equals distinct-sort-limit-k under heavy duplication") {
+    import spark.implicits._
+    // values drawn from a small space so duplicates cross partitions —
+    // the distinctness contract is what separates KMV from bottom-k
+    val rows = (0 until 20000).map(i => (i % 3, ((i * 2654435761L) % 997 + 5)))
+    val df = rows.toDF("g", "h").repartition(8)
+
+    val expected = df.select($"g", $"h").distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"h")))
+      .filter($"rn" <= 64)
+      .groupBy($"g").agg(sort_array(collect_list($"h")).as("mins"))
+      .orderBy($"g").collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toSeq
+
+    val got = df.groupBy($"g")
+      .agg(KmvFunctions.kmv_minima($"h", 64).as("mins"))
+      .orderBy($"g").collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toSeq
+
+    assert(got == expected)
+  }
+
+  test("buffer dedups, evicts the max, and merges without double-counting") {
+    val b = new KmvBuffer(3)
+    Seq(50L, 10L, 50L, 30L, 40L).foreach(b.insert)
+    assert(b.sortedArray.toSeq == Seq(10L, 30L, 40L)) // 50 evicted, dup ignored
+    b.insert(35L)
+    assert(b.sortedArray.toSeq == Seq(10L, 30L, 35L))
+    b.insert(35L) // re-inserting a kept value must not evict anything
+    assert(b.sortedArray.toSeq == Seq(10L, 30L, 35L))
+    val o = new KmvBuffer(3)
+    Seq(10L, 20L, 30L).foreach(o.insert) // overlaps b on 10 and 30
+    b.merge(o)
+    assert(b.sortedArray.toSeq == Seq(10L, 20L, 30L))
+  }
+
+  test("p41 plan: one source-keyed exchange, KMV partial below it, no distinct") {
+    val df = queries.Pipeline7.p41_kmv_distinct(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning\\(source".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected exactly one source exchange:\n$plan")
+    // the partial aggregate must run map-side (below the exchange), so
+    // the shuffle carries sketch buffers, never shingle hashes
+    assert(plan.contains("partial_kmv_minima"), s"no map-side KMV partial:\n$plan")
+    // no exchange keyed by the shingle hash: dedup happens inside the
+    // sketch buffers, never as a distinct/aggregate on h
+    assert(!"Exchange hashpartitioning\\(h#".r.unanchored.matches(plan),
+      s"sketch plan shuffles shingle hashes:\n$plan")
+  }
+
+  test("p42 plan: zero hash exchanges (pure map-side transform + output sort)") {
+    val df = queries.Pipeline7.p42_repeat_trim(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"within-doc trim must not shuffle on any key:\n$plan")
+  }
+}
