@@ -46,11 +46,14 @@ object Pipeline7 {
   // 2^60: the hash is conv(md5-prefix of 15 hex chars), uniform on [0, 2^60)
   private val hashSpace = 1152921504606846976L
 
-  def p41_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
+  /** Per-source KMV sketch of 5-token-shingle hashes: one corpus pass,
+    * partial sketch buffers map-side, the one exchange keyed by source
+    * and carrying ≤ k longs per source per task. */
+  private def sourceSketches(s: SparkSession, dir: String): DataFrame = {
     graft.functions.KmvFunctions.register(s)
     import graft.functions.KmvFunctions.kmv_minima
     val n = shingleN
-    val sh = PipelineOps.spread(
+    PipelineOps.spread(
         t(s, dir, "documents").select(col("source"), col("text")))
       .select(col("source"), PipelineOps.tokens.as("tok"))
       .filter(size(col("tok")) >= n)
@@ -63,8 +66,12 @@ object Pipeline7 {
         conv(substring(md5(concat_ws(" ",
           (0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)), 1, 15),
           16, 10).cast("long").as("h"))
-    sh.groupBy(col("source"))
+      .groupBy(col("source"))
       .agg(kmv_minima(col("h"), kmvK).as("mins"))
+  }
+
+  def p41_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
+    sourceSketches(s, dir)
       .select(col("source"),
         size(col("mins")).cast("long").as("n_kept"),
         element_at(col("mins"), size(col("mins"))).as("kth_min"),
@@ -104,11 +111,15 @@ object Pipeline7 {
     PipelineOps.spread(
         t(s, dir, "documents").select(col("doc_id"), col("text")))
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), PipelineOps.tokens.as("tok"))
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, cast(ceil(size(tok) / $segN.0) as int) - 1),
-           |  i -> array_join(slice(tok, i * $segN + 1, $segN), ' '))""".stripMargin)
-        .as("segs"))
+      // one regex pass builds the segment array directly — no token
+      // array, no sequence/transform lambda (HOF lambda bodies evaluate
+      // interpreted PER SEGMENT; an earlier array_join(slice(...)) body
+      // measured 11.3 s at sf10 vs 3.45 s for a concat body vs this).
+      // Greedy non-overlapping '[^ ]+ [^ ]+|[^ ]+' over whitespace-
+      // normalized text = consecutive 2-token chunks, remainder single.
+      .select(col("doc_id"), regexp_extract_all(
+        regexp_replace(trim(col("text")), lit("\\s+"), lit(" ")),
+        lit("[^ ]+ [^ ]+|[^ ]+"), lit(0)).as("segs"))
       .select(col("doc_id"),
         // array_distinct is ORDER-PRESERVING in Spark (first occurrence
         // wins), which is exactly keep-first — and O(n) per document,
@@ -122,13 +133,10 @@ object Pipeline7 {
       .orderBy(col("doc_id"))
 
   val p42_sql: String =
-    s"""WITH base AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
-       |  WHERE len(trim(text)) > 0),
-       |seg AS (
-       |  SELECT doc_id, list_transform(range(0, CAST(ceil(len(tok) / $segN.0) AS BIGINT)),
-       |    i -> array_to_string(tok[i * $segN + 1 : least((i + 1) * $segN, len(tok))], ' ')) AS segs
-       |  FROM base),
+    s"""WITH seg AS (
+       |  SELECT doc_id, regexp_extract_all(
+       |    regexp_replace(trim(text), '\\s+', ' ', 'g'), '[^ ]+ [^ ]+|[^ ]+') AS segs
+       |  FROM documents WHERE len(trim(text)) > 0),
        |kept AS (
        |  SELECT doc_id, segs,
        |    list_filter(range(1, len(segs) + 1), i -> list_position(segs, segs[i]) = i) AS keep_idx
@@ -139,7 +147,62 @@ object Pipeline7 {
        |  md5(array_to_string(list_transform(keep_idx, i -> segs[i]), ' ')) AS trimmed_fp
        |FROM kept ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p43: sketch ALGEBRA — pairwise source-overlap estimates computed
+  // from the per-source KMV sketches alone (Beyer et al., "On synopses
+  // for distinct-value estimation under multiset operations", SIGMOD
+  // 2007): for sources a, b with sketches K(a), K(b), the combined
+  // sketch U = k smallest of K(a) ∪ K(b) is exactly the KMV sketch of
+  // the UNION stream, and |U ∩ K(a) ∩ K(b)| / |U| estimates Jaccard.
+  // The corpus is touched once (p41's one pass); the pair expansion
+  // runs over sources² sketch rows of k longs each — at 100 TB this is
+  // the difference between estimating all-pairs feed overlap from a
+  // few MB of sketches and p27's exact answer re-shuffling the corpus.
+  // ---------------------------------------------------------------- //
+  def p43_sketch_overlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = sourceSketches(s, dir)
+    val a = sk.select(col("source").as("src_a"), col("mins").as("ma"))
+    val b = sk.select(col("source").as("src_b"), col("mins").as("mb"))
+    // sources² pairs of k-long arrays: broadcast the (tiny) sketch
+    // relation; all set algebra is in-row array work
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr(s"slice(array_sort(array_union(ma, mb)), 1, $kmvK)").as("u"),
+        col("ma"), col("mb"))
+      .select(col("src_a"), col("src_b"),
+        size(col("u")).cast("long").as("n_union_kept"),
+        element_at(col("u"), size(col("u"))).as("union_kth"),
+        size(expr("array_intersect(array_intersect(u, ma), mb)")).cast("long")
+          .as("n_common"),
+        round(size(expr("array_intersect(array_intersect(u, ma), mb)")).cast("double") /
+          size(col("u")).cast("double"), 6).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val p43_sql: String =
+    s"""WITH sh AS (
+       |  SELECT source, unnest(list_transform(range(1, len(tok)-${shingleN - 2}),
+       |    i -> ${(0 until shingleN).map(o => s"tok[i+$o]").mkString(" || ' ' || ")})) AS sh
+       |  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS tok FROM documents)
+       |  WHERE len(tok) >= $shingleN),
+       |hh AS (SELECT DISTINCT source, CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS h FROM sh),
+       |ranked AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+       |sk AS (SELECT source, list_sort(list(h)) AS mins FROM ranked WHERE rn <= $kmvK GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    list_sort(list_distinct(a.mins || b.mins))[1:$kmvK] AS u,
+       |    a.mins AS ma, b.mins AS mb
+       |  FROM sk a JOIN sk b ON a.source < b.source)
+       |SELECT src_a, src_b,
+       |  CAST(len(u) AS BIGINT) AS n_union_kept,
+       |  u[len(u)] AS union_kth,
+       |  CAST(len(list_intersect(list_intersect(u, ma), mb)) AS BIGINT) AS n_common,
+       |  round(CAST(len(list_intersect(list_intersect(u, ma), mb)) AS DOUBLE)
+       |    / CAST(len(u) AS DOUBLE), 6) AS est_jaccard
+       |FROM pairs ORDER BY src_a, src_b""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p41_kmv_distinct" -> ((p41_kmv_distinct _, Some(p41_sql))),
-    "p42_repeat_trim" -> ((p42_repeat_trim _, Some(p42_sql))))
+    "p42_repeat_trim" -> ((p42_repeat_trim _, Some(p42_sql))),
+    "p43_sketch_overlap" -> ((p43_sketch_overlap _, Some(p43_sql))))
 }

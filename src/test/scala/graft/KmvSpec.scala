@@ -69,6 +69,15 @@ class KmvSpec extends AnyFunSuite {
       s"sketch plan shuffles shingle hashes:\n$plan")
   }
 
+  test("p43 plan: sketch pairing broadcasts, never sort-merges") {
+    val df = queries.Pipeline7.p43_sketch_overlap(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"sketch pairing should broadcast the tiny sketch relation:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"sources^2 sketch rows must never sort-merge:\n$plan")
+  }
+
   test("p42 plan: zero hash exchanges (pure map-side transform + output sort)") {
     val df = queries.Pipeline7.p42_repeat_trim(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
