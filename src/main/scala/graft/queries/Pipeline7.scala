@@ -22,6 +22,10 @@ import graft.Tables
   *    keep first occurrences in order. Pure map-side row work — zero
   *    shuffles at any scale — because the dedup scope is the document
   *    itself, unlike p32's corpus-global first-wins.
+  *  - p43: sketch algebra — all-pairs source overlap estimated from the
+  *    p41 sketches alone, never re-touching the corpus.
+  *  - p44: deterministic weighted priority sampling per stratum via the
+  *    bounded-heap topk_by — importance sampling for mixture builds.
   *
   * Float determinism: p41's estimate is one multiply and one divide
   * over exactly-represented integer-valued doubles, written with the
@@ -201,8 +205,122 @@ object Pipeline7 {
        |    / CAST(len(u) AS DOUBLE), 6) AS est_jaccard
        |FROM pairs ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p44: deterministic weighted priority sample — k docs per source,
+  // selection biased toward heavier documents (weight = n_chars; in a
+  // real mixture build, a quality score): rank by hash/weight and keep
+  // the k smallest. Reproducible across engines by construction (the
+  // portable 60-bit hash and ONE double division — exact Efraimidis-
+  // Spirakis sampling would need u^(1/w), a transcendental that
+  // diverges in the last ulp across libms). Scale shape: the bounded
+  // heap (topk_by) reduces each partition to ≤ k rows per source
+  // map-side; the oracle's ROW_NUMBER window would range-sort the
+  // whole corpus per stratum.
+  // ---------------------------------------------------------------- //
+  private val sampleK = 10
+
+  def p44_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions
+    TopKFunctions.register(s)
+    val pri = PipelineOps.spread(
+        t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars")))
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").cast("double") / col("n_chars").cast("double")).as("pri"))
+    // topk_by keeps score DESC with id-asc ties; negate for smallest-k.
+    // The raw priority is NOT emitted: at ~1e14 magnitude Spark's
+    // BigDecimal round and DuckDB's multiply-by-10^s round diverge in
+    // the last bits, and the rank order already pins every priority;
+    // the joined-back weight shows the bias instead.
+    val picked = pri.groupBy(col("source"))
+      .agg(TopKFunctions.topk_by(-col("pri"), col("doc_id"), sampleK).as("best"))
+      .select(col("source"), posexplode(col("best")).as(Seq("i", "b")))
+      .select(col("source"), (col("i") + 1).cast("int").as("rn"),
+        col("b.id").as("doc_id"))
+    // weight lookup joins the corpus AGAINST the broadcast sources·k
+    // picked rows — the corpus side never crosses an exchange
+    t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .join(broadcast(picked), "doc_id")
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val p44_sql: String =
+    s"""WITH pri AS (SELECT source, doc_id, n_chars,
+       |  CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS DOUBLE)
+       |    / CAST(n_chars AS DOUBLE) AS pri
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT source, CAST(rn AS INT) AS rn, doc_id, n_chars FROM (
+       |  SELECT source, doc_id, n_chars, pri,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri ASC, doc_id ASC) AS rn FROM pri)
+       |WHERE rn <= $sampleK ORDER BY source, rn""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // st07: the KMV sketch as STREAMING state — per-event-type distinct-
+  // user estimates maintained across micro-batches (the production
+  // shape for "distinct users per type today" over an unbounded
+  // stream). The same TypedImperativeAggregate runs inside the
+  // streaming state store: each micro-batch folds its rows into the
+  // ≤ k-long buffers, so state per group is BOUNDED at k longs forever
+  // — a streaming COUNT(DISTINCT) would grow state with every new user.
+  // Streaming and batch must agree exactly (the st01 contract): the
+  // oracle recomputes the sketch from the same parquet in SQL.
+  // ---------------------------------------------------------------- //
+  private val streamK = 128
+
+  def st07_stream_distinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.KmvFunctions.register(s)
+    import graft.functions.KmvFunctions.kmv_minima
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmv_minima(col("h"), streamK).as("mins"))
+    val name = s"st07_out_${System.nanoTime()}"
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    val ckpt = s"/dev/shm/graft_ckpt_$name"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q = try {
+      stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once()).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    s.table(name)
+      .select(col("event_type"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_min"),
+        round(when(size(col("mins")) < streamK, size(col("mins")).cast("double"))
+          .otherwise(lit(streamK - 1).cast("double") * lit(hashSpace).cast("double") /
+            element_at(col("mins"), size(col("mins"))).cast("double")), 4)
+          .as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  val st07_sql: String =
+    s"""WITH hh AS (SELECT DISTINCT event_type,
+       |    CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+       |  FROM events),
+       |ranked AS (SELECT event_type, h,
+       |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hh)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_min,
+       |  round(CASE WHEN COUNT(*) < $streamK THEN CAST(COUNT(*) AS DOUBLE)
+       |    ELSE CAST(${streamK - 1} AS DOUBLE) * CAST($hashSpace AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END, 4) AS est_distinct
+       |FROM ranked WHERE rn <= $streamK GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p41_kmv_distinct" -> ((p41_kmv_distinct _, Some(p41_sql))),
     "p42_repeat_trim" -> ((p42_repeat_trim _, Some(p42_sql))),
-    "p43_sketch_overlap" -> ((p43_sketch_overlap _, Some(p43_sql))))
+    "p43_sketch_overlap" -> ((p43_sketch_overlap _, Some(p43_sql))),
+    "p44_weighted_sample" -> ((p44_weighted_sample _, Some(p44_sql))),
+    "st07_stream_distinct" -> ((st07_stream_distinct _, Some(st07_sql))))
 }

@@ -84,4 +84,12 @@ class KmvSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"within-doc trim must not shuffle on any key:\n$plan")
   }
+
+  test("p44 plan: bounded heap map-side, never a per-stratum window sort") {
+    val df = queries.Pipeline7.p44_weighted_sample(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by"),
+      s"weighted sample must pre-reduce each partition to k rows per source:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort in the sample plan:\n$plan")
+  }
 }
