@@ -56,10 +56,46 @@ object CorpusBuild {
     val gated = docs.filter(col("lang") === "en" && col("n_chars") >= 100)
     stage("lang+quality gate", gated.count())
 
+    // 1b. sketch sizing: estimate the dedup problem BEFORE paying any
+    // dedup shuffle — one corpus pass folding every 5-token shingle
+    // into a 256-long KMV buffer (state bounded at k longs; the same
+    // pass at 100 TB costs one scan and ships a few KB)
+    graft.functions.KmvFunctions.register(spark)
+    locally {
+      import graft.functions.KmvFunctions.kmv_minima
+      val n = 5
+      val shRow = gated.select(split(trim(col("text")), "\\s+").as("tok"))
+        .filter(size(col("tok")) >= n)
+        .select(col("tok"), explode(sequence(lit(0), size(col("tok")) - n)).as("i"))
+        .select(conv(substring(md5(concat_ws(" ",
+          (0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)), 1, 15),
+          16, 10).cast("long").as("h"))
+        .agg(kmv_minima(col("h"), 256).as("mins"), count(lit(1)).as("n_inst"))
+        .head()
+      val mins = shRow.getSeq[Long](0)
+      val inst = shRow.getLong(1)
+      // clamp: the estimator's +-1/sqrt(k) (~6% at k=256) error can
+      // push the estimate past the instance count on a small corpus
+      val est = math.min(inst.toDouble, if (mins.size < 256) mins.size.toDouble
+        else 255.0 * 1152921504606846976L.toDouble / mins.last.toDouble)
+      println(f"SKETCH distinct 5-shingles ~ ${est.toLong}%d of $inst%d instances " +
+        f"(${100.0 * (1.0 - est / inst)}%.1f%% repeat mass, k=256 => +-6%% error)")
+    }
+
     // 2. per-source boilerplate removal (C4-style)
-    val cleaned = pin(graft.operators.TextOps
+    val boilerplated = pin(graft.operators.TextOps
       .removeBoilerplate(gated, "doc_id", "source", "text"))
-    stage("boilerplate removed", cleaned.count())
+    stage("boilerplate removed", boilerplated.count())
+
+    // 2b. within-doc repetition trim (Gopher-style, keep-first): drop
+    // repeated 2-token segments inside each document — pure map-side,
+    // order-preserving array_distinct over one regex segment pass
+    val segsCol = regexp_extract_all(
+      regexp_replace(trim(col("clean_text")), lit("\\s+"), lit(" ")),
+      lit("[^ ]+ [^ ]+|[^ ]+"), lit(0))
+    val cleaned = pin(boilerplated.withColumn(
+      "clean_text", array_join(array_distinct(segsCol), " ")))
+    stage("repeat-trimmed", cleaned.count())
 
     // 3. exact dedup on the CLEANED text (boilerplate stripping first
     // makes exact dedup catch docs that differed only in chrome).
