@@ -60,17 +60,10 @@ object CorpusBuild {
     // dedup shuffle — one corpus pass folding every 5-token shingle
     // into a 256-long KMV buffer (state bounded at k longs; the same
     // pass at 100 TB costs one scan and ships a few KB)
-    graft.functions.KmvFunctions.register(spark)
     locally {
-      import graft.functions.KmvFunctions.kmv_minima
-      val n = 5
-      val shRow = gated.select(split(trim(col("text")), "\\s+").as("tok"))
-        .filter(size(col("tok")) >= n)
-        .select(col("tok"), explode(sequence(lit(0), size(col("tok")) - n)).as("i"))
-        .select(conv(substring(md5(concat_ws(" ",
-          (0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)), 1, 15),
-          16, 10).cast("long").as("h"))
-        .agg(kmv_minima(col("h"), 256).as("mins"), count(lit(1)).as("n_inst"))
+      val shRow = graft.operators.TextOps
+        .shingleSketch(gated.withColumn("one", lit(1)), "one", "text")
+        .select(col("mins"), col("n_instances"))
         .head()
       val mins = shRow.getSeq[Long](0)
       val inst = shRow.getLong(1)
@@ -90,11 +83,8 @@ object CorpusBuild {
     // 2b. within-doc repetition trim (Gopher-style, keep-first): drop
     // repeated 2-token segments inside each document — pure map-side,
     // order-preserving array_distinct over one regex segment pass
-    val segsCol = regexp_extract_all(
-      regexp_replace(trim(col("clean_text")), lit("\\s+"), lit(" ")),
-      lit("[^ ]+ [^ ]+|[^ ]+"), lit(0))
-    val cleaned = pin(boilerplated.withColumn(
-      "clean_text", array_join(array_distinct(segsCol), " ")))
+    val cleaned = pin(graft.operators.TextOps
+      .trimRepeatedSegments(boilerplated, "clean_text", "clean_text"))
     stage("repeat-trimmed", cleaned.count())
 
     // 3. exact dedup on the CLEANED text (boilerplate stripping first

@@ -443,4 +443,54 @@ object TextOps {
         md5(concat_ws(" ",
           slice(col("tok"), col("start_tok") + 1, col("len")))).as("fp"))
   }
+
+  /** Within-document repeated-segment trimming (the Gopher-style
+    * repetition cleanup as a TRANSFORM): drop every repeat of an
+    * already-seen `segTokens`-token segment inside the same document,
+    * keeping first occurrences in order; `outCol` gets the trimmed
+    * text. One codegen'd regex pass builds the segment array (no
+    * higher-order-function lambda — their bodies evaluate interpreted
+    * per element, measured 4.8× slower at sf10) and the keep-first
+    * dedup is Spark's order-preserving `array_distinct` — O(n) per
+    * document, so a monster document can't become a quadratic hot
+    * row. Pure map-side; no shuffle at any scale. */
+  def trimRepeatedSegments(df: DataFrame, textCol: String, outCol: String,
+      segTokens: Int = 2): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    val one = "[^ ]+"
+    val seg = (1 to segTokens).map(_ => one).mkString(" ")
+    // alternation tries longest first, so the tail shorter-than-full
+    // segment still matches: "a b|a" over "x y z" -> ["x y", "z"]
+    val pat = (segTokens to 1 by -1).map(k => (1 to k).map(_ => one).mkString(" "))
+      .mkString("|")
+    df.withColumn(outCol, array_join(array_distinct(regexp_extract_all(
+      regexp_replace(trim(col(textCol)), lit("\\s+"), lit(" ")),
+      lit(pat), lit(0))), " "))
+  }
+
+  /** Per-group KMV distinct sketch of `segTokens`-token shingle hashes:
+    * one corpus pass, ≤ k longs of state per group at any corpus size
+    * (functions.KmvMinima — partial buffers map-side, the one exchange
+    * carries groups·k longs). Returns (groupCol, mins array<bigint>
+    * ascending, n_instances); estimate distinct as
+    * `(k-1) * 2^60 / mins.last` when the buffer is full, else
+    * `mins.size` exactly. Sketches of disjoint shards merge exactly —
+    * store them and combine later without re-touching the data. */
+  def shingleSketch(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 256, segTokens: Int = 5): DataFrame = {
+    graft.functions.KmvFunctions.register(df.sparkSession)
+    import graft.functions.KmvFunctions.kmv_minima
+    Scale.spread(df.select(col(groupCol), col(textCol)))
+      .select(col(groupCol), split(trim(col(textCol)), "\\s+").as("tok"))
+      .filter(size(col("tok")) >= segTokens)
+      .select(col(groupCol), col("tok"),
+        explode(sequence(lit(0), size(col("tok")) - segTokens)).as("i"))
+      .select(col(groupCol),
+        // 60-bit engine-portable hash: md5-hex-prefix parse
+        conv(substring(md5(concat_ws(" ",
+          (0 until segTokens).map(o => element_at(col("tok"), col("i") + o + 1)): _*)),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col(groupCol))
+      .agg(kmv_minima(col("h"), k).as("mins"), count(lit(1)).as("n_instances"))
+  }
 }

@@ -52,27 +52,13 @@ object Pipeline7 {
 
   /** Per-source KMV sketch of 5-token-shingle hashes: one corpus pass,
     * partial sketch buffers map-side, the one exchange keyed by source
-    * and carrying ≤ k longs per source per task. */
-  private def sourceSketches(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.KmvFunctions.register(s)
-    import graft.functions.KmvFunctions.kmv_minima
-    val n = shingleN
-    PipelineOps.spread(
-        t(s, dir, "documents").select(col("source"), col("text")))
-      .select(col("source"), PipelineOps.tokens.as("tok"))
-      .filter(size(col("tok")) >= n)
-      .select(col("source"), col("tok"),
-        explode(sequence(lit(0), size(col("tok")) - n)).as("i"))
-      .select(col("source"),
-        // shingle string only long enough to md5 it; 15 hex chars of
-        // the digest parse to a 60-bit non-negative long identically
-        // in both engines (the p07/minhash recipe, widened)
-        conv(substring(md5(concat_ws(" ",
-          (0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)), 1, 15),
-          16, 10).cast("long").as("h"))
-      .groupBy(col("source"))
-      .agg(kmv_minima(col("h"), kmvK).as("mins"))
-  }
+    * and carrying ≤ k longs per source per task. The hash is the
+    * engine-portable md5-hex-prefix parse (the p07/minhash recipe
+    * widened to 60 bits), so both engines keep identical minima. */
+  private def sourceSketches(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextOps.shingleSketch(
+      t(s, dir, "documents").select(col("source"), col("text")),
+      "source", "text", k = kmvK, segTokens = shingleN)
 
   def p41_kmv_distinct(s: SparkSession, dir: String): DataFrame = {
     sourceSketches(s, dir)
