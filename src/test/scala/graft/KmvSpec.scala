@@ -41,6 +41,29 @@ class KmvSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("property: buffer == sorted distinct take k, any stream, any split point") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    (0 until 200).foreach { i =>
+      val params = Gen.Parameters.default
+      val seed = Seed(i.toLong)
+      val k = Gen.choose(1, 12).apply(params, seed).get
+      val xs = Gen.listOfN(60, Gen.choose(0L, 40L)).apply(params, seed.next).get
+      val expected = xs.distinct.sorted.take(k)
+      // single buffer
+      val b = new KmvBuffer(k)
+      xs.foreach(b.insert)
+      assert(b.sortedArray.toSeq == expected, s"seed=$i single k=$k")
+      // split at every prefix and merge — the partial-aggregation path
+      val cut = Gen.choose(0, xs.length).apply(params, seed.next.next).get
+      val (l, r) = xs.splitAt(cut)
+      val bl = new KmvBuffer(k); l.foreach(bl.insert)
+      val br = new KmvBuffer(k); r.foreach(br.insert)
+      bl.merge(br)
+      assert(bl.sortedArray.toSeq == expected, s"seed=$i merged k=$k cut=$cut")
+    }
+  }
+
   test("buffer dedups, evicts the max, and merges without double-counting") {
     val b = new KmvBuffer(3)
     Seq(50L, 10L, 50L, 30L, 40L).foreach(b.insert)
