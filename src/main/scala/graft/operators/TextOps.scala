@@ -493,4 +493,18 @@ object TextOps {
       .groupBy(col(groupCol))
       .agg(kmv_minima(col("h"), k).as("mins"), count(lit(1)).as("n_instances"))
   }
+
+  /** Exact merge of stored KMV sketches (one row per (shard, group),
+    * e.g. `shingleSketch` outputs unioned across shards, round-tripped
+    * through parquet): the k smallest distinct values of the union of
+    * per-shard minima IS the sketch of the concatenated stream — the
+    * property that makes per-shard sketches a storable index. Plain
+    * built-ins (shards-per-group is bounded, so the collected list is
+    * small); `n_instances` sums. */
+  def mergeSketches(sketches: DataFrame, groupCol: String, k: Int = 256): DataFrame =
+    sketches.groupBy(col(groupCol))
+      .agg(
+        slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))), 1, k)
+          .as("mins"),
+        sum(col("n_instances")).as("n_instances"))
 }

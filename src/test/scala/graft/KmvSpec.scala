@@ -92,6 +92,26 @@ class KmvSpec extends AnyFunSuite {
       s"sketch plan shuffles shingle hashes:\n$plan")
   }
 
+  test("sharded sketches parquet-round-trip and merge to the whole-corpus sketch") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val whole = graft.operators.TextOps.shingleSketch(docs, "source", "text", k = 64)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+    // shard the corpus three ways, sketch each shard independently,
+    // persist, reload, merge — must equal the whole-corpus sketch
+    val tmp = java.nio.file.Files.createTempDirectory("kmv_shards").toString
+    (0 until 3).foreach { i =>
+      graft.operators.TextOps.shingleSketch(
+          docs.filter(col("doc_id") % 3 === i), "source", "text", k = 64)
+        .write.mode("append").parquet(tmp)
+    }
+    val merged = graft.operators.TextOps.mergeSketches(
+        spark.read.parquet(tmp), "source", k = 64)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    assert(merged.toSeq == whole.toSeq)
+  }
+
   test("p43 plan: sketch pairing broadcasts, never sort-merges") {
     val df = queries.Pipeline7.p43_sketch_overlap(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
