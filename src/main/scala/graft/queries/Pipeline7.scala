@@ -303,10 +303,56 @@ object Pipeline7 {
        |    ELSE CAST(${streamK - 1} AS DOUBLE) * CAST($hashSpace AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END, 4) AS est_distinct
        |FROM ranked WHERE rn <= $streamK GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p45: per-source corpus card — the dataset-report pass every
+  // training corpus publishes (docs, token mass, length profile,
+  // exact-dup rate, language share) in ONE aggregate over one corpus
+  // pass. count(DISTINCT md5) partial-dedups map-side; every other
+  // column is a plain COUNT/SUM; the single exchange is keyed by
+  // source. Ratios are one double division each (identical
+  // association both engines).
+  // ---------------------------------------------------------------- //
+  def p45_corpus_card(s: SparkSession, dir: String): DataFrame = {
+    val nd = count(lit(1)).cast("double")
+    PipelineOps.spread(t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("lang"), col("n_chars"), col("text")))
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(PipelineOps.tokens).cast("long").as("n_tok"),
+        md5(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("n_tok")).cast("double") / nd, 6).as("avg_tokens"),
+        round(count(when(col("n_chars") < 100, 1)).cast("double") / nd, 6)
+          .as("pct_short"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        round(count(when(col("lang") === "en", 1)).cast("double") / nd, 6)
+          .as("pct_en"))
+      .orderBy(col("source"))
+  }
+
+  val p45_sql: String =
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  round(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
+      |  round(CAST(COUNT(CASE WHEN n_chars < 100 THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS pct_short,
+      |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+      |  round(CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE), 6) AS pct_en
+      |FROM (SELECT source, lang, n_chars,
+      |        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+      |        md5(text) AS fp
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p41_kmv_distinct" -> ((p41_kmv_distinct _, Some(p41_sql))),
     "p42_repeat_trim" -> ((p42_repeat_trim _, Some(p42_sql))),
     "p43_sketch_overlap" -> ((p43_sketch_overlap _, Some(p43_sql))),
     "p44_weighted_sample" -> ((p44_weighted_sample _, Some(p44_sql))),
+    "p45_corpus_card" -> ((p45_corpus_card _, Some(p45_sql))),
     "st07_stream_distinct" -> ((st07_stream_distinct _, Some(st07_sql))))
 }
