@@ -61,7 +61,22 @@ object Bench {
     // memory deterministically between queries, so this keeps the
     // comparison symmetric rather than gaming it.
     val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").exists(_.toBoolean)
-    def hygiene(): Unit = if (gcBetween) { System.gc(); Thread.sleep(30) }
+    // The measured rejection of gcBetween (BENCH_NOTES r9) left the
+    // mechanism question open: localCheckpoint blocks ARE persistent
+    // RDDs, so release them DIRECTLY (no forced full GC, whose heap
+    // compaction measured strictly worse). Back-to-back A/B at the
+    // 250-entry head: 166.8 s with vs 179.0 s without — freed STORAGE
+    // memory lowers unified-memory pressure on the next entry, the
+    // effect GC never delivered. Default ON: entries rebuild their
+    // DataFrames from scratch each invocation (no cross-entry block
+    // reuse exists to break), it runs strictly between entries, and
+    // the DuckDB twin frees its memory between queries the same way.
+    val unpersistBetween = sys.env.get("SPARK_GRAFT_UNPERSIST_BETWEEN").forall(_.toBoolean)
+    def hygiene(): Unit = {
+      if (unpersistBetween)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (gcBetween) { System.gc(); Thread.sleep(30) }
+    }
     if (doWarmup) queries.foreach { case (_, fn) =>
       try force(fn) catch { case _: Throwable => }
       hygiene()
@@ -112,7 +127,8 @@ object Bench {
          |             "protocol": "${
              (if (doWarmup) "warm" else "cold") +
                (if (passes > 1) s"+min-of-$passes" else "+single-pass") +
-               (if (gcBetween) "+gc-between" else "")}"},
+               (if (gcBetween) "+gc-between" else "") +
+               (if (unpersistBetween) "+unpersist-between" else "")}"},
          |  "queries": {
          |$perQuery
          |  }
