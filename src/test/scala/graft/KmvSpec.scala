@@ -92,6 +92,27 @@ class KmvSpec extends AnyFunSuite {
       s"sketch plan shuffles shingle hashes:\n$plan")
   }
 
+  test("kmv_minima as streaming state: multi-batch result equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = (0 until 3000).map(i => (i % 4, ((i * 40503L) % 251)))
+    val expected = rows.toDF("g", "h").groupBy($"g")
+      .agg(KmvFunctions.kmv_minima($"h", 32).as("mins"))
+      .orderBy($"g").collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    // same rows through THREE micro-batches: the aggregate's buffers
+    // must serialize into the state store and merge across batches
+    val mem = MemoryStream[(Int, Long)](spark)
+    val q = mem.toDF().toDF("g", "h")
+      .groupBy($"g").agg(KmvFunctions.kmv_minima($"h", 32).as("mins"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv_stream_test").start()
+    rows.grouped(1000).foreach { batch => mem.addData(batch); q.processAllAvailable() }
+    val got = spark.table("kmv_stream_test")
+      .orderBy($"g").collect().map(r => (r.getInt(0), r.getSeq[Long](1))).toSeq
+    q.stop()
+    assert(got == expected)
+  }
+
   test("sharded sketches parquet-round-trip and merge to the whole-corpus sketch") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.Tables.load(spark, dir, "documents")
