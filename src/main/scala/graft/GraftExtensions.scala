@@ -55,6 +55,14 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(array<decimal(38,9)>) - exact element-wise vector sum aggregate") { a =>
       graft.functions.DecimalVecSum(a(0))
     }
+    inject("kmv_minima",
+      "_FUNC_(h, k) - k smallest distinct hashes (KMV sketch aggregate)") {
+      graft.functions.KmvFunctions.kmvBuilder
+    }
+    inject("shingle_kmv",
+      "_FUNC_(tokens, n, k) - per-document KMV sketch of n-token shingles") {
+      graft.functions.KmvFunctions.shingleBuilder
+    }
     inject("pg_ctid_pack", "_FUNC_(page, row) - pack a ctid into bigint") { a =>
       graft.functions.PgCtidPack(a(0), a(1))
     }

@@ -57,6 +57,15 @@ final class KmvBuffer(val k: Int) {
   * Sketches of disjoint shards merge exactly (set union re-capped at
   * k), so per-shard sketches can be stored and combined later without
   * touching the data again. NULL inputs are ignored.
+  *
+  * The input may also be `array<bigint>` — each element is inserted,
+  * so pre-sketched per-document minima (`shingle_kmv`) merge straight
+  * into the group sketch without ever re-exploding to one row per
+  * hash. Merging per-document k-min arrays this way is exact: the k
+  * smallest distinct values of a union of per-document k-min sets
+  * equal those of the raw hash stream, because any hash evicted from
+  * a document-level buffer was beaten by k smaller distinct hashes of
+  * that same document, which all reach the group buffer.
   */
 case class KmvMinima(
     child: Expression,
@@ -74,16 +83,25 @@ case class KmvMinima(
   override def checkInputDataTypes(): TypeCheckResult =
     if (k < 1) TypeCheckResult.TypeCheckFailure(s"$prettyName k must be >= 1, got $k")
     else child.dataType match {
-      case LongType => TypeCheckResult.TypeCheckSuccess
+      case LongType | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires bigint input, got ${t.catalogString}")
+        s"$prettyName requires bigint or array<bigint> input, got ${t.catalogString}")
     }
+
+  private lazy val arrayInput = child.dataType.isInstanceOf[ArrayType]
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Long])
+    if (v != null) {
+      if (arrayInput) {
+        val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val n = a.numElements()
+        var i = 0
+        while (i < n) { if (!a.isNullAt(i)) buf.insert(a.getLong(i)); i += 1 }
+      } else buf.insert(v.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -124,18 +142,33 @@ object KmvFunctions {
   import org.apache.spark.sql.functions.call_function
   import org.apache.spark.sql.catalyst.expressions.Literal
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  val kmvBuilder: Seq[Expression] => Expression = {
+    case Seq(h, Literal(k: Int, IntegerType)) => KmvMinima(h, k)
+    case _ => throw new IllegalArgumentException(
+      "kmv_minima(h bigint | array<bigint>, k int-literal)")
+  }
+
+  val shingleBuilder: Seq[Expression] => Expression = {
+    case Seq(tok, Literal(n: Int, IntegerType), Literal(k: Int, IntegerType)) =>
+      ShingleKmv(tok, n, k)
+    case _ => throw new IllegalArgumentException(
+      "shingle_kmv(tokens array<string>, n int-literal, k int-literal)")
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_minima",
-      (args: Seq[Expression]) => args match {
-        case Seq(h, Literal(k: Int, IntegerType)) => KmvMinima(h, k)
-        case _ => throw new IllegalArgumentException(
-          "kmv_minima(h bigint, k int-literal)")
-      },
-      "built-in")
+      "kmv_minima", kmvBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_kmv", shingleBuilder, "built-in")
+  }
 
   def kmv_minima(h: Column, k: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("kmv_minima", h, lit(k))
+  }
+
+  def shingle_kmv(tok: Column, n: Int, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("shingle_kmv", tok, lit(n), lit(k))
   }
 }

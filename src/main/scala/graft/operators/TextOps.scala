@@ -479,19 +479,83 @@ object TextOps {
   def shingleSketch(df: DataFrame, groupCol: String, textCol: String,
       k: Int = 256, segTokens: Int = 5): DataFrame = {
     graft.functions.KmvFunctions.register(df.sparkSession)
-    import graft.functions.KmvFunctions.kmv_minima
+    import graft.functions.KmvFunctions.{kmv_minima, shingle_kmv}
     Scale.spread(df.select(col(groupCol), col(textCol)))
       .select(col(groupCol), split(trim(col(textCol)), "\\s+").as("tok"))
       .filter(size(col("tok")) >= segTokens)
-      .select(col(groupCol), col("tok"),
-        explode(sequence(lit(0), size(col("tok")) - segTokens)).as("i"))
+      // one codegen'd pass per document: every n-token window hashed
+      // (60-bit md5-hex-prefix recipe, bit-identical to the oracle's
+      // conv(substr(md5(shingle),1,15),16,10)) and reduced to ≤ k
+      // distinct minima INSIDE the projection — no explode, no
+      // per-shingle string, no per-shingle row (the former exploded
+      // chain materialized ~3.5M rows at sf0.1 before the aggregate
+      // could discard them). n_instances = windows per document,
+      // plain arithmetic.
       .select(col(groupCol),
-        // 60-bit engine-portable hash: md5-hex-prefix parse
-        conv(substring(md5(concat_ws(" ",
-          (0 until segTokens).map(o => element_at(col("tok"), col("i") + o + 1)): _*)),
-          1, 15), 16, 10).cast("long").as("h"))
+        shingle_kmv(col("tok"), segTokens, k).as("doc_mins"),
+        (size(col("tok")) - segTokens + 1).cast("long").as("n_inst"))
       .groupBy(col(groupCol))
-      .agg(kmv_minima(col("h"), k).as("mins"), count(lit(1)).as("n_instances"))
+      .agg(kmv_minima(col("doc_mins"), k).as("mins"),
+        sum(col("n_inst")).as("n_instances"))
+  }
+
+  /** Exact cross-document substring dedup at `w`-token granularity —
+    * the Lee et al. 2022 class ("Deduplicating Training Data Makes
+    * Language Models Better"): remove every occurrence but the first
+    * of any w-token span appearing more than once ANYWHERE in the
+    * corpus (across documents or within one), at arbitrary token
+    * boundaries. p32 dedups fixed non-overlapping segments and p26
+    * only measures n-gram dup rate; this removes arbitrary-boundary
+    * repeated spans, the suffix-array method's guarantee expressed at
+    * w granularity (every duplicated span of length >= w contains a
+    * duplicated aligned w-window at each offset, so removing covered
+    * tokens removes the span).
+    *
+    * Scale shape — sorted fingerprint runs, never a corpus² join:
+    *  1. one codegen'd pass per document computes ALL window hashes
+    *     (`shingle_hashes`) — the exploded relation is (id, start, fp)
+    *     triples of longs, no shingle string ever materializes;
+    *  2. the winner resolution is ONE fp-keyed aggregate
+    *     (count + min(struct(id, start)) — both partial map-side, so a
+    *     boilerplate span repeated in half the corpus folds before the
+    *     exchange);
+    *  3. occurrences join back on fp (equi-join, AQE-broadcastable
+    *     when the dup relation is small) and non-winners become
+    *     per-document sorted remove lists (bounded by document
+    *     length);
+    *  4. `remove_spans` drops covered tokens in one merged two-pointer
+    *     pass per document — overlap-safe, O(n + removes).
+    *
+    * Returns (idCol, n_tok, n_removed, kept_tok array<string>). */
+  def dedupSubstringsGlobal(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame = {
+    val s = df.sparkSession
+    graft.functions.SubstringDedupFunctions.register(s)
+    import graft.functions.SubstringDedupFunctions.{remove_spans, shingle_hashes}
+    val toks = Scale.spread(df.select(col(idCol), col(textCol)))
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("tok"))
+    val wins = toks
+      .select(col(idCol), posexplode(shingle_hashes(col("tok"), w)).as(Seq("pos", "fp")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("start"), col("fp"))
+    val dupFirst = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col(idCol), col("start"))).as("first_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("fp"), col("first_occ"))
+    val removes = wins.join(dupFirst, "fp")
+      .filter(!(col(idCol) === col(s"first_occ.$idCol") &&
+        col("start") === col("first_occ.start")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    toks.join(removes, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("tok")).cast("long").as("n_tok"),
+        remove_spans(col("tok"),
+          coalesce(col("starts"), array().cast("array<long>")), w).as("kept_tok"))
+      .select(col(idCol), col("n_tok"),
+        (col("n_tok") - size(col("kept_tok"))).cast("long").as("n_removed"),
+        col("kept_tok"))
   }
 
   /** Exact merge of stored KMV sketches (one row per (shard, group),

@@ -150,7 +150,11 @@ object Pipeline7 {
   // few MB of sketches and p27's exact answer re-shuffling the corpus.
   // ---------------------------------------------------------------- //
   def p43_sketch_overlap(s: SparkSession, dir: String): DataFrame = {
-    val sk = sourceSketches(s, dir)
+    // pin the (sources · k-long) sketch relation before self-joining:
+    // without this, Spark's self-join re-runs the corpus sketch chain
+    // once per side — the operator's whole point is that the corpus is
+    // touched ONCE and pairing is algebra over KBs of sketch rows
+    val sk = sourceSketches(s, dir).localCheckpoint()
     val a = sk.select(col("source").as("src_a"), col("mins").as("ma"))
     val b = sk.select(col("source").as("src_b"), col("mins").as("mb"))
     // sources² pairs of k-long arrays: broadcast the (tiny) sketch

@@ -90,6 +90,50 @@ class KmvSpec extends AnyFunSuite {
     // sketch buffers, never as a distinct/aggregate on h
     assert(!"Exchange hashpartitioning\\(h#".r.unanchored.matches(plan),
       s"sketch plan shuffles shingle hashes:\n$plan")
+    // the build chain is one pass per document: no row-per-shingle
+    // explode anywhere (shingle_kmv reduces each doc inside the scan
+    // projection)
+    assert(!plan.contains("Generate explode"),
+      s"sketch build must not explode one row per shingle:\n$plan")
+  }
+
+  test("shingle_kmv matches the exploded md5 chain bit-for-bit on real docs") {
+    val n = 5; val k = 48
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tok"))
+      .filter(size(col("tok")) >= n)
+    val legacy = docs
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0), size(col("tok")) - n)).as("i"))
+      .select(col("doc_id"),
+        conv(substring(md5(concat_ws(" ",
+          (0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)),
+          1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(KmvFunctions.kmv_minima(col("h"), k).as("mins"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val fused = docs
+      .select(col("doc_id"), KmvFunctions.shingle_kmv(col("tok"), n, k).as("mins"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(fused.nonEmpty && fused.toSeq == legacy.toSeq)
+  }
+
+  test("shingle_kmv edges: short doc empty, null tokens skipped like concat_ws") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[String]("a", "b", "c")),
+      (2L, Seq[String]("a")), // shorter than n=2: no window
+      (3L, Seq[String]("a", null, "b"))) // concat_ws drops NULLs
+      .toDF("id", "tok")
+    val got = df.select($"id", KmvFunctions.shingle_kmv($"tok", 2, 16).as("mins"))
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getSeq[Long](1).sorted))
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 15), 16)
+    assert(got(0) == ((1L, Seq(h60("a b"), h60("b c")).sorted)))
+    assert(got(1) == ((2L, Seq.empty[Long])))
+    // windows of (a, null) and (null, b) join to "a" and "b"
+    assert(got(2) == ((3L, Seq(h60("a"), h60("b")).sorted)))
   }
 
   test("kmv_minima as streaming state: multi-batch result equals the batch sketch") {
