@@ -2,6 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** RDD ids of deliberately RESIDENT caches that inter-entry bench
+  * hygiene must not release — e.g. st06's reference signature index,
+  * whose stated semantics are "kept cached across invocations" so the
+  * entry measures steady-state incremental cost, not a re-hash of the
+  * reference corpus. Entries register the ids right after
+  * materializing the cache (a before/after diff of
+  * `getPersistentRDDs`). */
+object ResidentCaches {
+  private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  def register(id: Int): Unit = { ids.add(id); () }
+  def contains(id: Int): Boolean = ids.contains(id)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,14 +80,19 @@ object Bench {
     // compaction measured strictly worse). Back-to-back A/B at the
     // 250-entry head: 166.8 s with vs 179.0 s without — freed STORAGE
     // memory lowers unified-memory pressure on the next entry, the
-    // effect GC never delivered. Default ON: entries rebuild their
-    // DataFrames from scratch each invocation (no cross-entry block
-    // reuse exists to break), it runs strictly between entries, and
-    // the DuckDB twin frees its memory between queries the same way.
+    // effect GC never delivered. Default ON; it runs strictly between
+    // entries, and the DuckDB twin frees its memory between queries
+    // the same way. One class of block IS reused across invocations by
+    // design: explicitly-resident caches (st06's reference signature
+    // index, whose semantics are steady-state incremental dedup) —
+    // those register in ResidentCaches and hygiene skips them, so the
+    // entry keeps measuring what it claims to measure.
     val unpersistBetween = sys.env.get("SPARK_GRAFT_UNPERSIST_BETWEEN").forall(_.toBoolean)
     def hygiene(): Unit = {
       if (unpersistBetween)
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!ResidentCaches.contains(id)) rdd.unpersist(blocking = false)
+        }
       if (gcBetween) { System.gc(); Thread.sleep(30) }
     }
     if (doWarmup) queries.foreach { case (_, fn) =>

@@ -35,7 +35,10 @@ import graft.types.PgType
   *
   * Both directions are bounded by driver memory — the semantics of
   * temp tables in ported scripts (bounded scratch state), not a bulk
-  * data path; the snapshot-consistent parallel scan is for that. */
+  * data path; the snapshot-consistent parallel scan is for that. A
+  * hard byte cap (`pgTempMaxBytes`, default 64 MB, read/write option)
+  * turns the would-be driver OOM from piping a large relation through
+  * pg_temp into an immediate, actionable error. */
 final class PgTempWireTable(
     dsn: String,
     table: String,
@@ -65,10 +68,11 @@ final class PgTempWireTable(
           case s if s.isEmpty => StructType(sparkSchema.fields.take(1))
           case s => s
         }
-      override def build(): Scan = new PgTempScan(required)
+      override def build(): Scan =
+        new PgTempScan(required, PgTempWireTable.maxBytes(options.get _))
     }
 
-  private final class PgTempScan(required: StructType) extends Scan with Batch {
+  private final class PgTempScan(required: StructType, cap: Long) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
 
@@ -81,7 +85,20 @@ final class PgTempWireTable(
       val in = t.copyOut(
         s"""COPY (SELECT $colList FROM "pg_temp".${PgSqlGen.quoteIdent(table)})""" +
           " TO STDOUT (FORMAT binary)")
-      val bytes = try in.readAllBytes() finally in.close()
+      // capped incremental read: fail with the pointer at the staged
+      // write path BEFORE the payload can exhaust driver memory
+      val bytes = try {
+        val bos = new ByteArrayOutputStream()
+        val chunk = new Array[Byte](64 * 1024)
+        var n = in.read(chunk)
+        while (n >= 0) {
+          bos.write(chunk, 0, n)
+          if (bos.size() > cap)
+            PgTempWireTable.oversized(s"read of pg_temp.$table", cap)
+          n = in.read(chunk)
+        }
+        bos.toByteArray
+      } finally in.close()
       Array(PgTempPayloadPartition(bytes))
     }
 
@@ -99,12 +116,13 @@ final class PgTempWireTable(
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new PgTempBatchWrite(info.schema(), doTruncate)
+        override def toBatch: BatchWrite = new PgTempBatchWrite(info.schema(), doTruncate,
+          PgTempWireTable.maxBytes(info.options().get _))
       }
     }
 
-  private final class PgTempBatchWrite(writeSchema: StructType, doTruncate: Boolean)
-      extends BatchWrite {
+  private final class PgTempBatchWrite(writeSchema: StructType, doTruncate: Boolean,
+      cap: Long) extends BatchWrite {
 
     private val writeTypes: Seq[PgType] = writeSchema.fields.toSeq.map { f =>
       cols.find(_._1 == f.name).map(_._2).getOrElse(throw new IllegalArgumentException(
@@ -112,7 +130,7 @@ final class PgTempWireTable(
     }
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new PgTempWriterFactory(writeSchema, writeTypes)
+      new PgTempWriterFactory(writeSchema, writeTypes, table, cap)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val t = PgTempWireTable.pinned(dsn, s"write pg_temp.$table")
@@ -133,6 +151,22 @@ final class PgTempWireTable(
 }
 
 object PgTempWireTable {
+
+  /** Default byte cap on the driver-memory pg_temp payloads (either
+    * direction); override per read/write with option `pgTempMaxBytes`. */
+  val DefaultMaxBytes: Long = 64L * 1024 * 1024
+
+  private[catalog] def maxBytes(get: String => String): Long =
+    Option(get("pgTempMaxBytes")).map(_.trim.toLong).getOrElse(DefaultMaxBytes)
+
+  private[catalog] def oversized(what: String, cap: Long): Nothing =
+    throw new IllegalStateException(
+      s"$what exceeds pgTempMaxBytes=$cap: pg_temp over a wire DSN round-trips " +
+        "through driver memory and is meant for bounded scratch state. For bulk " +
+        "data use a regular table through the staged parallel COPY path " +
+        "(df.writeTo(\"<catalog>.<schema>.<table>\") / the snapshot scan), or " +
+        "raise the pgTempMaxBytes read/write option if the payload is truly " +
+        "driver-sized")
 
   private[catalog] def pinned(dsn: String, what: String): PgTransport =
     graft.functions.PgTxnRegistry.lookup(dsn).getOrElse(
@@ -176,8 +210,8 @@ final class PgTempReaderFactory(pgTypes: Seq[PgType],
 /** One task's rows as a self-contained PGCOPY binary stream. */
 final case class PgTempPayload(bytes: Array[Byte]) extends WriterCommitMessage
 
-final class PgTempWriterFactory(writeSchema: StructType, pgTypes: Seq[PgType])
-    extends DataWriterFactory {
+final class PgTempWriterFactory(writeSchema: StructType, pgTypes: Seq[PgType],
+    table: String, cap: Long) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val bos = new ByteArrayOutputStream()
@@ -188,6 +222,10 @@ final class PgTempWriterFactory(writeSchema: StructType, pgTypes: Seq[PgType])
       override def write(record: InternalRow): Unit = {
         if (!any) { writer.writeHeader(out); any = true }
         writer.writeRow(out, record)
+        // fail in the task, before an oversized commit message ships
+        // to (and accumulates on) the driver
+        if (bos.size() > cap)
+          PgTempWireTable.oversized(s"write task $taskId into pg_temp.$table", cap)
       }
       override def commit(): WriterCommitMessage = {
         if (any) writer.writeTrailer(out)

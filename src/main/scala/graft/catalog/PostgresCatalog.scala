@@ -175,8 +175,10 @@ class PostgresCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.headOption.contains(TempNs) && tempNsOverWire) {
       assertTempNsUsable("list pg_temp tables")
+      // session temp namespace is pg_temp_N on a real server — resolve
+      // through pg_my_temp_schema(), never the 'pg_temp' alias
       pinnedTransport("list pg_temp tables")
-        .query(PgCatalogQueries.listTables(TempNs))
+        .query(PgCatalogQueries.listTempTables)
         .map(r => Identifier.of(namespace, r.head)).toArray
     } else withTransport(_.query(PgCatalogQueries.listTables(namespace.head)))
       .map(r => Identifier.of(namespace, r.head)).toArray

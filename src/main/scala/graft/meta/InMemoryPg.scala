@@ -221,6 +221,12 @@ final class InMemoryPg(val name: String) extends PgTransport {
         val (typname, typmod, ndims) = wireTypeName(t)
         Seq(n, typname, typmod.toString, ndims.toString, "f")
       }
+    // session temp-namespace listing (pg_my_temp_schema()): the
+    // in-memory backend stores its one session's temp tables literally
+    // under 'pg_temp', so that IS the oid the function resolves to
+    case s if s.contains("pg_my_temp_schema") =>
+      import scala.jdk.CollectionConverters._
+      tables.keySet.asScala.toSeq.filter(_._1 == "pg_temp").map(_._2).sorted.map(Seq(_))
     case ListTablesRe(sch) =>
       import scala.jdk.CollectionConverters._
       tables.keySet.asScala.toSeq.filter(_._1 == sch).map(_._2).sorted.map(Seq(_))
@@ -1382,15 +1388,22 @@ final class InMemoryPg(val name: String) extends PgTransport {
 
   /** parse a PG text literal into the internal value for `t`. */
   private def parseTextValue(f: String, t: PgType): Any = t match {
-    // PG's accepted boolean spellings, case-insensitive (bool.c);
-    // anything else is a 22P02 input-syntax error — never a silent
-    // default to false
-    case PgBool => f.trim.toLowerCase match {
-      case "t" | "true" | "y" | "yes" | "on" | "1" => true
-      case "f" | "false" | "n" | "no" | "off" | "0" => false
-      case other => throw new PgBackendException("22P02",
-        s"""invalid input syntax for type boolean: "$other"""")
-    }
+    // PG's accepted boolean spellings, case-insensitive, INCLUDING the
+    // unique-prefix forms bool.c's parse_bool_with_len accepts ("tr",
+    // "fal", "of", ...): any prefix of true/false/yes/no, "on"/"off"
+    // with "of" also meaning off (no other word starts with those
+    // letters), plus exact "t"/"f"/"y"/"n"/"1"/"0". Anything else is a
+    // 22P02 input-syntax error — never a silent default to false
+    case PgBool =>
+      val w = f.trim.toLowerCase
+      def prefixOf(full: String): Boolean = w.nonEmpty && full.startsWith(w)
+      if (w == "1" || prefixOf("true") || prefixOf("yes") || w == "on") true
+      // bare "o" is ambiguous between on/off — bool.c rejects it, so
+      // the off-prefix needs length >= 2
+      else if (w == "0" || prefixOf("false") || prefixOf("no") ||
+        (w.length >= 2 && prefixOf("off"))) false
+      else throw new PgBackendException("22P02",
+        s"""invalid input syntax for type boolean: "$w"""")
     case PgInt2 => f.toShort
     case PgInt4 => f.toInt
     case PgInt8 => f.toLong

@@ -41,6 +41,17 @@ object PgCatalogQueries {
        |WHERE n.nspname = ${q(schema)} AND c.relkind IN ('r','v','m','f','p')
        |ORDER BY c.relname""".stripMargin
 
+  /** Tables of THIS session's temp namespace. A real server names it
+    * pg_temp_N (per backend), so the lookup must go through
+    * `pg_my_temp_schema()` — `nspname = 'pg_temp'` matches nothing on
+    * a live PostgreSQL (the same reason the COPY targets leave the
+    * temp table name unqualified). */
+  val listTempTables: String =
+    """SELECT c.relname FROM pg_class c
+      |JOIN pg_namespace n ON n.oid = c.relnamespace
+      |WHERE n.oid = pg_my_temp_schema() AND c.relkind IN ('r','v','m','f','p')
+      |ORDER BY c.relname""".stripMargin
+
   /** Column name, type name, typmod, dims, nullability for one table
     * (ref: src/storage/postgres_table_set.cpp:54-108, 177-191). */
   def tableInfo(schema: String, table: String): String =

