@@ -63,6 +63,14 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(tokens, n, k) - per-document KMV sketch of n-token shingles") {
       graft.functions.KmvFunctions.shingleBuilder
     }
+    inject("shingle_hashes",
+      "_FUNC_(tokens, w) - every w-token window fingerprint, in order") {
+      graft.functions.SubstringDedupFunctions.hashesBuilder
+    }
+    inject("remove_spans",
+      "_FUNC_(tokens, starts, w) - drop tokens covered by removed windows") {
+      graft.functions.SubstringDedupFunctions.removeBuilder
+    }
     inject("pg_ctid_pack", "_FUNC_(page, row) - pack a ctid into bigint") { a =>
       graft.functions.PgCtidPack(a(0), a(1))
     }

@@ -57,6 +57,16 @@ class ExtensionsSpec extends AnyFunSuite {
         .select(expr("vec_decimal_sum(transform(v, x -> CAST(x AS DECIMAL(38,9))))").as("s"))
         .head.getSeq[java.math.BigDecimal](0)
       assert(vs.map(_.doubleValue()) == Seq(4.0, 6.0))
+      // the sketch/dedup kernels resolve from SQL text too
+      val sk = s2.sql(
+        "SELECT shingle_kmv(array('a','b','c'), 2, 16) AS mins, " +
+          "shingle_hashes(array('a','b','c'), 2) AS hs, " +
+          "remove_spans(array('a','b','c','d'), array(CAST(3 AS BIGINT)), 2) AS kept").head
+      assert(sk.getSeq[Long](0).sorted == sk.getSeq[Long](1).sorted)
+      assert(sk.getSeq[String](2) == Seq("a", "b"))
+      val kmv = Seq(5L, 9L, 5L, 1L).toDF("h")
+        .agg(expr("kmv_minima(h, 2)").as("m")).head.getSeq[Long](0)
+      assert(kmv == Seq(1L, 5L))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
