@@ -50,12 +50,24 @@ object P41Lab {
       .agg(kmv_minima(col("h"), 256).as("mins"))
     def full = graft.queries.Pipeline7.p41_kmv_distinct(spark, dir)
 
+    // the round-10 fused chain (what shingleSketch now runs): the
+    // explode/concat/hash stages above collapse into ONE codegen'd
+    // shingle_kmv pass per document — keep both decompositions so the
+    // before/after attribution stays reproducible
+    import graft.functions.KmvFunctions.shingle_kmv
+    def fusedDoc = base.select(col("source"),
+      shingle_kmv(col("tok"), n, 256).as("doc_mins"))
+    def fusedSketch = fusedDoc.groupBy(col("source"))
+      .agg(kmv_minima(col("doc_mins"), 256).as("mins"))
+
     time("scan_only")(docs)
     time("tokenize")(base)
     time("explode_inst")(inst)
     time("shingle_concat")(shingled)
     time("hash_md5_conv")(hashed)
     time("kmv_aggregate")(sketched)
+    time("fused_doc_kmv")(fusedDoc)
+    time("fused_sketch")(fusedSketch)
     time("full_entry")(full)
     spark.stop()
   }

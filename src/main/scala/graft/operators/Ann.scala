@@ -381,4 +381,126 @@ object Ann {
       .select(col("query_id"), col("p.id").as("neighbor_id"),
         (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos"))
   }
+
+  // ------------------------------------------------------------------ //
+  // Product quantization (Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011) — the 100 TB ANN memory
+  // path: split each d-dim vector into m contiguous d/m-dim
+  // sub-blocks, train one small codebook per sub-block, store each
+  // corpus vector as m small codes (m bytes at codebookSize ≤ 256 —
+  // a d·4-byte float vector compresses ~d·4/m ×). Queries never touch
+  // the raw corpus: per query, one distance TABLE per sub-block
+  // (codebookSize entries) is computed against the codebooks, and each
+  // candidate's approximate distance is m table lookups summed (ADC).
+  // ------------------------------------------------------------------ //
+
+  /** Train PQ codebooks and encode the corpus.
+    *
+    * Training is the house deterministic recipe (the s05/IVF one, per
+    * sub-block): seeds = the codebookSize smallest-id vectors'
+    * sub-blocks, one Lloyd round with decimal-exact means
+    * (Kmeans.centroidsOf arithmetic), assignment ties to the smaller
+    * centroid id — bit-identical replayable in oracle SQL.
+    *
+    * Scale shape: sub-blocks ride as ROWS (corpus × m of narrow
+    * (id, m, subvec)), so every stage is one corpus pass — the
+    * centroid comparison is a BROADCAST join keyed by the sub-block
+    * index m (codebooks are m·codebookSize rows), the means are one
+    * (m, cid)-keyed aggregate with map-side decimal partials, and the
+    * returned codes relation is m small ints per corpus row. No stage
+    * ever pairs corpus rows with each other.
+    *
+    * Returns (codebooks: (m, cid, centroid array<double>),
+    *          codes: (idCol, m, code)). */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, codebookSize: Int): (DataFrame, DataFrame) = {
+    require(m >= 1 && codebookSize >= 1, s"buildPq: m=$m codebookSize=$codebookSize")
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    graft.functions.TopKFunctions.register(corpus.sparkSession)
+    import graft.functions.TopKFunctions.topk_by
+
+    def subBlocks(df: DataFrame): DataFrame = df
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("m"), col(vecCol))
+      .select(col(idCol), col("m"),
+        transform(
+          slice(col(vecCol), col("m") * (size(col(vecCol)) / m) + 1,
+            size(col(vecCol)) / m),
+          _.cast("double")).as("sv"))
+
+    val subs = subBlocks(corpus)
+    // nearest centroid per (vector, sub-block): broadcast join on m,
+    // bounded-heap argmin with ties to the smaller cid
+    def assignTo(cents: DataFrame): DataFrame = subs
+      .join(broadcast(cents), "m")
+      .select(col(idCol), col("m"), col("cid"),
+        Kmeans.distSq(col("sv"), col("centroid")).as("d2"))
+      .groupBy(col(idCol), col("m"))
+      .agg(topk_by(-col("d2"), col("cid"), 1).as("best"))
+      .select(col(idCol), col("m"),
+        element_at(col("best"), 1).getField("id").as("cid"))
+
+    val seeds = subBlocks(corpus.filter(col(idCol) < codebookSize))
+      .select(col("m"), col(idCol).as("cid"), col("sv").as("centroid"))
+    // one Lloyd round: decimal-exact per-(m, cid) means (the
+    // Kmeans.centroidsOf arithmetic with the sub-block key added)
+    graft.functions.VecSumFunctions.register(corpus.sparkSession)
+    import graft.functions.VecSumFunctions.vec_decimal_sum
+    val codebooks = assignTo(seeds)
+      .join(subs, Seq(idCol, "m"))
+      .select(col("m"), col("cid"),
+        transform(col("sv"), x => x.cast(org.apache.spark.sql.types.DecimalType(38, 9)))
+          .as("dv"))
+      .groupBy(col("m"), col("cid"))
+      .agg(vec_decimal_sum(col("dv")).as("sums"), count(col("dv")).as("n"))
+      .select(col("m"), col("cid"),
+        transform(col("sums"), s => s.cast("double") / col("n")).as("centroid"))
+
+    val codes = assignTo(codebooks)
+      .select(col(idCol), col("m"), col("cid").as("code"))
+    (codebooks, codes)
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: per query one distance table
+    * per sub-block against the codebooks (|Q|·m·codebookSize rows —
+    * broadcast), then each candidate's approximate squared L2 is its m
+    * looked-up entries summed with FIXED association (per-sub-block
+    * pivot, then left-to-right adds — bit-stable across engines). The
+    * corpus-sized side of every join is the CODES relation; the raw
+    * vectors are never read at query time. Returns (queryIdCol,
+    * idCol, rk, adc_d2). */
+  def pqTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      codebooks: DataFrame, codes: DataFrame, idCol: String,
+      m: Int, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(queries.sparkSession)
+    graft.functions.TopKFunctions.register(queries.sparkSession)
+    import graft.functions.TopKFunctions.topk_by
+    val qsubs = queries
+      .select(col(queryIdCol), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col(queryVecCol))
+      .select(col(queryIdCol), col("m"),
+        transform(
+          slice(col(queryVecCol), col("m") * (size(col(queryVecCol)) / m) + 1,
+            size(col(queryVecCol)) / m),
+          _.cast("double")).as("qsv"))
+    val qtab = qsubs.join(codebooks, "m")
+      .select(col(queryIdCol), col("m").as("qm"), col("cid"),
+        Kmeans.distSq(col("qsv"), col("centroid")).as("d2"))
+    val perBlock = codes.join(broadcast(qtab),
+        codes("m") === col("qm") && codes("code") === col("cid"))
+      .select(codes(idCol), col(queryIdCol), codes("m").as("mm"), col("d2"))
+      .filter(col(idCol) =!= col(queryIdCol))
+    val pivots = (0 until m).map(i =>
+      max(when(col("mm") === i, col("d2"))).as(s"d$i"))
+    val total = (1 until m).foldLeft(col("d0")) { (acc, i) => acc + col(s"d$i") }
+    perBlock.groupBy(col(queryIdCol), col(idCol))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col(queryIdCol), col(idCol), total.as("adc"))
+      .groupBy(col(queryIdCol))
+      .agg(topk_by(-col("adc"), col(idCol), k).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col(queryIdCol), col("p.id").as(idCol),
+        (col("i") + 1).cast("int").as("rk"),
+        round(-col("p.score"), 6).as("adc_d2"))
+      .orderBy(col(queryIdCol), col("rk"))
+  }
 }

@@ -67,6 +67,145 @@ object Pipeline8 {
        |  md5(coalesce(array_to_string(list_transform(keep, i -> tok[i]), ' '), '')) AS kept_fp
        |FROM k ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // s07: product-quantization ANN (Jégou et al. 2011) — the memory
+  // path the s-series lacked: corpus stored as m small codes per
+  // vector (operators.Ann.buildPq/pqTopK), queries scored by ADC table
+  // lookups without ever touching the raw vectors. Train + encode +
+  // probe in one self-contained entry; the oracle replays the whole
+  // deterministic recipe (seed + one decimal-exact Lloyd round per
+  // sub-block, tie-to-smaller-cid assignment, fixed-association ADC
+  // sums) in SQL.
+  // ---------------------------------------------------------------- //
+  private val pqM = 4 // sub-blocks (64-dim embeddings → 16 dims each)
+  private val pqCb = 8 // centroids per sub-block codebook
+  private val pqK = 10
+
+  def s07_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (codebooks, codes) =
+      graft.operators.Ann.buildPq(emb, "vec_id", "embedding", pqM, pqCb)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Ann.pqTopK(queries, "query_id", "embedding",
+        codebooks, codes.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id", pqM, pqK)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s07_sql: String = {
+    val sd = 64 / pqM
+    def d2E(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val adcSum = (1 until pqM).foldLeft("MAX(CASE WHEN m=0 THEN d2 END)") {
+      (acc, i) => s"($acc + MAX(CASE WHEN m=$i THEN d2 END))"
+    }
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, mm.m AS m,
+       |    list_transform(v[mm.m*$sd+1 : mm.m*$sd+$sd], x -> CAST(x AS DOUBLE)) AS sv
+       |  FROM e, (SELECT unnest(range(0, $pqM)) AS m) mm),
+       |c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $pqCb),
+       |a1 AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT sub.vec_id, sub.m, c0.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY ${d2E("sub.sv", "c0.cv")} ASC, c0.cid ASC) AS rn
+       |    FROM sub JOIN c0 ON sub.m = c0.m) WHERE rn = 1),
+       |m1 AS (
+       |  SELECT m, cid, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM (SELECT a1.m AS m, a1.cid, unnest(range(1, len(sub.sv)+1)) AS pos,
+       |          unnest(sub.sv) AS x
+       |        FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.m = sub.m)
+       |  GROUP BY m, cid, pos),
+       |c1 AS (SELECT m, cid, list(mu ORDER BY pos) AS cv FROM m1 GROUP BY m, cid),
+       |codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT sub.vec_id, sub.m, c1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY ${d2E("sub.sv", "c1.cv")} ASC, c1.cid ASC) AS rn
+       |    FROM sub JOIN c1 ON sub.m = c1.m) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5),
+       |qtab AS (SELECT query_id, q.m AS m, c1.cid, ${d2E("q.qsv", "c1.cv")} AS d2
+       |         FROM q JOIN c1 ON q.m = c1.m),
+       |per AS (
+       |  SELECT qtab.query_id, codes.vec_id AS neighbor_id, codes.m AS m, qtab.d2
+       |  FROM codes JOIN qtab ON codes.m = qtab.m AND codes.code = qtab.cid
+       |  WHERE codes.vec_id <> qtab.query_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, $adcSum AS adc
+       |  FROM per GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, rk, round(adc, 6) AS adc_d2 FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rk
+       |  FROM adc) WHERE rk <= $pqK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
+  // p47: temperature-based mixture sampling — the multilingual /
+  // data-mix recipe (XLM-R, mT5: sample sources proportional to n^τ,
+  // τ < 1, so rare sources are upweighted relative to their corpus
+  // share). τ = 0.5 keeps the quota arithmetic engine-exact: sqrt is
+  // correctly rounded IEEE (unlike pow/exp, whose last ulp differs
+  // across libms), so quota_s = min(n_s, floor(4·√n_s)) is
+  // bit-identical everywhere.
+  //
+  // Scale shape: selection is THRESHOLD sampling, not top-k — a doc is
+  // kept iff its 60-bit portable hash < quota/n · 2^60. One tiny
+  // source-keyed aggregate builds the quota relation (broadcast), then
+  // the corpus pass is pure map-side filter arithmetic: no per-stratum
+  // sort, no window, no heap, at any corpus size. (Expected sample
+  // size = quota; the exact-k variant is p44's bounded heap.)
+  // ---------------------------------------------------------------- //
+  private val tempScale = 4 // quota_s = min(n_s, floor(tempScale * sqrt(n_s)))
+
+  def p47_temp_mix(s: SparkSession, dir: String): DataFrame = {
+    val docs = PipelineOps.spread(
+      Tables.load(s, dir, "documents").select(col("source"), col("doc_id")))
+    val quotas = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        least(col("n_docs"),
+          floor(lit(tempScale) * sqrt(col("n_docs").cast("double"))).cast("long"))
+          .as("quota"))
+    val hashSpaceD = 1152921504606846976L.toDouble // 2^60
+    docs.join(broadcast(quotas), "source")
+      .select(col("source"), col("n_docs"), col("quota"),
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").cast("double") <
+          col("quota").cast("double") / col("n_docs").cast("double") * lit(hashSpaceD),
+          1L).otherwise(0L).as("hit"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+        sum(col("hit")).as("n_sampled"))
+      .select(col("source"), col("n_docs"), col("quota"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_docs").cast("double"), 6)
+          .as("sampled_frac"))
+      .orderBy(col("source"))
+  }
+
+  val p47_sql: String =
+    s"""WITH q AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    least(COUNT(*), CAST(floor($tempScale * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS quota
+       |  FROM documents GROUP BY source),
+       |hits AS (
+       |  SELECT d.source,
+       |    CASE WHEN CAST(CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT) AS DOUBLE)
+       |      < CAST(q.quota AS DOUBLE) / CAST(q.n_docs AS DOUBLE) * 1152921504606846976.0
+       |      THEN 1 ELSE 0 END AS hit,
+       |    q.n_docs AS n_docs, q.quota AS quota
+       |  FROM documents d JOIN q USING (source))
+       |SELECT source, MAX(n_docs) AS n_docs, MAX(quota) AS quota,
+       |  CAST(SUM(hit) AS BIGINT) AS n_sampled,
+       |  round(CAST(SUM(hit) AS DOUBLE) / CAST(MAX(n_docs) AS DOUBLE), 6) AS sampled_frac
+       |FROM hits GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "p46_substring_dedup" -> ((p46_substring_dedup _, Some(p46_sql))))
+    "p46_substring_dedup" -> ((p46_substring_dedup _, Some(p46_sql))),
+    "p47_temp_mix" -> ((p47_temp_mix _, Some(p47_sql))),
+    "s07_ann_pq" -> ((s07_ann_pq _, Some(s07_sql))))
 }

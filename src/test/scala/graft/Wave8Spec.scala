@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-8 operators: PQ ANN (s07) and temperature mixture sampling
+  * (p47) — semantic pins plus the plan shapes that make them
+  * 100 TB-safe. */
+class Wave8Spec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("PQ: an exact duplicate vector attains the minimal ADC distance") {
+    import spark.implicits._
+    val dim = 16
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(i => (((seed * 2654435761L + i * 40503L) % 1000) / 500.0f - 1.0f))
+    // vec 40 duplicates vec 3 exactly: identical sub-blocks quantize to
+    // identical codes, and a query's own codes minimize every ADC term
+    val rows = (0L until 40L).map(i => (i, vec(i))) :+ ((40L, vec(3L)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val (cb, codes) = operators.Ann.buildPq(emb, "vec_id", "embedding", m = 4, codebookSize = 8)
+    val top = operators.Ann.pqTopK(
+        emb.filter($"vec_id" === 3L).select($"vec_id".as("query_id"), $"embedding"),
+        "query_id", "embedding",
+        cb, codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id",
+        m = 4, k = 5)
+      .collect()
+    val dupRow = top.find(_.getLong(1) == 40L)
+    assert(dupRow.isDefined, s"duplicate vector missing from PQ top-k: ${top.mkString(",")}")
+    val minAdc = top.map(_.getDouble(3)).min
+    assert(dupRow.get.getDouble(3) == minAdc)
+  }
+
+  test("PQ: codes are one row per (vector, sub-block) within the codebook") {
+    import spark.implicits._
+    val emb = (0L until 30L).map(i => (i, (0 until 8).map(d => (i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (cb, codes) = operators.Ann.buildPq(emb, "vec_id", "embedding", m = 2, codebookSize = 4)
+    assert(codes.count() == 60)
+    assert(codes.groupBy("vec_id").count().filter($"count" =!= 2).count() == 0)
+    val validCodes = cb.select($"m", $"cid").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val used = codes.select($"m", $"code").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(used.subsetOf(validCodes))
+  }
+
+  test("s07 plan: broadcast codebooks, no cartesian, map-side argmin partials") {
+    val df = queries.Pipeline8.s07_ann_pq(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/table joins must broadcast the small side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ must never pair corpus rows without a key:\n$plan")
+    assert(plan.contains("partial_topk_by"),
+      s"argmin assignment must pre-reduce map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no per-group window sort anywhere in the PQ chain:\n$plan")
+  }
+
+  test("p47: quotas follow sqrt scaling and sampling is a map-side filter") {
+    val df = queries.Pipeline8.p47_temp_mix(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, q, sampled) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(q == math.min(n, math.floor(4 * math.sqrt(n.toDouble)).toLong))
+      assert(sampled <= n)
+    }
+    // rare sources sample a HIGHER fraction than common ones in
+    // expectation: check the quota fractions, which are deterministic
+    val fracs = rows.map(r => r.getLong(1) -> r.getLong(2).toDouble / r.getLong(1))
+    val smallest = fracs.minBy(_._1); val largest = fracs.maxBy(_._1)
+    if (smallest._1 < largest._1) assert(smallest._2 >= largest._2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      s"threshold sampling must not sort or shuffle-join the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the quota relation must broadcast:\n$plan")
+  }
+}
