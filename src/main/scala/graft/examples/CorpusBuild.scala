@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
   *   3. exact dedup                     (hash groupBy on cleaned text)
   *   3b. global-duplication gate        (TextOps.dedupSegmentsGlobal:
   *       drop docs mostly made of corpus-duplicated spans)
+  *   3c. exact substring removal        (TextOps.dedupSubstringsGlobal:
+  *       Lee et al. 2022 — strip arbitrary-boundary repeated spans,
+  *       first corpus occurrence kept)
   *   4. near-dup clusters, keep canon   (TextDedup pairs → clusters)
   *   5. eval-set decontamination        (TextOps.decontaminate)
   *   6. semantic dedup on embeddings    (Ann.semanticDups, SemDeDup)
   *   7. unigram-LM quality gate         (ONE corpus-trained LM pass
   *       gates both the rare-token rate and the CCNet tail bucket)
+  *   7b. temperature mixing (τ=0.5)     (n^τ source quotas, threshold
+  *       sampling — rare feeds upweighted before packing)
   *   8. PII scrub                       (TextOps.piiScrub)
   *   9. token counts + sequence packing (TextOps.packSequences)
   *   9b. retrieval chunks side output   (TextOps.chunkDocs — the RAG
@@ -113,8 +118,23 @@ object CorpusBuild {
       dupFrac, col("doc_id") === col("dup_id"), "left_anti"))
     stage("global-dup gate", globalKept.count())
 
+    // 3c. exact substring removal (Lee et al. 2022): strip every
+    // 20-token-or-longer span whose first corpus occurrence was
+    // elsewhere — the arbitrary-boundary complement of 3b's fixed
+    // segments (a doc SURVIVES with the repeated spans cut out)
+    val spans = graft.operators.TextOps
+      .dedupSubstringsGlobal(
+        globalKept.select(col("doc_id"), col("clean_text")),
+        "doc_id", "clean_text", w = 20)
+      .select(col("doc_id"), array_join(col("kept_tok"), " ").as("span_text"))
+    val spanFree = pin(globalKept.drop("clean_text")
+      .join(spans, "doc_id")
+      .withColumnRenamed("span_text", "clean_text")
+      .filter(length(trim(col("clean_text"))) > 0))
+    stage("substring dedup", spanFree.count())
+
     // 4. near-dup clusters; keep each cluster's canonical doc
-    val toks = pin(globalKept.withColumn("tok", split(col("clean_text"), " ")))
+    val toks = pin(spanFree.withColumn("tok", split(col("clean_text"), " ")))
     val pairs = graft.operators.TextDedup
       .nearDupPairs(toks, "doc_id", "source", "tok")
     val clusters = graft.operators.TextDedup.dupClusters(pairs)
@@ -160,9 +180,26 @@ object CorpusBuild {
       lmDrop, col("doc_id") === col("lm_drop_id"), "left_anti"))
     stage("lm-quality gate", qualified.count())
 
+    // 7b. temperature mixing (τ = 0.5): rebalance the final mixture
+    // toward rarer sources before packing — quota_s = min(n_s,
+    // floor(8·√n_s)), selection by portable-hash threshold against the
+    // broadcast quota relation (pure map-side; no per-stratum sort)
+    val qcounts = qualified.groupBy(col("source"))
+      .agg(count(lit(1)).as("mix_n"))
+      .select(col("source"), col("mix_n"),
+        least(col("mix_n"),
+          floor(lit(8) * sqrt(col("mix_n").cast("double"))).cast("long")).as("mix_q"))
+    val mixed = pin(qualified.join(broadcast(qcounts), "source")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").cast("double") <
+        col("mix_q").cast("double") / col("mix_n").cast("double") *
+          lit(1152921504606846976L.toDouble))
+      .drop("mix_n", "mix_q"))
+    stage("temperature mix", mixed.count())
+
     // 8-9. PII scrub, token counts, GPT-style packing at 2048 tokens
     val scrubbed = graft.operators.TextOps
-      .piiScrub(qualified, "clean_text", "final_text")
+      .piiScrub(mixed, "clean_text", "final_text")
     val counted = scrubbed.withColumn("n_tokens",
       size(split(col("final_text"), "\\s+")).cast("long"))
     val packed = graft.operators.TextOps

@@ -204,8 +204,99 @@ object Pipeline8 {
        |  round(CAST(SUM(hit) AS DOUBLE) / CAST(MAX(n_docs) AS DOUBLE), 6) AS sampled_frac
        |FROM hits GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // st08: STREAMING substring scrub — p46's production incremental
+  // form: documents arriving on a stream are scrubbed against a STORED
+  // reference fingerprint index (every w-token window fp of the
+  // reference corpus; at scale a bucketed parquet index, here the
+  // static side of a stream-static join). The per-batch transform is
+  // STATELESS — each new doc joins the index and drops covered tokens
+  // — so it runs under foreachBatch with no state store at all: the
+  // right production shape (state-free scrub; contrast st06/st07,
+  // which genuinely need cross-batch state). New docs are NOT deduped
+  // against each other — the p22/st06 cross-corpus contract.
+  // ---------------------------------------------------------------- //
+  def st08_stream_scrub(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.functions.SubstringDedupFunctions.register(s)
+    import graft.functions.SubstringDedupFunctions.{remove_spans, shingle_hashes}
+    val w = subW
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = s.read.parquet(s"$dir/documents.parquet").schema
+    val docs = Tables.load(s, dir, "documents")
+    val refFps = docs.filter(length(col("source")) <= 4)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(shingle_hashes(split(trim(col("text")), "\\s+"), w)).as("fp"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val stream = s.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val name = s"st08_out_${System.nanoTime()}"
+    val outDir = s"/dev/shm/graft_$name"
+    val ckpt = s"/dev/shm/graft_ckpt_$name"
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val nw = batch
+          .filter(length(col("source")) > 4 && length(trim(col("text"))) > 0)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tok"))
+        nw.select(col("doc_id"), col("tok"),
+            posexplode_outer(shingle_hashes(col("tok"), w)).as(Seq("pos", "fp")))
+          .join(refFps, Seq("fp"), "left_outer")
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(sort_array(collect_list(
+            when(col("hit") === 1, (col("pos") + 1).cast("long")))).as("starts"))
+          .select(col("doc_id"), size(col("tok")).cast("long").as("n_tok"),
+            remove_spans(col("tok"), col("starts"), w).as("kept"))
+          .select(col("doc_id"), col("n_tok"),
+            (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
+            md5(array_join(col("kept"), " ")).as("kept_fp"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    val out = s.read.parquet(outDir).orderBy(col("doc_id"))
+      .localCheckpoint() // pin before the tmpfs dirs are deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    out
+  }
+
+  val st08_sql: String =
+    s"""WITH ref AS (
+       |  SELECT DISTINCT CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) AS fp FROM (
+       |    SELECT unnest(list_transform(range(1, len(tok) - $subW + 2),
+       |      i -> array_to_string(tok[i:i+${subW - 1}], ' '))) AS sh
+       |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS tok
+       |          FROM documents WHERE len(source) <= 4 AND len(trim(text)) > 0)
+       |    WHERE len(tok) >= $subW)),
+       |d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+       |  FROM documents WHERE len(source) > 4 AND len(trim(text)) > 0),
+       |win AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tok) - $subW + 2),
+       |    i -> {'s': i, 'fp': CAST(('0x'||substr(md5(array_to_string(tok[i:i+${subW - 1}], ' ')),1,15)) AS BIGINT)})) AS w
+       |  FROM d WHERE len(tok) >= $subW),
+       |occ AS (SELECT doc_id, w.s AS start, w.fp AS fp FROM win),
+       |rem AS (SELECT doc_id, list_sort(list(start)) AS starts
+       |        FROM occ JOIN ref USING (fp) GROUP BY doc_id),
+       |j AS (SELECT d.doc_id, tok, len(tok) AS n_tok, coalesce(starts, []) AS starts
+       |      FROM d LEFT JOIN rem USING (doc_id)),
+       |cov AS (SELECT doc_id, n_tok, tok,
+       |      list_distinct(flatten(list_transform(starts, s -> range(s, s + $subW)))) AS covered
+       |      FROM j),
+       |k AS (SELECT doc_id, n_tok, tok,
+       |      list_filter(range(1, n_tok + 1), i -> NOT list_contains(covered, i)) AS keep
+       |      FROM cov)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |  CAST(n_tok - len(keep) AS BIGINT) AS n_removed,
+       |  md5(coalesce(array_to_string(list_transform(keep, i -> tok[i]), ' '), '')) AS kept_fp
+       |FROM k ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p46_substring_dedup" -> ((p46_substring_dedup _, Some(p46_sql))),
     "p47_temp_mix" -> ((p47_temp_mix _, Some(p47_sql))),
-    "s07_ann_pq" -> ((s07_ann_pq _, Some(s07_sql))))
+    "s07_ann_pq" -> ((s07_ann_pq _, Some(s07_sql))),
+    "st08_stream_scrub" -> ((st08_stream_scrub _, Some(st08_sql))))
 }
