@@ -427,6 +427,13 @@ object Ann {
             size(col(vecCol)) / m),
           _.cast("double")).as("sv"))
 
+    // Three consumers re-derive this relation from the scan (seed
+    // assignment, the mean join, the final encode). A localCheckpoint
+    // pin was A/B-measured a WASH at sf0.1 AND sf10 (1.28→1.31 s /
+    // 4.99→5.03 s isolated): slicing floats out of a parquet scan is
+    // cheap; the wall is the broadcast-join argmin arithmetic, which
+    // runs either way — so the build stays lazy and pays no
+    // materialization memory at scale.
     val subs = subBlocks(corpus)
     // nearest centroid per (vector, sub-block): broadcast join on m,
     // bounded-heap argmin with ties to the smaller cid
