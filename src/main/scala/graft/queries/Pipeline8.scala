@@ -294,9 +294,162 @@ object Pipeline8 {
        |  md5(coalesce(array_to_string(list_transform(keep, i -> tok[i]), ' '), '')) AS kept_fp
        |FROM k ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // s08: IVF + PQ composed — the FAISS production layout end to end:
+  // the index stores one (id, cell) row plus m PQ codes per corpus
+  // vector; a query probes its nprobe nearest trained cells and scores
+  // ONLY those cells' members by ADC table lookups. Both trainings are
+  // the house deterministic recipe (s05's IVF cells, s07's per-block
+  // codebooks), so the oracle replays the whole composition in SQL.
+  // At 100 TB this is the ANN memory/compute endgame: a query touches
+  // ~nprobe/cells of the corpus, each candidate costing m lookups on
+  // ~d·4/m-times-compressed storage — raw vectors never read at query
+  // time.
+  // ---------------------------------------------------------------- //
+  private val ivfCells = 16
+  private val ivfProbe = 4
+
+  def s08_ann_ivf_pq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.TopKFunctions.register(s)
+    import graft.functions.TopKFunctions.topk_by
+    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val (codebooks, codesRaw) =
+      graft.operators.Ann.buildPq(emb, "vec_id", "embedding", pqM, pqCb)
+    val codes = codesRaw.withColumnRenamed("vec_id", "neighbor_id")
+    val ivf = graft.operators.Ann.buildIvf(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      cells = ivfCells, lloydIters = 1)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // probe: nprobe nearest trained cells per query (s05's recipe)
+    val probes = queries.crossJoin(broadcast(ivf.centroids))
+      .select(col("query_id"),
+        graft.operators.Kmeans.distSq(col("qv"), col("centroid")).as("d2"), col("cid"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-col("d2"), col("cid"), ivfProbe).as("pr"))
+      .select(col("query_id"), explode(col("pr").getField("id")).as("cid"))
+    val cands = probes.join(ivf.assignments, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // ADC over candidates only: per-query distance tables broadcast,
+    // the corpus-sized side is the codes relation filtered to probed
+    // cells
+    val qsubs = queries
+      .select(col("query_id"), explode(sequence(lit(0), lit(pqM - 1))).as("m"), col("qv"))
+      .select(col("query_id"), col("m"),
+        transform(slice(col("qv"), col("m") * (size(col("qv")) / pqM) + 1,
+          size(col("qv")) / pqM), _.cast("double")).as("qsv"))
+    val qtab = qsubs.join(codebooks, "m")
+      .select(col("query_id"), col("m").as("qm"), col("cid").as("qcid"),
+        graft.operators.Kmeans.distSq(col("qsv"), col("centroid")).as("d2"))
+    val perBlock = cands.join(codes, "neighbor_id")
+      .join(broadcast(qtab),
+        col("m") === col("qm") && col("code") === col("qcid") &&
+          cands("query_id") === qtab("query_id"))
+      .select(cands("query_id"), col("neighbor_id"), col("m").as("mm"), col("d2"))
+    val pivots = (0 until pqM).map(i =>
+      max(when(col("mm") === i, col("d2"))).as(s"d$i"))
+    val total = (1 until pqM).foldLeft(col("d0")) { (acc, i) => acc + col(s"d$i") }
+    perBlock.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("query_id"), col("neighbor_id"), total.as("adc"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-col("adc"), col("neighbor_id"), pqK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rk"),
+        round(-col("p.score"), 6).as("adc_d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val s08_sql: String = {
+    val sd = 64 / pqM
+    def d2E(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def d2F(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, len($a)+1),
+         |    i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin
+    val adcSum = (1 until pqM).foldLeft("MAX(CASE WHEN m=0 THEN d2 END)") {
+      (acc, i) => s"($acc + MAX(CASE WHEN m=$i THEN d2 END))"
+    }
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |ic0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+       |       FROM e ORDER BY vec_id LIMIT $ivfCells),
+       |ia1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, ic0.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${d2F("e.v", "ic0.cv")} ASC, ic0.cid ASC) AS rn
+       |    FROM e CROSS JOIN ic0) WHERE rn = 1),
+       |im1 AS (
+       |  SELECT cid, pos, CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM (SELECT ia1.cid, unnest(range(1, len(e.v)+1)) AS pos, unnest(e.v) AS x
+       |        FROM ia1 JOIN e USING (vec_id))
+       |  GROUP BY cid, pos),
+       |ic1 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM im1 GROUP BY cid),
+       |iassign AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT e.vec_id, ic1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${d2F("e.v", "ic1.cv")} ASC, ic1.cid ASC) AS rn
+       |    FROM e CROSS JOIN ic1) WHERE rn = 1),
+       |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT qv.query_id, ic1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY qv.query_id ORDER BY ${d2F("qv.qv", "ic1.cv")} ASC, ic1.cid ASC) AS rn
+       |    FROM qv CROSS JOIN ic1) WHERE rn <= $ivfProbe),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM probes JOIN iassign USING (cid)
+       |  WHERE query_id <> neighbor_id),
+       |sub AS (
+       |  SELECT vec_id, mm.m AS m,
+       |    list_transform(v[mm.m*$sd+1 : mm.m*$sd+$sd], x -> CAST(x AS DOUBLE)) AS sv
+       |  FROM e, (SELECT unnest(range(0, $pqM)) AS m) mm),
+       |pc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $pqCb),
+       |pa1 AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT sub.vec_id, sub.m, pc0.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY ${d2E("sub.sv", "pc0.cv")} ASC, pc0.cid ASC) AS rn
+       |    FROM sub JOIN pc0 ON sub.m = pc0.m) WHERE rn = 1),
+       |pm1 AS (
+       |  SELECT m, cid, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM (SELECT pa1.m AS m, pa1.cid, unnest(range(1, len(sub.sv)+1)) AS pos,
+       |          unnest(sub.sv) AS x
+       |        FROM pa1 JOIN sub ON pa1.vec_id = sub.vec_id AND pa1.m = sub.m)
+       |  GROUP BY m, cid, pos),
+       |pc1 AS (SELECT m, cid, list(mu ORDER BY pos) AS cv FROM pm1 GROUP BY m, cid),
+       |codes AS (
+       |  SELECT vec_id AS neighbor_id, m, cid AS code FROM (
+       |    SELECT sub.vec_id, sub.m, pc1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY ${d2E("sub.sv", "pc1.cv")} ASC, pc1.cid ASC) AS rn
+       |    FROM sub JOIN pc1 ON sub.m = pc1.m) WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS query_id, m, sv AS qsv FROM sub WHERE vec_id < 5),
+       |qtab AS (SELECT query_id, qsub.m AS m, pc1.cid, ${d2E("qsub.qsv", "pc1.cv")} AS d2
+       |         FROM qsub JOIN pc1 ON qsub.m = pc1.m),
+       |per AS (
+       |  SELECT cands.query_id, cands.neighbor_id, codes.m AS m, qtab.d2
+       |  FROM cands
+       |  JOIN codes USING (neighbor_id)
+       |  JOIN qtab ON codes.m = qtab.m AND codes.code = qtab.cid
+       |    AND qtab.query_id = cands.query_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, $adcSum AS adc
+       |  FROM per GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, rk, round(adc, 6) AS adc_d2 FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rk
+       |  FROM adc) WHERE rk <= $pqK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p46_substring_dedup" -> ((p46_substring_dedup _, Some(p46_sql))),
     "p47_temp_mix" -> ((p47_temp_mix _, Some(p47_sql))),
     "s07_ann_pq" -> ((s07_ann_pq _, Some(s07_sql))),
+    "s08_ann_ivf_pq" -> ((s08_ann_ivf_pq _, Some(s08_sql))),
     "st08_stream_scrub" -> ((st08_stream_scrub _, Some(st08_sql))))
 }

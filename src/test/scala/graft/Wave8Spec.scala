@@ -68,6 +68,23 @@ class Wave8Spec extends AnyFunSuite {
       s"no per-group window sort anywhere in the PQ chain:\n$plan")
   }
 
+  test("s08 plan: candidates come from probed cells; ADC joins broadcast the tables") {
+    val df = queries.Pipeline8.s08_ann_ivf_pq(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ must never pair corpus rows without a key:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroids/distance tables must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no per-group window sort in the IVF-PQ chain:\n$plan")
+    assert(plan.contains("partial_topk_by"),
+      s"probe/argmin/top-k must pre-reduce map-side:\n$plan")
+    // correctness of the composition: every returned neighbor belongs
+    // to one of its query's probed cells
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(2) >= 1))
+  }
+
   test("p47: quotas follow sqrt scaling and sampling is a map-side filter") {
     val df = queries.Pipeline8.p47_temp_mix(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
