@@ -61,12 +61,16 @@ final class KmvBuffer(val k: Int) {
   * The input may also be `array<bigint>` — each element is inserted,
   * so pre-sketched per-document minima (`shingle_kmv`) merge straight
   * into the group sketch without ever re-exploding to one row per
-  * hash. Merging per-document k-min arrays this way is exact: the k
-  * smallest distinct values of a union of per-document k-min sets
-  * equal those of the raw hash stream, because any hash evicted from
-  * a document-level buffer was beaten by k smaller distinct hashes of
-  * that same document, which all reach the group buffer.
-  */
+  * hash. Merging per-document k-min arrays this way is exact ONLY
+  * when the per-document sketch kept at least as many minima as this
+  * aggregate keeps — precondition `k(doc) >= k(group)` (e.g.
+  * `shingle_kmv(tok, n, kd)` feeding `kmv_minima(mins, kg)` needs
+  * `kd >= kg`). Then any hash evicted from a document-level buffer
+  * was beaten by kd >= kg smaller distinct hashes of that same
+  * document, which all reach the group buffer. With kd < kg the
+  * result is a valid-looking but APPROXIMATE sketch (a hash ranked
+  * between kd and kg within one document is lost) — the expression
+  * cannot check the producer's k, so the caller must. */
 case class KmvMinima(
     child: Expression,
     k: Int,

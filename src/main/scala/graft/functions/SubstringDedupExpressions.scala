@@ -63,22 +63,39 @@ object SubstringDedupKernel extends Serializable {
   }
 
   /** Tokens NOT covered by any removed window: `starts` are 1-based
-    * window start positions sorted ascending, each covering
-    * [start, start+w). One merged two-pointer pass — overlap-safe, so
-    * a pathological document whose every window is removed costs
-    * O(n + m), never O(n·m). */
+    * window start positions, each covering [start, start+w). One
+    * merged two-pointer pass — overlap-safe, so a pathological
+    * document whose every window is removed costs O(n + m), never
+    * O(n·m). Ascending `starts` run allocation-free; an unsorted
+    * array (possible from ad-hoc SQL) is detected and sorted first. */
   def removeSpans(arr: ArrayData, starts: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
     val m = starts.numElements()
     if (m == 0) return arr.copy()
+    // The merge assumes `starts` ascending. Internal call sites sort,
+    // but the function is also registered for ad-hoc SQL where an
+    // unsorted array would silently skip removals — detect (one
+    // compare per element, no allocation on the sorted hot path) and
+    // sort a copy only in the unsorted case.
+    var asc = true
+    var j = 1
+    while (asc && j < m) {
+      if (starts.getLong(j) < starts.getLong(j - 1)) asc = false
+      j += 1
+    }
+    val st: Array[Long] =
+      if (asc) null
+      else { val a = starts.toLongArray(); java.util.Arrays.sort(a); a }
+    @inline def startAt(p: Int): Long =
+      if (st == null) starts.getLong(p) else st(p)
     val kept = new Array[Any](n)
     var nKept = 0
     var p = 0
     var i = 1 // 1-based token index
     while (i <= n) {
       // discard windows that end before i
-      while (p < m && starts.getLong(p) + w <= i) p += 1
-      val covered = p < m && starts.getLong(p) <= i
+      while (p < m && startAt(p) + w <= i) p += 1
+      val covered = p < m && startAt(p) <= i
       if (!covered) {
         kept(nKept) = if (arr.isNullAt(i - 1)) null else arr.getUTF8String(i - 1)
         nKept += 1
@@ -122,7 +139,8 @@ case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
 }
 
 /** `remove_spans(tokens, starts, w)` — tokens with every [start,
-  * start+w) range dropped (starts 1-based, sorted ascending). */
+  * start+w) range dropped (starts 1-based; ascending is the fast
+  * path, unsorted input is sorted defensively). */
 case class RemoveSpans(left: Expression, right: Expression, w: Int)
     extends BinaryExpression {
 

@@ -394,6 +394,18 @@ object Ann {
   // candidate's approximate distance is m table lookups summed (ADC).
   // ------------------------------------------------------------------ //
 
+  /** Sub-block i of a d-dim vector: dims [i·⌊d/m⌋, (i+1)·⌊d/m⌋), with
+    * the LAST block extended to cover the d mod m remainder dims (as
+    * FAISS does for non-divisible layouts) — without the extension the
+    * trailing dims would be silently excluded from every codebook,
+    * code, and ADC distance. For divisible d (the common case, and the
+    * one the s07/s08 oracles replay) all blocks are exactly d/m. */
+  private[graft] def subSlice(vec: Column, mIdx: Column, m: Int): Column = {
+    val sd = floor(size(vec) / m).cast("int")
+    slice(vec, mIdx * sd + 1,
+      when(mIdx === m - 1, size(vec) - sd * (m - 1)).otherwise(sd))
+  }
+
   /** Train PQ codebooks and encode the corpus.
     *
     * Training is the house deterministic recipe (the s05/IVF one, per
@@ -413,8 +425,9 @@ object Ann {
     * Returns (codebooks: (m, cid, centroid array<double>),
     *          codes: (idCol, m, code)). */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, codebookSize: Int): (DataFrame, DataFrame) = {
-    require(m >= 1 && codebookSize >= 1, s"buildPq: m=$m codebookSize=$codebookSize")
+      m: Int, codebookSize: Int, lloydIters: Int = 1): (DataFrame, DataFrame) = {
+    require(m >= 1 && codebookSize >= 1 && lloydIters >= 1,
+      s"buildPq: m=$m codebookSize=$codebookSize lloydIters=$lloydIters")
     graft.functions.VectorFunctions.register(corpus.sparkSession)
     graft.functions.TopKFunctions.register(corpus.sparkSession)
     import graft.functions.TopKFunctions.topk_by
@@ -422,10 +435,7 @@ object Ann {
     def subBlocks(df: DataFrame): DataFrame = df
       .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("m"), col(vecCol))
       .select(col(idCol), col("m"),
-        transform(
-          slice(col(vecCol), col("m") * (size(col(vecCol)) / m) + 1,
-            size(col(vecCol)) / m),
-          _.cast("double")).as("sv"))
+        transform(subSlice(col(vecCol), col("m"), m), _.cast("double")).as("sv"))
 
     // Three consumers re-derive this relation from the scan (seed
     // assignment, the mean join, the final encode). A localCheckpoint
@@ -448,11 +458,14 @@ object Ann {
 
     val seeds = subBlocks(corpus.filter(col(idCol) < codebookSize))
       .select(col("m"), col(idCol).as("cid"), col("sv").as("centroid"))
-    // one Lloyd round: decimal-exact per-(m, cid) means (the
-    // Kmeans.centroidsOf arithmetic with the sub-block key added)
+    // Lloyd rounds: decimal-exact per-(m, cid) means (the
+    // Kmeans.centroidsOf arithmetic with the sub-block key added).
+    // Every round is deterministic, so any lloydIters replays exactly;
+    // the s07/s08 oracles pin the default single round. More rounds
+    // buy recall at the same code size (table in BENCH_NOTES).
     graft.functions.VecSumFunctions.register(corpus.sparkSession)
     import graft.functions.VecSumFunctions.vec_decimal_sum
-    val codebooks = assignTo(seeds)
+    def meansOf(cents: DataFrame): DataFrame = assignTo(cents)
       .join(subs, Seq(idCol, "m"))
       .select(col("m"), col("cid"),
         transform(col("sv"), x => x.cast(org.apache.spark.sql.types.DecimalType(38, 9)))
@@ -461,10 +474,101 @@ object Ann {
       .agg(vec_decimal_sum(col("dv")).as("sums"), count(col("dv")).as("n"))
       .select(col("m"), col("cid"),
         transform(col("sums"), s => s.cast("double") / col("n")).as("centroid"))
+    var codebooks = meansOf(seeds)
+    for (_ <- 2 to lloydIters) codebooks = meansOf(codebooks)
 
     val codes = assignTo(codebooks)
       .select(col(idCol), col("m"), col("cid").as("code"))
     (codebooks, codes)
+  }
+
+  /** The persistable IVF+PQ serving index (the s08 layout): tiny
+    * centroid + codebook relations (they broadcast at query time) and
+    * one (cid, id, m, code) row per corpus sub-block. */
+  case class PqIvfIndex(centroids: DataFrame, codebooks: DataFrame, codes: DataFrame)
+
+  /** Persist the IVF+PQ index with the codes BUCKETED by cell id —
+    * the 10⁹-vector serving layout ([[saveIvfBucketed]]'s corollary):
+    * at 100 TB nobody retrains per query session, the codes/codebooks
+    * relation IS the artifact. A probe joins the stored codes on the
+    * bucketed cid with NO exchange on the corpus-sized side — only the
+    * per-query probe rows shuffle. `codes` are buildPq's (idCol, m,
+    * code); `assignments` are buildIvf's (neighbor_id, cid). */
+  def savePqBucketed(index: PqIvfIndex, idCol: String, table: String,
+      auxPath: String, buckets: Int = 64): Unit = {
+    index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$auxPath/centroids")
+    index.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$auxPath/codebooks")
+    index.codes
+      .write.mode("overwrite").bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(table)
+  }
+
+  def loadPqBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+      auxPath: String): PqIvfIndex =
+    PqIvfIndex(
+      spark.read.parquet(s"$auxPath/centroids"),
+      spark.read.parquet(s"$auxPath/codebooks"),
+      spark.table(table))
+
+  /** Assemble the in-flight PqIvfIndex from a PQ build and an IVF
+    * build over the same corpus: codes keyed into their vector's cell
+    * — the relation [[savePqBucketed]] persists and [[ivfPqTopK]]
+    * probes. */
+  def pqIvfIndexOf(codebooks: DataFrame, codes: DataFrame, idCol: String,
+      ivf: IvfIndex): PqIvfIndex = {
+    val asgn = ivf.assignments.withColumnRenamed("neighbor_id", idCol)
+    PqIvfIndex(ivf.centroids, codebooks,
+      codes.join(asgn, idCol).select(col("cid"), col(idCol), col("m"), col("code")))
+  }
+
+  /** IVF+PQ ADC top-k against a (possibly persisted-bucketed) index —
+    * the s08 probe path as a reusable operator: a query probes its
+    * nprobe nearest cells (broadcast centroids), candidates are ONLY
+    * the probed cells' code rows (a cid join the bucketed layout
+    * serves exchange-free on the stored side), and each candidate is
+    * scored by m broadcast ADC table lookups. Raw vectors are never
+    * read. Returns (queryIdCol, idCol, rk, adc_d2), same contract as
+    * [[pqTopK]]. */
+  def ivfPqTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      index: PqIvfIndex, idCol: String, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TopKFunctions.register(spark)
+    import graft.functions.TopKFunctions.topk_by
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .select(col(queryIdCol),
+        Kmeans.distSq(col(queryVecCol), col("centroid")).as("d2"), col("cid"))
+      .groupBy(col(queryIdCol))
+      .agg(topk_by(-col("d2"), col("cid"), nprobe).as("pr"))
+      .select(col(queryIdCol), explode(col("pr").getField("id")).as("cid"))
+    val qsubs = queries
+      .select(col(queryIdCol), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col(queryVecCol))
+      .select(col(queryIdCol), col("m"),
+        transform(subSlice(col(queryVecCol), col("m"), m), _.cast("double")).as("qsv"))
+    val qtab = qsubs.join(index.codebooks, "m")
+      .select(col(queryIdCol), col("m").as("qm"), col("cid").as("qcid"),
+        Kmeans.distSq(col("qsv"), col("centroid")).as("d2"))
+    val cand = probes.join(index.codes, "cid")
+      .filter(col(idCol) =!= col(queryIdCol))
+    val perBlock = cand
+      .join(broadcast(qtab),
+        col("m") === col("qm") && col("code") === col("qcid") &&
+          cand(queryIdCol) === qtab(queryIdCol))
+      .select(cand(queryIdCol), col(idCol), col("m").as("mm"), col("d2"))
+    val pivots = (0 until m).map(i =>
+      max(when(col("mm") === i, col("d2"))).as(s"d$i"))
+    val total = (1 until m).foldLeft(col("d0")) { (acc, i) => acc + col(s"d$i") }
+    perBlock.groupBy(col(queryIdCol), col(idCol))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col(queryIdCol), col(idCol), total.as("adc"))
+      .groupBy(col(queryIdCol))
+      .agg(topk_by(-col("adc"), col(idCol), k).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col(queryIdCol), col("p.id").as(idCol),
+        (col("i") + 1).cast("int").as("rk"),
+        round(-col("p.score"), 6).as("adc_d2"))
+      .orderBy(col(queryIdCol), col("rk"))
   }
 
   /** ADC top-k over a PQ-encoded corpus: per query one distance table
@@ -485,10 +589,7 @@ object Ann {
       .select(col(queryIdCol), explode(sequence(lit(0), lit(m - 1))).as("m"),
         col(queryVecCol))
       .select(col(queryIdCol), col("m"),
-        transform(
-          slice(col(queryVecCol), col("m") * (size(col(queryVecCol)) / m) + 1,
-            size(col(queryVecCol)) / m),
-          _.cast("double")).as("qsv"))
+        transform(subSlice(col(queryVecCol), col("m"), m), _.cast("double")).as("qsv"))
     val qtab = qsubs.join(codebooks, "m")
       .select(col(queryIdCol), col("m").as("qm"), col("cid"),
         Kmeans.distSq(col("qsv"), col("centroid")).as("d2"))

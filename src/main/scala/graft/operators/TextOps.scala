@@ -475,7 +475,11 @@ object TextOps {
     * ascending, n_instances); estimate distinct as
     * `(k-1) * 2^60 / mins.last` when the buffer is full, else
     * `mins.size` exactly. Sketches of disjoint shards merge exactly —
-    * store them and combine later without re-touching the data. */
+    * store them and combine later without re-touching the data.
+    * Merge contract: re-aggregate with `kmv_minima(mins, kg)` only at
+    * `kg <= k` — this sketch keeps the k smallest per group, so a
+    * larger downstream k would be silently approximate (see the
+    * `KmvMinima` scaladoc's `k(doc) >= k(group)` precondition). */
   def shingleSketch(df: DataFrame, groupCol: String, textCol: String,
       k: Int = 256, segTokens: Int = 5): DataFrame = {
     graft.functions.KmvFunctions.register(df.sparkSession)

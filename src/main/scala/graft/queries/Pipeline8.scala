@@ -234,7 +234,11 @@ object Pipeline8 {
     val name = s"st08_out_${System.nanoTime()}"
     val outDir = s"/dev/shm/graft_$name"
     val ckpt = s"/dev/shm/graft_ckpt_$name"
-    val q = stream.writeStream
+    // crash-safe scratch: the deletes run in a finally so a failed
+    // query (or a throw between start and the reads) leaves no orphan
+    // tmpfs dirs behind
+    try {
+      val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val nw = batch
           .filter(length(col("source")) > 4 && length(trim(col("text"))) > 0)
@@ -255,12 +259,13 @@ object Pipeline8 {
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.Once()).start()
-    q.awaitTermination()
-    val out = s.read.parquet(outDir).orderBy(col("doc_id"))
-      .localCheckpoint() // pin before the tmpfs dirs are deleted
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-    out
+      q.awaitTermination()
+      s.read.parquet(outDir).orderBy(col("doc_id"))
+        .localCheckpoint() // pin before the tmpfs dirs are deleted
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    }
   }
 
   val st08_sql: String =
@@ -338,8 +343,8 @@ object Pipeline8 {
     val qsubs = queries
       .select(col("query_id"), explode(sequence(lit(0), lit(pqM - 1))).as("m"), col("qv"))
       .select(col("query_id"), col("m"),
-        transform(slice(col("qv"), col("m") * (size(col("qv")) / pqM) + 1,
-          size(col("qv")) / pqM), _.cast("double")).as("qsv"))
+        transform(graft.operators.Ann.subSlice(col("qv"), col("m"), pqM),
+          _.cast("double")).as("qsv"))
     val qtab = qsubs.join(codebooks, "m")
       .select(col("query_id"), col("m").as("qm"), col("cid").as("qcid"),
         graft.operators.Kmeans.distSq(col("qsv"), col("centroid")).as("d2"))

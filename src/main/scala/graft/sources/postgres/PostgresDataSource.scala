@@ -968,13 +968,19 @@ final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType
       // transition sweep: runs of the pre-sinkTag naming scheme
       // ('<tbl24>_stg_<jobId>') left orphans an upgraded sweep keyed
       // only on the new prefix would never reclaim — match the legacy
-      // spelling too (the current jobId never uses it, so no live
-      // staging can match)
-      val legacyPrefix = s"${tbl.take(24)}_stg_"
+      // spelling EXACTLY (prefix + 12-hex jobId, nothing after). A
+      // bare prefix match would also hit live stagings of a sink whose
+      // table is literally named '<tbl>_stg_x' (they spell
+      // '<tbl>_stg_x_<tag>_stg_<job>') and any user table under the
+      // prefix — silent data loss; the full-format match cannot,
+      // because a current-scheme staging always contains '_<tag>_stg_'
+      // before its jobId and user tables don't end in 12 lone hex.
+      val legacyRe =
+        (java.util.regex.Pattern.quote(s"${tbl.take(24)}_stg_") + "[0-9a-f]{12}").r
       t.query(graft.meta.PgCatalogQueries.listTables(opts.schema))
         .map(_.head)
         .filter(n => (n.startsWith(stgPrefix) && !n.startsWith(s"$stgPrefix$jobId")) ||
-          n.startsWith(legacyPrefix))
+          legacyRe.pattern.matcher(n).matches())
         .foreach { stale =>
           t.execute(s"DROP TABLE IF EXISTS " +
             s"${PgSqlGen.quoteIdent(opts.schema)}.${PgSqlGen.quoteIdent(stale)}")

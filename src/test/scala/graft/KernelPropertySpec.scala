@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{ShingleKmvKernel, SubstringDedupKernel}
+
+/** Property tests for the hand-rolled byte-loop kernels behind
+  * `shingle_kmv` / `shingle_hashes` / `remove_spans`, against naive
+  * Scala reference implementations (the CodecPropertySpec pattern):
+  * random token arrays including nulls/empties/multi-byte, random span
+  * sets including pathological overlap and unsorted order. */
+class KernelPropertySpec extends AnyFunSuite {
+
+  /** minimal deterministic property driver over a scalacheck Gen
+    * (scalatestplus isn't available offline) */
+  private def forAll[A](gen: Gen[A], n: Int = 300)(check: A => Unit): Unit = {
+    var seed = Seed(4242L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(check)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  // ---- naive references ------------------------------------------- //
+
+  /** 60-bit portable hash of one window: concat_ws-with-space over the
+    * non-null tokens (null contributes no bytes and no separator),
+    * md5 hex, first 15 hex chars as unsigned base-16. */
+  private def refWindowHash(win: Seq[Option[String]]): Long = {
+    val joined = win.flatten.mkString(" ")
+    val hex = DigestUtils.md5Hex(joined.getBytes("UTF-8"))
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def refWindowHashes(toks: Seq[Option[String]], w: Int): Seq[Long] =
+    if (toks.length < w) Seq.empty
+    else toks.sliding(w).map(refWindowHash).toSeq
+
+  private def refShingleKmv(toks: Seq[Option[String]], n: Int, k: Int): Seq[Long] =
+    refWindowHashes(toks, n).distinct.sorted.take(k)
+
+  private def refRemoveSpans(
+      toks: Seq[Option[String]], starts: Seq[Long], w: Int): Seq[Option[String]] = {
+    val covered = starts.flatMap(s => s until (s + w)).toSet
+    toks.zipWithIndex.collect { case (t, i) if !covered.contains(i + 1L) => t }
+  }
+
+  // ---- ArrayData plumbing ----------------------------------------- //
+
+  private def tokArray(toks: Seq[Option[String]]): ArrayData =
+    new GenericArrayData(toks.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+
+  private def longArray(xs: Seq[Long]): ArrayData =
+    new GenericArrayData(xs.toArray)
+
+  private def longsOf(a: ArrayData): Seq[Long] = a.toLongArray().toSeq
+
+  private def stringsOf(a: ArrayData): Seq[Option[String]] =
+    (0 until a.numElements()).map(i =>
+      if (a.isNullAt(i)) None else Some(a.getUTF8String(i).toString))
+
+  // ---- generators -------------------------------------------------- //
+
+  private val genToken: Gen[Option[String]] = Gen.frequency(
+    3 -> Gen.oneOf("a", "b", "ab", "the", "x1").map(Some(_)),
+    1 -> Gen.const(Some("")), // empty token: joins as zero bytes BUT takes a separator slot
+    1 -> Gen.const(Some("héllo⚡")), // multi-byte utf-8
+    1 -> Gen.const(None), // null: no bytes AND no separator
+    1 -> Gen.alphaNumStr.map(s => Some(s.take(8))))
+
+  private val genToks: Gen[List[Option[String]]] =
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, genToken))
+
+  test("shingle_hashes matches the naive join→md5→hex-prefix reference") {
+    val gen = for { toks <- genToks; w <- Gen.choose(1, 6) } yield (toks, w)
+    forAll(gen) { case (toks, w) =>
+      val got = longsOf(SubstringDedupKernel.windowHashes(tokArray(toks), w))
+      assert(got == refWindowHashes(toks, w), s"toks=$toks w=$w")
+    }
+  }
+
+  test("shingle_kmv matches distinct-sort-take-k of the reference hashes") {
+    val gen = for {
+      toks <- genToks; n <- Gen.choose(1, 6); k <- Gen.choose(1, 8)
+    } yield (toks, n, k)
+    forAll(gen) { case (toks, n, k) =>
+      val got = longsOf(ShingleKmvKernel.compute(tokArray(toks), n, k))
+      assert(got == refShingleKmv(toks, n, k), s"toks=$toks n=$n k=$k")
+    }
+  }
+
+  test("remove_spans matches the covered-set reference incl. overlap and unsorted starts") {
+    val gen = for {
+      toks <- genToks
+      w <- Gen.choose(1, 5)
+      nSpans <- Gen.choose(0, 12)
+      // starts beyond the doc, duplicated, and overlapping are all legal
+      starts <- Gen.listOfN(nSpans, Gen.choose(1L, toks.length + 4L))
+      shuffled <- Gen.oneOf(true, false)
+    } yield (toks, if (shuffled) starts else starts.sorted, w)
+    forAll(gen) { case (toks, starts, w) =>
+      val got = stringsOf(SubstringDedupKernel.removeSpans(
+        tokArray(toks), longArray(starts), w))
+      assert(got == refRemoveSpans(toks, starts, w),
+        s"toks=$toks starts=$starts w=$w")
+    }
+  }
+
+  test("remove_spans pathological: every window removed leaves an empty doc") {
+    val toks = (1 to 50).map(i => Some(s"t$i"))
+    val w = 3
+    val starts = (1L to 48L) // every start, fully overlapping
+    val got = stringsOf(SubstringDedupKernel.removeSpans(
+      tokArray(toks), longArray(starts), w))
+    assert(got.isEmpty)
+    // and descending order gives the identical result (defensive sort)
+    val gotDesc = stringsOf(SubstringDedupKernel.removeSpans(
+      tokArray(toks), longArray(starts.reverse), w))
+    assert(gotDesc.isEmpty)
+  }
+}

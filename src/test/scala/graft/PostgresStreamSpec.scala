@@ -255,4 +255,46 @@ class PostgresStreamSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
+
+  test("orphan sweep drops only this sink's dead stagings and exact legacy names") {
+    import graft.sources.postgres._
+    val pg = freshTable("sweep_dst", "streamspec")
+    val tag = graft.sqlgen.PgSqlGen.sinkTag("public", "sweep_dst")
+
+    def mk(name: String): Unit =
+      if (!pg.hasTable("public", name))
+        pg.createTable("public", name, Seq("id" -> PgInt8, "v" -> PgVarchar))
+
+    // dead current-scheme staging (other jobId) → swept
+    mk(s"sweep_dst_${tag}_stg_deadbeef0001")
+    // exact legacy-scheme orphan (prefix + 12 hex) → swept
+    mk("sweep_dst_stg_0123456789ab")
+    // user table under the legacy prefix but NOT 12-lone-hex → survives
+    mk("sweep_dst_stg_custom")
+    mk("sweep_dst_stg_0123456789ab_x")
+    // live staging of a DIFFERENT sink whose table is literally named
+    // 'sweep_dst_stg_x' — the cross-sink aliasing case → survives
+    val otherTag = graft.sqlgen.PgSqlGen.sinkTag("public", "sweep_dst_stg_x")
+    mk(s"sweep_dst_stg_x_${otherTag}_stg_cafebabe0002")
+
+    val opts = PostgresOptions(Map("dsn" -> dsn, "table" -> "sweep_dst"))
+    val table = PostgresTable.discover(opts)
+    val write = new PostgresWriteBuilder(table,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+      .build().toStreaming
+    write.createStreamingWriterFactory(null) // runs the sweep
+
+    assert(!pg.hasTable("public", s"sweep_dst_${tag}_stg_deadbeef0001"),
+      "dead current-scheme staging should be swept")
+    assert(!pg.hasTable("public", "sweep_dst_stg_0123456789ab"),
+      "exact legacy orphan should be swept")
+    assert(pg.hasTable("public", "sweep_dst_stg_custom"),
+      "user table under the legacy prefix must survive")
+    assert(pg.hasTable("public", "sweep_dst_stg_0123456789ab_x"),
+      "legacy prefix with a suffix after the jobId must survive")
+    assert(pg.hasTable("public", s"sweep_dst_stg_x_${otherTag}_stg_cafebabe0002"),
+      "another sink's live staging must survive this sink's sweep")
+  }
 }

@@ -339,6 +339,45 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("bucketed PQ index probes exchange-free and matches the in-flight s08 build") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // the s08 configuration exactly: cells=16 probe=4 m=4 cb=8 k=10
+    val (codebooks, codes) = graft.operators.Ann.buildPq(
+      emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", "embedding", 4, 8)
+    val ivf = graft.operators.Ann.buildIvf(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      cells = 16, lloydIters = 1)
+    val inFlight = graft.operators.Ann.pqIvfIndexOf(
+      codebooks, codes, "neighbor_id", ivf)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val apath = s"/dev/shm/graft_pqb_spec_${System.nanoTime()}"
+    graft.operators.Ann.savePqBucketed(inFlight, "neighbor_id", "pq_codes_spec",
+      apath, buckets = 8)
+    try {
+      val loaded = graft.operators.Ann.loadPqBucketed(spark, "pq_codes_spec", apath)
+      def top(ix: graft.operators.Ann.PqIvfIndex) =
+        graft.operators.Ann.ivfPqTopK(queries, "query_id", "embedding", ix,
+          "neighbor_id", m = 4, k = 10, nprobe = 4)
+      val viaStored = top(loaded)
+      val viaFlight = top(inFlight)
+      assert(viaStored.collect().toSeq == viaFlight.collect().toSeq)
+      // and the operator agrees with the battery entry itself
+      assert(viaFlight.collect().toSeq ==
+        graft.queries.Pipeline8.s08_ann_ivf_pq(spark, dir).collect().toSeq)
+      def cidExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning\\(cid".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(cidExchanges(viaStored) < math.max(cidExchanges(viaFlight), 1),
+        "bucketed codes side still exchanges on cid")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_codes_spec")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(apath))
+    }
+  }
+
   test("estimatedSplits decides the spread guard without launching work") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     // tiny single-row-group file → genuinely under-split

@@ -55,6 +55,83 @@ class Wave8Spec extends AnyFunSuite {
     assert(used.subsetOf(validCodes))
   }
 
+  // ---- search QUALITY gates (the s02/s04 precedent): ADC top-k must
+  // recall a useful share of the exact same-metric (squared-L2) top-10
+  // on the REAL embeddings — a deterministic-but-garbage codebook
+  // config passes every replay check but fails these. Random chance at
+  // sf0.01 is 10/499 ≈ 0.02; floors sit several × above chance and
+  // comfortably below the measured values (PqLab table in BENCH_NOTES;
+  // synthetic near-uniform 64-dim vectors bound absolute recall). ----
+
+  private def exactL2Top10(emb: org.apache.spark.sql.DataFrame, nQ: Int): Set[(Long, Long)] = {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TopKFunctions.register(spark)
+    import graft.functions.TopKFunctions.topk_by
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        operators.Kmeans.distSq(
+          transform(col("qv"), _.cast("double")),
+          transform(col("cv"), _.cast("double"))).as("d2"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-col("d2"), col("neighbor_id"), 10).as("top"))
+      .select(col("query_id"), explode(col("top").getField("id")).as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def recallOf(df: org.apache.spark.sql.DataFrame, exact: Set[(Long, Long)]): Double = {
+    val got = df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exact intersect got).size.toDouble / exact.size
+  }
+
+  test("s07 config recall@10: ADC at m=4 cb=8 beats chance by several x") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactL2Top10(emb, 20)
+    val (cb, codes) = operators.Ann.buildPq(emb, "vec_id", "embedding", 4, 8)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val r = recallOf(operators.Ann.pqTopK(queries, "query_id", "embedding",
+      cb, codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", 4, 10), exact)
+    assert(r >= 0.08, f"s07-config PQ recall@10 $r%.3f is not usefully above the 0.02 chance floor")
+  }
+
+  test("PQ recall@10 scales with code budget (m=16 cb=64, 3 Lloyd rounds)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactL2Top10(emb, 20)
+    val (cb, codes) = operators.Ann.buildPq(emb, "vec_id", "embedding", 16, 64, 3)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val r = recallOf(operators.Ann.pqTopK(queries, "query_id", "embedding",
+      cb, codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", 16, 10), exact)
+    assert(r >= 0.45, f"96-bit PQ recall@10 $r%.3f below floor (measured 0.605 in PqLab)")
+  }
+
+  test("s08 recall@10: IVF+PQ composition stays usefully above chance") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactL2Top10(emb, 5)
+    val r = recallOf(queries.Pipeline8.s08_ann_ivf_pq(spark, "/root/testdata/sf0.01"), exact)
+    assert(r >= 0.06, f"s08 IVF+PQ recall@10 $r%.3f is not usefully above the 0.02 chance floor")
+  }
+
+  test("PQ: non-divisible dims extend the last sub-block (no dim dropped)") {
+    import spark.implicits._
+    // 7-dim vectors, m=2: blocks are dims [1,3] and [4,7] — the d mod m
+    // remainder rides in the LAST block instead of being silently cut
+    val emb = (0L until 20L).map(i => (i, (0 until 7).map(d => (i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (cb, codes) = operators.Ann.buildPq(emb, "vec_id", "embedding", m = 2, codebookSize = 4)
+    val lens = cb.select($"m", size($"centroid").as("len")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(lens == Map(0 -> 3, 1 -> 4), s"sub-block centroid lengths: $lens")
+    assert(codes.filter($"m" === 1).count() == 20) // every vector coded in the wide block
+  }
+
   test("s07 plan: broadcast codebooks, no cartesian, map-side argmin partials") {
     val df = queries.Pipeline8.s07_ann_pq(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
