@@ -20,7 +20,11 @@ object FloorLab {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // optional 2nd arg: comma-separated variant-name prefixes to run
+    val only: Option[Seq[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSeq) else None
     def time(name: String)(df: => DataFrame): Unit = {
+      if (only.exists(ps => !ps.exists(name.startsWith))) return
       df.queryExecution.toRdd.foreach(_ => ()) // warm
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -89,6 +93,30 @@ object FloorLab {
           sum(dec(col("l_extendedprice"))).cast("double").as("order_rev"))
         .filter(col("n_supp") >= 3)
         .orderBy(col("l_orderkey"))
+    }
+    // round-11: ONE range exchange serves the aggregations AND the
+    // total order — RangePartitioning(l_orderkey) satisfies both
+    // groupBys' clustering requirement, so the final sort is
+    // partition-local and the result-sized range exchange + sample
+    // pass of a terminal ORDER BY disappears
+    time("range_twolevel_localsort") {
+      raw.repartitionByRange(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("__n"), sum(dec(col("l_extendedprice"))).as("__rev"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("__n")).as("n_lines"),
+          sum(col("__rev")).cast("double").as("order_rev"))
+        .filter(col("n_supp") >= 3)
+        .sortWithinPartitions(col("l_orderkey"))
+    }
+    time("range_expand_localsort") {
+      raw.repartitionByRange(col("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("order_rev"))
+        .filter(col("n_supp") >= 3)
+        .sortWithinPartitions(col("l_orderkey"))
     }
     spark.stop()
   }
