@@ -44,7 +44,15 @@ object CorpusBuild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def stage(label: String, n: Long): Unit = println(f"STAGE $label%-28s $n%8d docs")
+    // per-stage wall: the count() in the argument forces the stage's
+    // pinned materialization, so elapsed-since-last-print IS the
+    // stage's wall (incl. its localCheckpoint)
+    var lastT = System.nanoTime()
+    def stage(label: String, n: Long): Unit = {
+      val now = System.nanoTime()
+      println(f"STAGE $label%-28s $n%8d docs ${(now - lastT) / 1e9}%8.2f s")
+      lastT = now
+    }
     // materialize each expensive stage's survivors once: the per-stage
     // counts AND every later stage would otherwise re-execute the whole
     // upstream lineage (boilerplate shuffle, dedup window, near-dup
@@ -222,7 +230,7 @@ object CorpusBuild {
     val merges = graft.operators.TextOps
       .trainBpeMerges(scrubbed.select(col("final_text")), "final_text", rounds = 16)
     merges.write.mode("overwrite").parquet(out + "_bpe_merges")
-    println(f"STAGE bpe merge table     ${merges.count()}%8d merges")
+    stage("bpe merge table", merges.count())
 
     // 10. deterministic shuffle + shard: hash-derived shard,
     // within-shard order by the full hash — a reproducible training
@@ -232,7 +240,7 @@ object CorpusBuild {
     sharded.select("shard", "pos", "doc_id", "source", "final_text",
         "n_tokens", "start_off", "first_window", "last_window")
       .write.mode("overwrite").partitionBy("shard").parquet(out)
-    println(s"DONE wrote $out")
+    println(f"DONE wrote $out (+shard write ${(System.nanoTime() - lastT) / 1e9}%.2f s)")
     spark.stop()
   }
 }

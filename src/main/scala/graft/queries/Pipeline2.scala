@@ -60,23 +60,27 @@ object Pipeline2 {
   // ---------------------------------------------------------------- //
   def p20_tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // single-row-group test files scan as one partition; spread the
-    // rows before the (compute-heavy) tokenize+explode so it
-    // parallelizes — only when genuinely under-split (at real scale the
-    // source already has >cores splits)
-    val par = math.min(s.sparkContext.defaultParallelism, 16)
+    // Round-11 shape (the q96 lesson): ONE doc-keyed exchange, taken
+    // as a RANGE partitioning of the narrow (doc_id, text) rows BEFORE
+    // the explode. RangePartitioning(doc_id) then satisfies every
+    // doc-keyed requirement downstream — the tf aggregate runs
+    // partition-local (no (doc, token) hash exchange), the per-doc
+    // top-3 window sorts locally (no doc_id exchange of the scored tf
+    // relation), and the terminal (doc_id, rk) order is
+    // `sortWithinPartitions` (no result-sized range exchange +
+    // sampling pass). It also doubles as the under-split spread for
+    // single-row-group sources. The only other exchange left is the
+    // df aggregate, whose partials reduce to per-partition distinct
+    // tokens — vocabulary-bounded at any corpus size.
     val raw = docs.select(col("doc_id"), col("text"))
-    val spread =
-      if (graft.operators.Scale.estimatedSplits(raw) < par) raw.repartition(par)
-      else raw
-    // tf materializes ONCE (localCheckpoint) so the df branch reads the
-    // same blocks instead of re-planning the scan→explode→aggregate
-    // chain (its aggregate branch canonicalizes to a distinct, so
-    // ReuseExchange can't fire). df then comes from a plain hash
-    // aggregate — no token-keyed window SORT over the whole tf
-    // relation — and joins back as a broadcast: the df relation is one
-    // row per distinct token, bounded by the vocabulary, which for word
-    // tokens stays broadcastable at any corpus size.
+    val spread = raw.repartitionByRange(col("doc_id"))
+    // tf materializes ONCE (localCheckpoint, partitioning preserved)
+    // so the df branch reads the same blocks instead of re-planning
+    // the scan→explode→aggregate chain (its aggregate branch
+    // canonicalizes to a distinct, so ReuseExchange can't fire). df
+    // joins back as a broadcast: one row per distinct token, bounded
+    // by the vocabulary, which for word tokens stays broadcastable at
+    // any corpus size.
     val tf = spread.select(col("doc_id"), explode(tokens).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -90,7 +94,7 @@ object Pipeline2 {
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"),
         col("score"))
-      .orderBy(col("doc_id"), col("rk"))
+      .sortWithinPartitions(col("doc_id"), col("rk"))
   }
 
   val p20_sql: String =

@@ -229,8 +229,19 @@ object Pipeline8 {
       .select(explode(shingle_hashes(split(trim(col("text")), "\\s+"), w)).as("fp"))
       .distinct()
       .withColumn("hit", lit(1))
-    val stream = s.readStream.schema(batchSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // layout-aware source path: a Spark-written table is a DIRECTORY
+    // whose leaf files are part-*.parquet, so a pathGlobFilter on the
+    // table name matches zero leaf files and the stream silently fires
+    // no batch (the single-file driver layout masked this; the sf10
+    // replica exposed it). FileStreamSource only accepts directories,
+    // so the single-file layout keeps the glob-over-parent form.
+    val tablePath = s"$dir/documents.parquet"
+    val stream =
+      if (new java.io.File(tablePath).isDirectory)
+        s.readStream.schema(batchSchema).parquet(tablePath)
+      else
+        s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val name = s"st08_out_${System.nanoTime()}"
     val outDir = s"/dev/shm/graft_$name"
     val ckpt = s"/dev/shm/graft_ckpt_$name"
