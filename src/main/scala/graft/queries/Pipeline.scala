@@ -302,8 +302,11 @@ object PipelineOps {
       lshNearDupPairs(s, dir).select(col("doc_a"), col("doc_b")), unionFindMax)
   }
 
-  val p13_sql: String =
-    s"""WITH RECURSIVE $lshCtesSql,
+  /** The LSH-pairs → connected-components CTE chain (recursive; ends
+    * in `reach(node, lab)`), shared by p13's oracle and the wave-9
+    * composition entries (Pipeline9). Prefix with `WITH RECURSIVE`. */
+  private[queries] val dupClusterCtesSql: String =
+    s"""$lshCtesSql,
        |pairs AS (
        |  SELECT doc_a, doc_b
        |  FROM cands JOIN toks ta ON ta.doc_id = doc_a JOIN toks tb ON tb.doc_id = doc_b
@@ -314,7 +317,10 @@ object PipelineOps {
        |reach(node, lab) AS (
        |  SELECT src, src FROM edges
        |  UNION
-       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst)
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst)""".stripMargin
+
+  val p13_sql: String =
+    s"""WITH RECURSIVE $dupClusterCtesSql
        |SELECT node AS doc_id, MIN(lab) AS cluster_id,
        |  node = MIN(lab) AS is_canonical
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin

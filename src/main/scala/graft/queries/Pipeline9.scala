@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-pipeline probe set, ninth wave — dedup-aware split hygiene,
+  * the two composition steps real corpus builds run between "find the
+  * duplicate clusters" (p13) and "train on the result":
+  *
+  *  - p48: LEAKAGE-SAFE train/val/test split. A hash split at the
+  *    document level (p15) leaks: two near-duplicates land on
+  *    opposite sides and the eval set scores memorization. The fix is
+  *    assignment at the duplicate-CLUSTER level — every member of a
+  *    cluster hashes through its cluster id, so a cluster lands on
+  *    exactly one side. (The same recipe decontamination papers use
+  *    for "split before dedup" bugs; cf. Lee et al. 2022 §5.)
+  *
+  *  - p49: QUALITY-AWARE canonical selection. p13 keeps the minimum
+  *    doc id per cluster — deterministic but blind. Production
+  *    pipelines keep the best member (longest text is the common
+  *    heuristic: truncated/mirrored copies lose). One aggregate per
+  *    cluster with an orderable struct — map-side partials, no
+  *    per-cluster window sort.
+  *
+  * Scale shapes: the cluster relation is bounded by documents that
+  * appear in at least one verified near-dup pair — orders of magnitude
+  * smaller than the corpus — so p48's per-document assignment is a
+  * BROADCAST left join against it (the corpus pass is map-side), and
+  * p49 never touches the corpus at all beyond the tiny member set.
+  */
+object Pipeline9 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- //
+  // p48: leakage-safe split — group key = dup-cluster id when the doc
+  // is in a cluster, else its own id; the split bucket is the p15
+  // portable-hash arithmetic applied to the GROUP key.
+  // ---------------------------------------------------------------- //
+  def p48_leak_split(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val clusters = PipelineOps.p13_dup_clusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val keyed = docs.join(broadcast(clusters), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(group_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    keyed.select(col("doc_id"), col("group_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p48_sql: String =
+    s"""WITH RECURSIVE ${PipelineOps.dupClusterCtesSql},
+       |clusters AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+       |             FROM reach GROUP BY node),
+       |keyed AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, group_id,
+       |  CASE WHEN ('0x' || substr(md5(group_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+       |         THEN 'train'
+       |       WHEN ('0x' || substr(md5(group_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+       |         THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM keyed ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // p49: quality-aware canonical — per cluster keep the longest
+  // member (ties to the smaller doc id). The argmax is ONE aggregate
+  // over an orderable (n_chars, -doc_id) struct: partials fold
+  // map-side, so a viral cluster never serializes a window sort.
+  // ---------------------------------------------------------------- //
+  def p49_quality_canonical(s: SparkSession, dir: String): DataFrame = {
+    val members = PipelineOps.p13_dup_clusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val chars = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    members.join(chars, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("c"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.nd")).as("keep_doc"), col("best.c").as("keep_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val p49_sql: String =
+    s"""WITH RECURSIVE ${PipelineOps.dupClusterCtesSql},
+       |clusters AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+       |             FROM reach GROUP BY node),
+       |m AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+       |      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id, n_chars, ROW_NUMBER() OVER (
+       |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM m)
+       |SELECT cluster_id, n_members, doc_id AS keep_doc, n_chars AS keep_chars
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "p48_leak_split" -> ((p48_leak_split _, Some(p48_sql))),
+    "p49_quality_canonical" -> ((p49_quality_canonical _, Some(p49_sql))))
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-9 composition entries: leakage-safe splitting (p48) and
+  * quality-aware canonical selection (p49) — the semantic properties
+  * plus the plan shapes that keep the corpus pass broadcast-only. */
+class Wave9Spec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("p48: no duplicate cluster ever spans two splits (the leakage property)") {
+    val out = queries.Pipeline9.p48_leak_split(spark, dir)
+    val violating = out.groupBy(col("group_id"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(violating.count() == 0,
+      "members of one dup cluster were assigned to different splits")
+    // every document is assigned exactly once
+    val docs = Tables.load(spark, dir, "documents").count()
+    assert(out.count() == docs)
+    assert(out.select("doc_id").distinct().count() == docs)
+    // and the split is genuinely cluster-keyed: a clustered doc's
+    // bucket comes from its cluster id, not its own id
+    val clustered = out.filter(col("group_id") =!= col("doc_id"))
+    if (clustered.count() > 0) {
+      val splitOfGroup = queries.Pipeline9.p48_leak_split(spark, dir)
+        .filter(col("group_id") =!= col("doc_id"))
+        .join(queries.Pipeline9.p48_leak_split(spark, dir)
+            .filter(col("group_id") === col("doc_id"))
+            .select(col("doc_id").as("group_id"), col("split").as("root_split")),
+          "group_id")
+      assert(splitOfGroup.filter(col("split") =!= col("root_split")).count() == 0,
+        "a cluster member's split differs from its cluster root's split")
+    }
+  }
+
+  test("p49: canonical member is the longest, ties to the smaller doc id") {
+    val out = queries.Pipeline9.p49_quality_canonical(spark, dir).collect()
+    val members = queries.PipelineOps.p13_dup_clusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(Tables.load(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val (cid, n, keep, chars) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val mem = members(cid)
+      assert(n == mem.length)
+      val best = mem.maxBy { case (_, id, c) => (c, -id) }
+      assert(keep == best._2 && chars == best._3,
+        s"cluster $cid kept ($keep,$chars), expected (${best._2},${best._3})")
+    }
+    assert(out.nonEmpty)
+  }
+
+  test("p48 plan: the corpus-side assignment join is broadcast, not shuffled") {
+    val plan = queries.Pipeline9.p48_leak_split(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cluster relation should broadcast:\n$plan")
+  }
+}
