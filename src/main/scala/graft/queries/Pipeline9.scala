@@ -103,7 +103,63 @@ object Pipeline9 {
        |SELECT cluster_id, n_members, doc_id AS keep_doc, n_chars AS keep_chars
        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p50: contamination ATTRIBUTION — p16 answers "which training docs
+  // are contaminated?"; auditors need the symmetric report: for each
+  // EVAL document, which training document shares the most 5-token
+  // shingles (the likely leak source), how many shingles, and how
+  // many distinct training docs touch it at all.
+  //
+  // Scale shape: the eval shingle relation is benchmark-sized (tiny)
+  // → broadcast; the training corpus streams through the join
+  // map-side. The (eval, train) pair aggregate is bounded by
+  // CONTAMINATED pairs, not the corpus, and the per-eval argmax is
+  // one orderable-struct aggregate (map-side partials, no window).
+  // ---------------------------------------------------------------- //
+  def p50_contamination_attribution(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), PipelineOps.tokens.as("tok"))
+    def shingles(d: DataFrame): DataFrame = graft.operators.Scale.spread(d)
+      .filter(size(col("tok")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("tok")) - 5),
+          i => concat_ws(" ", (0 until 5).map(o => col("tok")(i + o)): _*)))).as("sh"))
+    val ev = shingles(docs.filter(col("doc_id") % 97 === 0))
+      .withColumnRenamed("doc_id", "eval_doc")
+    val tr = shingles(docs.filter(col("doc_id") % 97 =!= 0))
+      .withColumnRenamed("doc_id", "train_doc")
+    tr.join(broadcast(ev), "sh")
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_sources"),
+        max(struct(col("n_shared").as("c"), (-col("train_doc")).as("nd"))).as("best"))
+      .select(col("eval_doc"), (-col("best.nd")).as("top_source"),
+        col("best.c").as("n_shared"), col("n_sources"))
+      .orderBy(col("eval_doc"))
+  }
+
+  val p50_sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tok)-3),
+      |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' || tok[i+3] || ' ' || tok[i+4]))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents)
+      |  WHERE len(tok) >= 5),
+      |ev AS (SELECT doc_id AS eval_doc, sh FROM sh WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id % 97 <> 0),
+      |pairs AS (SELECT eval_doc, train_doc, COUNT(*) AS n_shared
+      |          FROM tr JOIN ev USING (sh) GROUP BY eval_doc, train_doc)
+      |SELECT eval_doc, train_doc AS top_source, n_shared, n_sources FROM (
+      |  SELECT eval_doc, train_doc, n_shared,
+      |    ROW_NUMBER() OVER (PARTITION BY eval_doc
+      |                       ORDER BY n_shared DESC, train_doc ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY eval_doc) AS n_sources
+      |  FROM pairs)
+      |WHERE rn = 1 ORDER BY eval_doc""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p48_leak_split" -> ((p48_leak_split _, Some(p48_sql))),
-    "p49_quality_canonical" -> ((p49_quality_canonical _, Some(p49_sql))))
+    "p49_quality_canonical" -> ((p49_quality_canonical _, Some(p49_sql))),
+    "p50_contamination_attribution" ->
+      ((p50_contamination_attribution _, Some(p50_sql))))
 }

@@ -67,6 +67,31 @@ class Wave9Spec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("p50: attribution matches a brute-force shingle-overlap recount") {
+    val d01 = "/root/testdata/sf0.01" // sf0.001 has no contaminated eval doc
+    val out = queries.Pipeline9.p50_contamination_attribution(spark, d01).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.load(spark, d01, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").toSeq))
+    def shingleSet(tok: Seq[String]): Set[String] =
+      if (tok.length < 5) Set.empty
+      else tok.sliding(5).map(_.mkString(" ")).toSet
+    val ev = docs.filter(_._1 % 97 == 0).map { case (id, t) => (id, shingleSet(t)) }
+    val tr = docs.filter(_._1 % 97 != 0).map { case (id, t) => (id, shingleSet(t)) }
+    val expected = ev.flatMap { case (eid, es) =>
+      val hits = tr.map { case (tid, ts) => (tid, (es intersect ts).size) }
+        .filter(_._2 > 0)
+      if (hits.isEmpty) None
+      else {
+        val best = hits.maxBy { case (tid, n) => (n, -tid) }
+        Some((eid, best._1, best._2.toLong, hits.length.toLong))
+      }
+    }.sortBy(_._1).toSeq
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("p48 plan: the corpus-side assignment join is broadcast, not shuffled") {
     val plan = queries.Pipeline9.p48_leak_split(spark, dir)
       .queryExecution.executedPlan.toString
