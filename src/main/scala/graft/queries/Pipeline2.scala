@@ -74,16 +74,21 @@ object Pipeline2 {
     // tokens — vocabulary-bounded at any corpus size.
     val raw = docs.select(col("doc_id"), col("text"))
     val spread = raw.repartitionByRange(col("doc_id"))
-    // tf materializes ONCE (localCheckpoint, partitioning preserved)
-    // so the df branch reads the same blocks instead of re-planning
-    // the scan→explode→aggregate chain (its aggregate branch
-    // canonicalizes to a distinct, so ReuseExchange can't fire). df
-    // joins back as a broadcast: one row per distinct token, bounded
-    // by the vocabulary, which for word tokens stays broadcastable at
-    // any corpus size.
+    // NO materialization pin on tf: under AQE both localCheckpoint
+    // (LogicalRDD) and persist (AdaptiveSparkPlan-wrapped cache) HIDE
+    // the physical partitioning from downstream operators, which
+    // re-inserts a doc_id hash exchange under the window and silently
+    // demotes the partition-local terminal sort from a total order to
+    // a per-partition one. Letting the range partitioning FLOW costs
+    // the df branch a re-execution of the scan→explode→aggregate
+    // chain, but that is cheaper than the pin + tf-sized hash
+    // exchange it replaces (P20Lab: 4.86 vs 5.48 s at sf10, 0.86 vs
+    // 1.01 s at sf0.1) — and ScaleSpec pins the exchange-free window.
+    // df joins back as a broadcast: one row per distinct token,
+    // bounded by the vocabulary, which for word tokens stays
+    // broadcastable at any corpus size.
     val tf = spread.select(col("doc_id"), explode(tokens).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("token"))

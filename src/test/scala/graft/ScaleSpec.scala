@@ -378,6 +378,30 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("q96/p20 range-first shapes: one range exchange, no post-agg sort exchange") {
+    val dir = "/root/testdata/sf0.001"
+    // q96: the single data-sized exchange is the range partitioning;
+    // no hash exchange, and no SECOND range exchange after the agg
+    val q96 = graft.SparkEntry.queries("q96_having_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!q96.contains("Exchange hashpartitioning"),
+      s"q96 must not hash-exchange:\n$q96")
+    assert("Exchange rangepartitioning".r.findAllIn(q96).length == 1,
+      s"q96 must carry exactly one range exchange:\n$q96")
+    // p20: doc-keyed range exchanges only (one per branch at most —
+    // ReuseExchange may dedupe) + the vocabulary-bounded token hash
+    // exchange; the per-doc window and the terminal order must add NO
+    // doc_id hash exchange — that is exactly what a materialization
+    // pin (localCheckpoint/persist under AQE) would silently re-insert
+    // while also demoting the terminal sort to per-partition order
+    val p20 = graft.SparkEntry.queries("p20_tfidf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(p20).length <= 2,
+      s"p20 grew extra range exchanges:\n$p20")
+    assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p20).hasNext,
+      s"p20 must not hash-exchange by doc_id (range serves the window):\n$p20")
+  }
+
   test("estimatedSplits decides the spread guard without launching work") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     // tiny single-row-group file → genuinely under-split
