@@ -326,57 +326,22 @@ object Pipeline8 {
   private val ivfProbe = 4
 
   def s08_ann_ivf_pq(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    graft.functions.TopKFunctions.register(s)
-    import graft.functions.TopKFunctions.topk_by
+    // build both trainings with the house deterministic recipe, then
+    // probe through the LIBRARY operator — the same `ivfPqTopK` that
+    // serves a persisted `savePqBucketed` index (ScaleSpec asserts
+    // this entry == the stored-index probe bit-for-bit)
     val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val (codebooks, codesRaw) =
+    val (codebooks, codes) =
       graft.operators.Ann.buildPq(emb, "vec_id", "embedding", pqM, pqCb)
-    val codes = codesRaw.withColumnRenamed("vec_id", "neighbor_id")
     val ivf = graft.operators.Ann.buildIvf(
       emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
       cells = ivfCells, lloydIters = 1)
+    val index = graft.operators.Ann.pqIvfIndexOf(
+      codebooks, codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", ivf)
     val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    // probe: nprobe nearest trained cells per query (s05's recipe)
-    val probes = queries.crossJoin(broadcast(ivf.centroids))
-      .select(col("query_id"),
-        graft.operators.Kmeans.distSq(col("qv"), col("centroid")).as("d2"), col("cid"))
-      .groupBy(col("query_id"))
-      .agg(topk_by(-col("d2"), col("cid"), ivfProbe).as("pr"))
-      .select(col("query_id"), explode(col("pr").getField("id")).as("cid"))
-    val cands = probes.join(ivf.assignments, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-    // ADC over candidates only: per-query distance tables broadcast,
-    // the corpus-sized side is the codes relation filtered to probed
-    // cells
-    val qsubs = queries
-      .select(col("query_id"), explode(sequence(lit(0), lit(pqM - 1))).as("m"), col("qv"))
-      .select(col("query_id"), col("m"),
-        transform(graft.operators.Ann.subSlice(col("qv"), col("m"), pqM),
-          _.cast("double")).as("qsv"))
-    val qtab = qsubs.join(codebooks, "m")
-      .select(col("query_id"), col("m").as("qm"), col("cid").as("qcid"),
-        graft.operators.Kmeans.distSq(col("qsv"), col("centroid")).as("d2"))
-    val perBlock = cands.join(codes, "neighbor_id")
-      .join(broadcast(qtab),
-        col("m") === col("qm") && col("code") === col("qcid") &&
-          cands("query_id") === qtab("query_id"))
-      .select(cands("query_id"), col("neighbor_id"), col("m").as("mm"), col("d2"))
-    val pivots = (0 until pqM).map(i =>
-      max(when(col("mm") === i, col("d2"))).as(s"d$i"))
-    val total = (1 until pqM).foldLeft(col("d0")) { (acc, i) => acc + col(s"d$i") }
-    perBlock.groupBy(col("query_id"), col("neighbor_id"))
-      .agg(pivots.head, pivots.tail: _*)
-      .select(col("query_id"), col("neighbor_id"), total.as("adc"))
-      .groupBy(col("query_id"))
-      .agg(topk_by(-col("adc"), col("neighbor_id"), pqK).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
-      .select(col("query_id"), col("p.id").as("neighbor_id"),
-        (col("i") + 1).cast("int").as("rk"),
-        round(-col("p.score"), 6).as("adc_d2"))
-      .orderBy(col("query_id"), col("rk"))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Ann.ivfPqTopK(queries, "query_id", "embedding",
+      index, "neighbor_id", pqM, pqK, ivfProbe)
   }
 
   val s08_sql: String = {
