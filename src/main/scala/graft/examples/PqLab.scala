@@ -64,5 +64,30 @@ object PqLab {
       val bits = m * (math.log(cb) / math.log(2))
       println(f"$m%-2d $cb%-4d $iters%-4d $bits%7.0f   ${dim * 32 / bits}%6.1fx  $r%.3f")
     }
+
+    // IVF composition at the s08/s09 battery config: RAW codes (s08)
+    // vs RESIDUAL codes (s09 = IVFADC, Jégou et al. 2011 §IV) at the
+    // same bit budget. nprobe=cells rows isolate encoding quality from
+    // IVF pruning loss (at nprobe<cells recall is additionally capped
+    // by whether the true neighbor's cell is probed at all).
+    println("\nIVF(16 cells) + PQ: raw (s08) vs residual (s09/IVFADC), k=10")
+    println("m  cb   iters nprobe  raw     residual")
+    val corp = emb.withColumnRenamed("vec_id", "neighbor_id")
+    val ivf = Ann.buildIvf(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      cells = 16, lloydIters = 1)
+    for ((m, cb) <- Seq((4, 8), (16, 64)); iters <- Seq(1, 3);
+         nprobe <- Seq(4, 16)) {
+      val (cbRaw, cdRaw) = Ann.buildPq(corp, "neighbor_id", "embedding", m, cb, iters)
+      val rawIx = Ann.pqIvfIndexOf(cbRaw, cdRaw, "neighbor_id", ivf)
+      val rRaw = recallOf(Ann.ivfPqTopK(
+        queries, "query_id", "embedding", rawIx, "neighbor_id", m, 10, nprobe))
+      val (cbRes, cdRes) =
+        Ann.buildPqResidual(corp, "neighbor_id", "embedding", ivf, m, cb, iters)
+      val resIx = Ann.pqIvfIndexOf(cbRes, cdRes, "neighbor_id", ivf)
+      val rRes = recallOf(Ann.ivfPqTopKResidual(
+        queries, "query_id", "embedding", resIx, "neighbor_id", m, 10, nprobe))
+      println(f"$m%-2d $cb%-4d $iters%-5d $nprobe%-6d  $rRaw%.3f   $rRes%.3f")
+    }
   }
 }

@@ -425,7 +425,42 @@ object Ann {
     * Returns (codebooks: (m, cid, centroid array<double>),
     *          codes: (idCol, m, code)). */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, codebookSize: Int, lloydIters: Int = 1): (DataFrame, DataFrame) = {
+      m: Int, codebookSize: Int, lloydIters: Int = 1): (DataFrame, DataFrame) =
+    trainEncodePq(corpus, idCol, vecCol, m, codebookSize, lloydIters)
+
+  /** The corpus RESIDUAL relation of an IVF index: one (idCol, rv) row
+    * per corpus vector where rv = vector − centroid of its assigned
+    * cell (element-wise double subtraction, engine-exact). The relation
+    * residual PQ trains on — one corpus pass, centroids broadcast. */
+  def residualsOf(corpus: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfIndex): DataFrame = {
+    val asgn = ivf.assignments.withColumnRenamed("neighbor_id", idCol)
+    corpus.join(asgn, idCol)
+      .join(broadcast(ivf.centroids), "cid")
+      .select(col(idCol),
+        zip_with(col(vecCol), col("centroid"),
+          (x, c) => x.cast("double") - c).as("rv"))
+  }
+
+  /** Train PQ codebooks and encode the corpus on IVF RESIDUALS — the
+    * actual IVFADC layout (Jégou et al. 2011 §IV; FAISS by_residual):
+    * each vector is coded as (cell, PQ codes of vector − cell
+    * centroid). Residuals span the (much smaller) Voronoi-cell
+    * neighborhood instead of the whole space, so the same bit budget
+    * buys materially better recall than raw-vector codes (PqLab
+    * table). Training arithmetic is exactly [[buildPq]]'s recipe run
+    * on the residual relation, so the whole build replays in oracle
+    * SQL with one added centroid-subtract join. Probe with
+    * [[ivfPqTopKResidual]] — raw [[ivfPqTopK]] tables would score the
+    * wrong metric against residual codes. */
+  def buildPqResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfIndex, m: Int, codebookSize: Int,
+      lloydIters: Int = 1): (DataFrame, DataFrame) =
+    trainEncodePq(residualsOf(corpus, idCol, vecCol, ivf), idCol, "rv",
+      m, codebookSize, lloydIters)
+
+  private def trainEncodePq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, codebookSize: Int, lloydIters: Int): (DataFrame, DataFrame) = {
     require(m >= 1 && codebookSize >= 1 && lloydIters >= 1,
       s"buildPq: m=$m codebookSize=$codebookSize lloydIters=$lloydIters")
     graft.functions.VectorFunctions.register(corpus.sparkSession)
@@ -496,6 +531,10 @@ object Ann {
     * code); `assignments` are buildIvf's (neighbor_id, cid). */
   def savePqBucketed(index: PqIvfIndex, idCol: String, table: String,
       auxPath: String, buckets: Int = 64): Unit = {
+    require(index.codes.columns.sorted.sameElements(
+        Array("cid", "code", idCol, "m").sorted),
+      s"savePqBucketed: codes must be (cid, $idCol, m, code) — got " +
+        index.codes.columns.mkString("(", ", ", ")"))
     index.centroids.coalesce(1).write.mode("overwrite").parquet(s"$auxPath/centroids")
     index.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$auxPath/codebooks")
     index.codes
@@ -556,6 +595,60 @@ object Ann {
         col("m") === col("qm") && col("code") === col("qcid") &&
           cand(queryIdCol) === qtab(queryIdCol))
       .select(cand(queryIdCol), col(idCol), col("m").as("mm"), col("d2"))
+    adcTail(perBlock, queryIdCol, idCol, m, k)
+  }
+
+  /** IVFADC top-k against a RESIDUAL-encoded index (built with
+    * [[buildPqResidual]]): ||q − y||² = ||(q − c_cell) − r_y||², so the
+    * per-query ADC tables are computed per PROBED CELL from the query
+    * residual q − c_cell — nprobe·m·codebookSize broadcast rows per
+    * query (the fixed IVFADC query cost; Jégou et al. 2011 §IV.B) —
+    * and each candidate looks its m entries up in ITS cell's table.
+    * Same plan shape as [[ivfPqTopK]]: stored-bucketed codes join
+    * exchange-free on cid, raw vectors never read at query time. */
+  def ivfPqTopKResidual(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      index: PqIvfIndex, idCol: String, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TopKFunctions.register(spark)
+    import graft.functions.TopKFunctions.topk_by
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .select(col(queryIdCol),
+        Kmeans.distSq(col(queryVecCol), col("centroid")).as("d2"), col("cid"))
+      .groupBy(col(queryIdCol))
+      .agg(topk_by(-col("d2"), col("cid"), nprobe).as("pr"))
+      .select(col(queryIdCol), explode(col("pr").getField("id")).as("cid"))
+    // query residual PER PROBED CELL: (query, cell, q − c_cell)
+    val qres = probes.join(queries, queryIdCol)
+      .join(broadcast(index.centroids), "cid")
+      .select(col(queryIdCol), col("cid").as("qcell"),
+        zip_with(col(queryVecCol), col("centroid"),
+          (x, c) => x.cast("double") - c).as("rqv"))
+    val qsubs = qres
+      .select(col(queryIdCol), col("qcell"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"), col("rqv"))
+      .select(col(queryIdCol), col("qcell"), col("m"),
+        subSlice(col("rqv"), col("m"), m).as("qsv"))
+    val qtab = qsubs.join(index.codebooks, "m")
+      .select(col(queryIdCol), col("qcell"), col("m").as("qm"),
+        col("cid").as("qcid"), Kmeans.distSq(col("qsv"), col("centroid")).as("d2"))
+    val cand = probes.join(index.codes, "cid")
+      .filter(col(idCol) =!= col(queryIdCol))
+    val perBlock = cand
+      .join(broadcast(qtab),
+        col("m") === col("qm") && col("code") === col("qcid") &&
+          cand(queryIdCol) === qtab(queryIdCol) && col("cid") === col("qcell"))
+      .select(cand(queryIdCol), col(idCol), col("m").as("mm"), col("d2"))
+    adcTail(perBlock, queryIdCol, idCol, m, k)
+  }
+
+  /** The shared ADC scoring tail: per-candidate fixed-association sum
+    * of its m looked-up table entries (per-sub-block pivot, then
+    * left-to-right adds — bit-stable across engines), then the
+    * bounded-heap top-k. perBlock: (queryIdCol, idCol, mm, d2). */
+  private def adcTail(perBlock: DataFrame, queryIdCol: String, idCol: String,
+      m: Int, k: Int): DataFrame = {
+    import graft.functions.TopKFunctions.topk_by
     val pivots = (0 until m).map(i =>
       max(when(col("mm") === i, col("d2"))).as(s"d$i"))
     val total = (1 until m).foldLeft(col("d0")) { (acc, i) => acc + col(s"d$i") }
@@ -597,18 +690,6 @@ object Ann {
         codes("m") === col("qm") && codes("code") === col("cid"))
       .select(codes(idCol), col(queryIdCol), codes("m").as("mm"), col("d2"))
       .filter(col(idCol) =!= col(queryIdCol))
-    val pivots = (0 until m).map(i =>
-      max(when(col("mm") === i, col("d2"))).as(s"d$i"))
-    val total = (1 until m).foldLeft(col("d0")) { (acc, i) => acc + col(s"d$i") }
-    perBlock.groupBy(col(queryIdCol), col(idCol))
-      .agg(pivots.head, pivots.tail: _*)
-      .select(col(queryIdCol), col(idCol), total.as("adc"))
-      .groupBy(col(queryIdCol))
-      .agg(topk_by(-col("adc"), col(idCol), k).as("top"))
-      .select(col(queryIdCol), posexplode(col("top")).as(Seq("i", "p")))
-      .select(col(queryIdCol), col("p.id").as(idCol),
-        (col("i") + 1).cast("int").as("rk"),
-        round(-col("p.score"), 6).as("adc_d2"))
-      .orderBy(col(queryIdCol), col("rk"))
+    adcTail(perBlock, queryIdCol, idCol, m, k)
   }
 }

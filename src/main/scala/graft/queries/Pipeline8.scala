@@ -427,10 +427,137 @@ object Pipeline8 {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- //
+  // s09: IVFADC — IVF + RESIDUAL-encoded PQ, the actual FAISS
+  // production layout (Jégou et al. 2011 §IV, by_residual): s08 codes
+  // the RAW vectors, so every cell's codebook must span the whole
+  // space; here each vector is coded as PQ(v − centroid(cell)), the
+  // residuals span only the Voronoi-cell neighborhood, and the same
+  // bit budget buys materially better recall (PqLab at sf0.01, 20
+  // queries: 0.345 vs 0.240 recall@10 at the identical
+  // 16-cell/4-probe/m4/cb8 config — and probe-INVARIANT, where raw
+  // codes degrade to 0.180 at nprobe=16 because their shared tables
+  // ignore the query-to-cell geometry the residual tables encode).
+  // Query cost gains the per-probed-cell ADC tables
+  // (nprobe·m·cb broadcast rows per query — the fixed IVFADC term).
+  // Deterministic recipe throughout, so the oracle replays the whole
+  // composition — the replay differs from s08 by exactly one
+  // centroid-subtract join per side.
+  // ---------------------------------------------------------------- //
+  def s09_ann_ivfadc(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val ivf = graft.operators.Ann.buildIvf(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      cells = ivfCells, lloydIters = 1)
+    val (codebooks, codes) = graft.operators.Ann.buildPqResidual(
+      emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", "embedding",
+      ivf, pqM, pqCb)
+    val index = graft.operators.Ann.pqIvfIndexOf(codebooks, codes, "neighbor_id", ivf)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Ann.ivfPqTopKResidual(queries, "query_id", "embedding",
+      index, "neighbor_id", pqM, pqK, ivfProbe)
+  }
+
+  val s09_sql: String = {
+    val sd = 64 / pqM
+    def d2E(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    def d2F(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, len($a)+1),
+         |    i -> (CAST($a[i] AS DOUBLE) - $b[i]) * (CAST($a[i] AS DOUBLE) - $b[i])))""".stripMargin
+    val adcSum = (1 until pqM).foldLeft("MAX(CASE WHEN m=0 THEN d2 END)") {
+      (acc, i) => s"($acc + MAX(CASE WHEN m=$i THEN d2 END))"
+    }
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |ic0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+       |       FROM e ORDER BY vec_id LIMIT $ivfCells),
+       |ia1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, ic0.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${d2F("e.v", "ic0.cv")} ASC, ic0.cid ASC) AS rn
+       |    FROM e CROSS JOIN ic0) WHERE rn = 1),
+       |im1 AS (
+       |  SELECT cid, pos, CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM (SELECT ia1.cid, unnest(range(1, len(e.v)+1)) AS pos, unnest(e.v) AS x
+       |        FROM ia1 JOIN e USING (vec_id))
+       |  GROUP BY cid, pos),
+       |ic1 AS (SELECT cid, list(mu ORDER BY pos) AS cv FROM im1 GROUP BY cid),
+       |iassign AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT e.vec_id, ic1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${d2F("e.v", "ic1.cv")} ASC, ic1.cid ASC) AS rn
+       |    FROM e CROSS JOIN ic1) WHERE rn = 1),
+       |res AS (
+       |  SELECT e.vec_id, list_transform(range(1, len(e.v)+1),
+       |    i -> CAST(e.v[i] AS DOUBLE) - ic1.cv[i]) AS rv
+       |  FROM e JOIN iassign ON e.vec_id = iassign.neighbor_id
+       |         JOIN ic1 USING (cid)),
+       |sub AS (
+       |  SELECT vec_id, mm.m AS m, rv[mm.m*$sd+1 : mm.m*$sd+$sd] AS sv
+       |  FROM res, (SELECT unnest(range(0, $pqM)) AS m) mm),
+       |pc0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $pqCb),
+       |pa1 AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT sub.vec_id, sub.m, pc0.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY ${d2E("sub.sv", "pc0.cv")} ASC, pc0.cid ASC) AS rn
+       |    FROM sub JOIN pc0 ON sub.m = pc0.m) WHERE rn = 1),
+       |pm1 AS (
+       |  SELECT m, cid, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM (SELECT pa1.m AS m, pa1.cid, unnest(range(1, len(sub.sv)+1)) AS pos,
+       |          unnest(sub.sv) AS x
+       |        FROM pa1 JOIN sub ON pa1.vec_id = sub.vec_id AND pa1.m = sub.m)
+       |  GROUP BY m, cid, pos),
+       |pc1 AS (SELECT m, cid, list(mu ORDER BY pos) AS cv FROM pm1 GROUP BY m, cid),
+       |codes AS (
+       |  SELECT vec_id AS neighbor_id, m, cid AS code FROM (
+       |    SELECT sub.vec_id, sub.m, pc1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY sub.vec_id, sub.m
+       |      ORDER BY ${d2E("sub.sv", "pc1.cv")} ASC, pc1.cid ASC) AS rn
+       |    FROM sub JOIN pc1 ON sub.m = pc1.m) WHERE rn = 1),
+       |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT qv.query_id, ic1.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY qv.query_id ORDER BY ${d2F("qv.qv", "ic1.cv")} ASC, ic1.cid ASC) AS rn
+       |    FROM qv CROSS JOIN ic1) WHERE rn <= $ivfProbe),
+       |qres AS (
+       |  SELECT probes.query_id, probes.cid AS qcell,
+       |    list_transform(range(1, len(qv.qv)+1),
+       |      i -> CAST(qv.qv[i] AS DOUBLE) - ic1.cv[i]) AS rqv
+       |  FROM probes JOIN qv USING (query_id) JOIN ic1 USING (cid)),
+       |qsub AS (
+       |  SELECT query_id, qcell, mm.m AS m, rqv[mm.m*$sd+1 : mm.m*$sd+$sd] AS qsv
+       |  FROM qres, (SELECT unnest(range(0, $pqM)) AS m) mm),
+       |qtab AS (SELECT query_id, qcell, qsub.m AS m, pc1.cid, ${d2E("qsub.qsv", "pc1.cv")} AS d2
+       |         FROM qsub JOIN pc1 ON qsub.m = pc1.m),
+       |cands AS (
+       |  SELECT query_id, neighbor_id, cid FROM probes JOIN iassign USING (cid)
+       |  WHERE query_id <> neighbor_id),
+       |per AS (
+       |  SELECT cands.query_id, cands.neighbor_id, codes.m AS m, qtab.d2
+       |  FROM cands
+       |  JOIN codes USING (neighbor_id)
+       |  JOIN qtab ON codes.m = qtab.m AND codes.code = qtab.cid
+       |    AND qtab.query_id = cands.query_id AND qtab.qcell = cands.cid),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, $adcSum AS adc
+       |  FROM per GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, rk, round(adc, 6) AS adc_d2 FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rk
+       |  FROM adc) WHERE rk <= $pqK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p46_substring_dedup" -> ((p46_substring_dedup _, Some(p46_sql))),
     "p47_temp_mix" -> ((p47_temp_mix _, Some(p47_sql))),
     "s07_ann_pq" -> ((s07_ann_pq _, Some(s07_sql))),
     "s08_ann_ivf_pq" -> ((s08_ann_ivf_pq _, Some(s08_sql))),
+    "s09_ann_ivfadc" -> ((s09_ann_ivfadc _, Some(s09_sql))),
     "st08_stream_scrub" -> ((st08_stream_scrub _, Some(st08_sql))))
 }

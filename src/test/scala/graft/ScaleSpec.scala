@@ -367,6 +367,29 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       // and the operator agrees with the battery entry itself
       assert(viaFlight.collect().toSeq ==
         graft.queries.Pipeline8.s08_ann_ivf_pq(spark, dir).collect().toSeq)
+      // recall floor ON THE LOADED index: bit-identity alone would let
+      // a parquet round-trip slip (schema/precision) pass unexercised
+      // if both sides degraded together — the loaded index must still
+      // FIND neighbors, not merely agree with itself
+      import graft.functions.TopKFunctions.topk_by
+      val exact = emb.select(col("vec_id").as("neighbor_id"),
+          transform(col("embedding"), _.cast("double")).as("cv"))
+        .join(broadcast(queries.filter(col("query_id") < 5)
+          .select(col("query_id"),
+            transform(col("embedding"), _.cast("double")).as("qv"))),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.operators.Kmeans.distSq(col("qv"), col("cv")).as("d2"))
+        .groupBy(col("query_id"))
+        .agg(topk_by(-col("d2"), col("neighbor_id"), 10).as("top"))
+        .select(col("query_id"), explode(col("top").getField("id")).as("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = viaStored.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      assert(recall >= 0.06,
+        f"loaded-index recall@10 $recall%.3f is at the ~0.02 chance floor — " +
+          "the persisted codes are not serving useful neighbors")
       def cidExchanges(df: org.apache.spark.sql.DataFrame): Int =
         "Exchange hashpartitioning\\(cid".r
           .findAllIn(df.queryExecution.executedPlan.toString).length
@@ -374,6 +397,43 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
         "bucketed codes side still exchanges on cid")
     } finally {
       spark.sql("DROP TABLE IF EXISTS pq_codes_spec")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(apath))
+    }
+  }
+
+  test("bucketed RESIDUAL PQ index (IVFADC) round-trips and matches s09") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val ivf = graft.operators.Ann.buildIvf(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      cells = 16, lloydIters = 1)
+    val (codebooks, codes) = graft.operators.Ann.buildPqResidual(
+      emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", "embedding",
+      ivf, 4, 8)
+    val inFlight = graft.operators.Ann.pqIvfIndexOf(codebooks, codes, "neighbor_id", ivf)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val apath = s"/dev/shm/graft_pqres_spec_${System.nanoTime()}"
+    graft.operators.Ann.savePqBucketed(inFlight, "neighbor_id", "pq_res_codes_spec",
+      apath, buckets = 8)
+    try {
+      val loaded = graft.operators.Ann.loadPqBucketed(spark, "pq_res_codes_spec", apath)
+      def top(ix: graft.operators.Ann.PqIvfIndex) =
+        graft.operators.Ann.ivfPqTopKResidual(queries, "query_id", "embedding", ix,
+          "neighbor_id", m = 4, k = 10, nprobe = 4)
+      val viaStored = top(loaded)
+      val viaFlight = top(inFlight)
+      assert(viaStored.collect().toSeq == viaFlight.collect().toSeq)
+      assert(viaFlight.collect().toSeq ==
+        graft.queries.Pipeline8.s09_ann_ivfadc(spark, dir).collect().toSeq)
+      def cidExchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning\\(cid".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(cidExchanges(viaStored) < math.max(cidExchanges(viaFlight), 1),
+        "bucketed residual codes side still exchanges on cid")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_res_codes_spec")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(apath))
     }
   }
