@@ -66,26 +66,48 @@ object SubstringDedupKernel extends Serializable {
     * window start positions, each covering [start, start+w). One
     * merged two-pointer pass — overlap-safe, so a pathological
     * document whose every window is removed costs O(n + m), never
-    * O(n·m). Ascending `starts` run allocation-free; an unsorted
-    * array (possible from ad-hoc SQL) is detected and sorted first. */
+    * O(n·m). Ascending non-null `starts` run allocation-free; an
+    * unsorted array or NULL elements (both possible from ad-hoc SQL)
+    * are detected, nulls dropped, and the rest sorted first. */
   def removeSpans(arr: ArrayData, starts: ArrayData, w: Int): ArrayData = {
     val n = arr.numElements()
-    val m = starts.numElements()
-    if (m == 0) return arr.copy()
-    // The merge assumes `starts` ascending. Internal call sites sort,
-    // but the function is also registered for ad-hoc SQL where an
-    // unsorted array would silently skip removals — detect (one
-    // compare per element, no allocation on the sorted hot path) and
-    // sort a copy only in the unsorted case.
-    var asc = true
-    var j = 1
-    while (asc && j < m) {
-      if (starts.getLong(j) < starts.getLong(j - 1)) asc = false
+    val m0 = starts.numElements()
+    if (m0 == 0) return arr.copy()
+    // The merge assumes `starts` ascending and non-null. Internal call
+    // sites guarantee both, but the function is also registered for
+    // ad-hoc SQL where an unsorted array would silently skip removals
+    // and a NULL element would read garbage — detect both in one
+    // compare-per-element pass (no allocation on the clean hot path)
+    // and fall back to a filtered sorted copy only when violated.
+    var clean = true
+    var prev = Long.MinValue
+    var j = 0
+    while (clean && j < m0) {
+      if (starts.isNullAt(j)) clean = false
+      else {
+        val v = starts.getLong(j)
+        if (v < prev) clean = false
+        prev = v
+      }
       j += 1
     }
+    var m = m0
     val st: Array[Long] =
-      if (asc) null
-      else { val a = starts.toLongArray(); java.util.Arrays.sort(a); a }
+      if (clean) null
+      else {
+        val buf = new Array[Long](m0)
+        var nn = 0
+        var i = 0
+        while (i < m0) {
+          if (!starts.isNullAt(i)) { buf(nn) = starts.getLong(i); nn += 1 }
+          i += 1
+        }
+        val a = java.util.Arrays.copyOf(buf, nn)
+        java.util.Arrays.sort(a)
+        m = nn
+        a
+      }
+    if (m == 0) return arr.copy()
     @inline def startAt(p: Int): Long =
       if (st == null) starts.getLong(p) else st(p)
     val kept = new Array[Any](n)
@@ -139,8 +161,9 @@ case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
 }
 
 /** `remove_spans(tokens, starts, w)` — tokens with every [start,
-  * start+w) range dropped (starts 1-based; ascending is the fast
-  * path, unsorted input is sorted defensively). */
+  * start+w) range dropped (starts 1-based; ascending non-null is the
+  * fast path, unsorted input is sorted and NULL elements are dropped
+  * defensively). */
 case class RemoveSpans(left: Expression, right: Expression, w: Int)
     extends BinaryExpression {
 

@@ -568,11 +568,23 @@ object TextOps {
     * per-shard minima IS the sketch of the concatenated stream — the
     * property that makes per-shard sketches a storable index. Plain
     * built-ins (shards-per-group is bounded, so the collected list is
-    * small); `n_instances` sums. */
-  def mergeSketches(sketches: DataFrame, groupCol: String, k: Int = 256): DataFrame =
+    * small); `n_instances` sums.
+    *
+    * `sketchK` is the k the STORED sketches were built with
+    * (`shingleSketch`'s k): merging at k > sketchK would silently
+    * yield an approximate, non-KMV result (the stored shards already
+    * discarded values a wider merge would need), so the statically
+    * known composition is enforced here — the ad-hoc SQL path keeps
+    * the documented `k(doc) >= k(group)` precondition. */
+  def mergeSketches(sketches: DataFrame, groupCol: String, k: Int = 256,
+      sketchK: Int = 256): DataFrame = {
+    require(k <= sketchK,
+      s"mergeSketches: merge k=$k exceeds the stored sketches' k=$sketchK — " +
+        "the shards already discarded the values a wider merge would need")
     sketches.groupBy(col(groupCol))
       .agg(
         slice(array_sort(array_distinct(flatten(collect_list(col("mins"))))), 1, k)
           .as("mins"),
         sum(col("n_instances")).as("n_instances"))
+  }
 }

@@ -234,10 +234,17 @@ object Pipeline8 {
     // table name matches zero leaf files and the stream silently fires
     // no batch (the single-file driver layout masked this; the sf10
     // replica exposed it). FileStreamSource only accepts directories,
-    // so the single-file layout keeps the glob-over-parent form.
+    // so the single-file layout keeps the glob-over-parent form. The
+    // check resolves through the Hadoop FileSystem API — a non-local
+    // table URI (hdfs://, s3://) would make java.io.File.isDirectory
+    // answer false and silently re-create the zero-batch failure this
+    // branch exists to prevent; the post-stream non-empty require
+    // below backstops any layout this check still misjudges.
     val tablePath = s"$dir/documents.parquet"
+    val hadoopPath = new org.apache.hadoop.fs.Path(tablePath)
+    val hfs = hadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val stream =
-      if (new java.io.File(tablePath).isDirectory)
+      if (hfs.getFileStatus(hadoopPath).isDirectory)
         s.readStream.schema(batchSchema).parquet(tablePath)
       else
         s.readStream.schema(batchSchema)
@@ -271,8 +278,16 @@ object Pipeline8 {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.Once()).start()
       q.awaitTermination()
-      s.read.parquet(outDir).orderBy(col("doc_id"))
+      val out = s.read.parquet(outDir).orderBy(col("doc_id"))
         .localCheckpoint() // pin before the tmpfs dirs are deleted
+      // a zero-batch run (source layout mismatch) must fail LOUDLY: if
+      // the batch-side read of the same table has stream-eligible docs
+      // but the stream produced none, the source never fired
+      require(out.take(1).nonEmpty ||
+          docs.filter(length(col("source")) > 4).take(1).isEmpty,
+        s"st08: stream over $tablePath fired no batches while the batch " +
+          "read sees stream-side documents — source layout mismatch")
+      out
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))

@@ -113,6 +113,25 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("remove_spans drops NULL starts elements (ad-hoc SQL input)") {
+    val gen = for {
+      toks <- genToks
+      w <- Gen.choose(1, 5)
+      nSpans <- Gen.choose(1, 12)
+      starts <- Gen.listOfN(nSpans,
+        Gen.frequency(3 -> Gen.choose(1L, toks.length + 4L).map(Some(_)),
+          1 -> Gen.const(None)))
+    } yield (toks, starts, w)
+    forAll(gen) { case (toks, starts, w) =>
+      val withNulls = new GenericArrayData(
+        starts.map(_.map(java.lang.Long.valueOf).orNull).toArray[Any])
+      val got = stringsOf(SubstringDedupKernel.removeSpans(
+        tokArray(toks), withNulls, w))
+      assert(got == refRemoveSpans(toks, starts.flatten, w),
+        s"toks=$toks starts=$starts w=$w")
+    }
+  }
+
   test("remove_spans pathological: every window removed leaves an empty doc") {
     val toks = (1 to 50).map(i => Some(s"t$i"))
     val w = 3

@@ -460,6 +460,21 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"p20 grew extra range exchanges:\n$p20")
     assert(!"Exchange hashpartitioning\\(doc_id".r.findAllIn(p20).hasNext,
       s"p20 must not hash-exchange by doc_id (range serves the window):\n$p20")
+    // the OUTPUT ORDER itself, not just the plan shape: both entries
+    // rely on sortWithinPartitions-under-RangePartitioning being a
+    // total order — a future Spark/AQE planning change could demote it
+    // to per-partition order without failing the plan asserts above
+    // (and the oracle gate sorts rows, so IT wouldn't catch it either)
+    val q96keys = graft.SparkEntry.queries("q96_having_distinct")(spark, dir)
+      .select("l_orderkey").collect().map(_.getLong(0))
+    assert(q96keys.nonEmpty && (q96keys zip q96keys.tail).forall(p => p._1 <= p._2),
+      "q96 output is no longer globally ordered by l_orderkey")
+    val p20keys = graft.SparkEntry.queries("p20_tfidf")(spark, dir)
+      .select("doc_id", "rk").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(p20keys.nonEmpty &&
+      (p20keys zip p20keys.tail).forall(p => p._1._1 < p._2._1 ||
+        (p._1._1 == p._2._1 && p._1._2 <= p._2._2)),
+      "p20 output is no longer globally ordered by (doc_id, rk)")
   }
 
   test("estimatedSplits decides the spread guard without launching work") {
