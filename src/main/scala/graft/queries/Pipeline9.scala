@@ -157,9 +157,106 @@ object Pipeline9 {
       |  FROM pairs)
       |WHERE rn = 1 ORDER BY eval_doc""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p51: SPAN-level contamination attribution — p50 counts shared
+  // 5-gram shingles; the report Lee et al. 2022 actually publish is
+  // which verbatim SPANS of each eval document appear in training
+  // data, and where they came from. Reuses p46's `shingle_hashes`
+  // kernel (w-token window fingerprints, no shingle strings): every
+  // eval window whose fingerprint occurs anywhere in training is a
+  // leaked window; overlapping/adjacent leaked windows merge into
+  // maximal spans (gaps-and-islands), each attributed to its smallest
+  // containing training doc (deterministic).
+  //
+  // Scale shape — the p50 broadcast-eval discipline: the eval window
+  // relation is benchmark-sized (broadcast), the training corpus
+  // streams through the semi-join map-side, the per-fp source
+  // aggregate is bounded by LEAKED fingerprints (map-side min
+  // partials), and the only window function runs over the leaked
+  // eval-side rows — eval-bounded at any corpus size. w = 15 and a
+  // 10%-of-corpus eval split: span merging needs runs of leaked
+  // windows, which the %97 microsplit is too sparse to exhibit.
+  // ---------------------------------------------------------------- //
+  private val spanW = 15
+
+  def p51_span_contamination(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SubstringDedupFunctions.register(s)
+    import graft.functions.SubstringDedupFunctions.shingle_hashes
+    val docs = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), PipelineOps.tokens.as("tok"))
+    val ev = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_doc"),
+        posexplode(shingle_hashes(col("tok"), spanW)).as(Seq("pos", "fp")))
+      .select(col("eval_doc"), (col("pos") + 1).cast("long").as("start"), col("fp"))
+    val tr = graft.operators.Scale.spread(docs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("doc_id").as("train_doc"),
+        explode(shingle_hashes(col("tok"), spanW)).as("fp"))
+    // smallest training doc per LEAKED fingerprint: the corpus pass is
+    // a broadcast semi-join on the eval fps; the aggregate's key space
+    // is bounded by eval windows, partials fold map-side
+    val srcs = tr.join(broadcast(ev.select(col("fp")).distinct()), "fp")
+      .groupBy(col("fp"))
+      .agg(min(col("train_doc")).as("src_doc"))
+    val leaked = ev.join(broadcast(srcs), "fp")
+    // merge overlapping/adjacent leaked windows into maximal spans:
+    // all windows are length w, so coverage is contiguous while each
+    // start is within w of the previous one (eval-bounded window fn)
+    val byDoc = Window.partitionBy(col("eval_doc")).orderBy(col("start"))
+    leaked
+      .withColumn("brk",
+        when(col("start") >
+          coalesce(lag(col("start"), 1).over(byDoc) + spanW, col("start")), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("eval_doc"), col("island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + spanW - 1).as("span_end"),
+        count(lit(1)).as("n_windows"),
+        min(col("src_doc")).as("src_doc"))
+      .select(col("eval_doc"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tok"),
+        col("n_windows"), col("src_doc"))
+      .orderBy(col("eval_doc"), col("span_start"))
+  }
+
+  val p51_sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |ew AS (
+       |  SELECT doc_id AS eval_doc, unnest(list_transform(range(1, len(tok) - $spanW + 2),
+       |    i -> {'s': i, 'fp': CAST(('0x'||substr(md5(array_to_string(tok[i:i+${spanW - 1}], ' ')),1,15)) AS BIGINT)})) AS w
+       |  FROM d WHERE doc_id % 10 = 0 AND len(tok) >= $spanW),
+       |ev AS (SELECT eval_doc, w.s AS start, w.fp AS fp FROM ew),
+       |tw AS (
+       |  SELECT doc_id AS train_doc, unnest(list_transform(range(1, len(tok) - $spanW + 2),
+       |    i -> CAST(('0x'||substr(md5(array_to_string(tok[i:i+${spanW - 1}], ' ')),1,15)) AS BIGINT))) AS fp
+       |  FROM d WHERE doc_id % 10 <> 0 AND len(tok) >= $spanW),
+       |srcs AS (
+       |  SELECT fp, MIN(train_doc) AS src_doc FROM tw
+       |  WHERE fp IN (SELECT fp FROM ev) GROUP BY fp),
+       |lk AS (SELECT eval_doc, start, src_doc FROM ev JOIN srcs USING (fp)),
+       |isl AS (
+       |  SELECT eval_doc, start, src_doc,
+       |    SUM(CASE WHEN start > COALESCE(prev + $spanW, start) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY eval_doc ORDER BY start) AS island
+       |  FROM (SELECT eval_doc, start, src_doc,
+       |          LAG(start) OVER (PARTITION BY eval_doc ORDER BY start) AS prev
+       |        FROM lk))
+       |SELECT eval_doc, MIN(start) AS span_start, MAX(start) + $spanW - 1 AS span_end,
+       |  MAX(start) + $spanW - 1 - MIN(start) + 1 AS span_tok,
+       |  COUNT(*) AS n_windows, MIN(src_doc) AS src_doc
+       |FROM isl GROUP BY eval_doc, island
+       |ORDER BY eval_doc, span_start""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p48_leak_split" -> ((p48_leak_split _, Some(p48_sql))),
     "p49_quality_canonical" -> ((p49_quality_canonical _, Some(p49_sql))),
     "p50_contamination_attribution" ->
-      ((p50_contamination_attribution _, Some(p50_sql))))
+      ((p50_contamination_attribution _, Some(p50_sql))),
+    "p51_span_contamination" ->
+      ((p51_span_contamination _, Some(p51_sql))))
 }

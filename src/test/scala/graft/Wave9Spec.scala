@@ -98,4 +98,53 @@ class Wave9Spec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"cluster relation should broadcast:\n$plan")
   }
+
+  test("p51: spans match a brute-force window-merge recount") {
+    val d01 = "/root/testdata/sf0.01"
+    val w = 15
+    val out = queries.Pipeline9.p51_span_contamination(spark, d01).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.load(spark, d01, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim))
+      .filter(_._2.nonEmpty)
+      .map { case (id, t) => (id, t.split("\\s+").toSeq) }
+    def windows(tok: Seq[String]): Seq[String] =
+      if (tok.length < w) Seq.empty else tok.sliding(w).map(_.mkString(" ")).toSeq
+    val trainOwner = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, t) <- docs if id % 10 != 0; s <- windows(t))
+      trainOwner.updateWith(s)(o => Some(o.fold(id)(math.min(_, id))))
+    val expected = docs.filter(_._1 % 10 == 0).flatMap { case (eid, t) =>
+      val leaked = windows(t).zipWithIndex.collect {
+        case (s, i) if trainOwner.contains(s) => (i + 1L, trainOwner(s))
+      }
+      // merge runs of starts within w into maximal spans
+      val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+      var cur = List.empty[(Long, Long)]
+      def flush(): Unit = if (cur.nonEmpty) {
+        val starts = cur.reverse
+        spans += ((eid, starts.head._1, starts.last._1 + w - 1,
+          starts.last._1 + w - 1 - starts.head._1 + 1,
+          starts.length.toLong, starts.map(_._2).min))
+        cur = Nil
+      }
+      for ((s, src) <- leaked) {
+        if (cur.nonEmpty && s > cur.head._1 + w) flush()
+        cur = (s, src) :: cur
+      }
+      flush()
+      spans.toSeq
+    }.sortBy(s => (s._1, s._2)).toSeq
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("p51 plan: eval relation broadcasts, training corpus never hash-exchanges wide") {
+    val plan = queries.Pipeline9.p51_span_contamination(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval fp relation should broadcast against the training pass:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no unkeyed pairing:\n$plan")
+  }
 }
