@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *   3c. exact substring removal        (TextOps.dedupSubstringsGlobal:
   *       Lee et al. 2022 — strip arbitrary-boundary repeated spans,
   *       first corpus occurrence kept)
-  *   4. near-dup clusters, keep canon   (TextDedup pairs → clusters)
-  *   5. eval-set decontamination        (TextOps.decontaminate)
+  *   4. near-dup clusters, keep BEST    (TextDedup pairs → clusters;
+  *       p49 quality-aware canonical: longest member wins, not min id)
+  *   5. eval-set decontamination        (TextOps.decontaminate against
+  *       a p48 LEAKAGE-SAFE eval split: membership hashes through the
+  *       duplicate-cluster id, so no near-dup pair straddles the
+  *       train/eval boundary)
   *   6. semantic dedup on embeddings    (Ann.semanticDups, SemDeDup)
   *   7. unigram-LM quality gate         (ONE corpus-trained LM pass
   *       gates both the rare-token rate and the CCNet tail bucket)
@@ -141,18 +145,41 @@ object CorpusBuild {
       .filter(length(trim(col("clean_text"))) > 0))
     stage("substring dedup", spanFree.count())
 
-    // 4. near-dup clusters; keep each cluster's canonical doc
+    // 4. near-dup clusters; keep each cluster's BEST member — the p49
+    // quality-aware canonical (longest clean text, ties to the smaller
+    // doc id) instead of the blind min-id member: truncated/mirrored
+    // copies lose. One orderable-struct max per cluster with map-side
+    // partials — a viral cluster never serializes a window sort.
     val toks = pin(spanFree.withColumn("tok", split(col("clean_text"), " ")))
     val pairs = graft.operators.TextDedup
       .nearDupPairs(toks, "doc_id", "source", "tok")
-    val clusters = graft.operators.TextDedup.dupClusters(pairs)
+    val members = graft.operators.TextDedup.dupClusters(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val keep = members
+      .join(toks.select(col("doc_id"), length(col("clean_text")).as("q")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nd"))).as("best"))
+      .select(col("cluster_id"), (-col("best.nd")).as("keep_doc"))
+    val nonCanon = members.join(keep, "cluster_id")
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id").as("drop_id"))
     val canon = pin(toks.join(
-      clusters.filter(!col("is_canonical")).select(col("doc_id").as("drop_id")),
-      col("doc_id") === col("drop_id"), "left_anti"))
+      nonCanon, col("doc_id") === col("drop_id"), "left_anti"))
     stage("near-dup canonical", canon.count())
 
-    // 5. decontamination: every 97th doc stands in for the eval set
-    val marked = canon.withColumn("is_eval", col("doc_id") % 97 === 0)
+    // 5. decontamination against a LEAKAGE-SAFE eval stand-in — the
+    // p48 recipe: eval membership hashes through the duplicate-CLUSTER
+    // id (a doc outside any cluster hashes through its own id), so a
+    // near-duplicate pair can never straddle the train/eval boundary
+    // and score memorization. The cluster relation is pair-bounded —
+    // a broadcast left join, the corpus pass stays map-side.
+    val marked = canon
+      .join(broadcast(members), Seq("doc_id"), "left_outer")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_eval", expr(
+        "cast(conv(substring(md5(cast(group_id as string)), 1, 8), 16, 10) " +
+          "as bigint) % 97 = 0"))
+      .drop("cluster_id", "group_id")
     val contaminated = graft.operators.TextOps
       .decontaminate(marked, "doc_id", "tok", isEval = col("is_eval"))
       .select(col("doc_id").as("bad_id"))
