@@ -41,31 +41,45 @@ object St08Lab {
       val nw = docs
         .filter(length(col("source")) > 4 && length(trim(col("text"))) > 0)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tok"))
-      nw.select(col("doc_id"), col("tok"),
-          posexplode_outer(shingle_hashes(col("tok"), w)).as(Seq("pos", "fp")))
-        .join(refFps, Seq("fp"), "left_outer")
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(sort_array(collect_list(
-          when(col("hit") === 1, (col("pos") + 1).cast("long")))).as("starts"))
+      // narrow-exchange shape (matches the fixed st08 entry): hit
+      // window rows are (doc_id, pos, fp) longs, tokens re-attach once
+      val hits = nw
+        .select(col("doc_id"),
+          posexplode(shingle_hashes(col("tok"), w)).as(Seq("pos", "fp")))
+        .join(refFps, Seq("fp"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list((col("pos") + 1).cast("long"))).as("starts"))
+      nw.join(hits, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), size(col("tok")).cast("long").as("n_tok"),
-          remove_spans(col("tok"), col("starts"), w).as("kept"))
+          remove_spans(col("tok"),
+            coalesce(col("starts"), array().cast("array<long>")), w).as("kept"))
         .select(col("doc_id"), col("n_tok"),
           (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
           md5(array_join(col("kept"), " ")).as("kept_fp"))
     }
 
+    // isolation knobs for the one-measurement-per-JVM protocol
+    // (BENCH_NOTES round-10): ST08_MODES=core,sink,stream subset,
+    // ST08_PASSES=N, ST08_WARM=false to time the cold first run —
+    // a fresh JVM per invocation attributes the run-to-run swing
+    // (JIT/page-cache/GC inheritance) that in-JVM repeats average away
+    val modes = sys.env.getOrElse("ST08_MODES", "core,sink,stream")
+      .split(",").map(_.trim).toSet
+    val passes = sys.env.get("ST08_PASSES").map(_.toInt).getOrElse(2)
+    val warm = sys.env.get("ST08_WARM").forall(_.toBoolean)
     def time(name: String)(body: => Unit): Unit = {
-      body // warm
-      val ts = (1 to 2).map { _ =>
+      if (warm) body
+      val ts = (1 to passes).map { _ =>
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
       }
-      println(f"ST08 $name%-26s ${ts.min}%.3f s")
+      println(f"ST08 $name%-26s ${ts.min}%.3f s (all: ${
+        ts.map(t => f"$t%.2f").mkString(",")})")
     }
 
-    time("core_toRdd_no_sink") {
+    if (modes("core")) time("core_toRdd_no_sink") {
       core.queryExecution.toRdd.foreach(_ => ())
     }
-    time("core_parquet_roundtrip") {
+    if (modes("sink")) time("core_parquet_roundtrip") {
       val out = s"/dev/shm/graft_st08lab_${System.nanoTime()}"
       try {
         core.write.mode("overwrite").parquet(out)
@@ -73,7 +87,7 @@ object St08Lab {
           .queryExecution.toRdd.foreach(_ => ())
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     }
-    time("full_streaming_entry") {
+    if (modes("stream")) time("full_streaming_entry") {
       graft.queries.Pipeline8.st08_stream_scrub(spark, dir)
         .queryExecution.toRdd.foreach(_ => ())
     }

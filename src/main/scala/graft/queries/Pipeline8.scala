@@ -261,14 +261,22 @@ object Pipeline8 {
         val nw = batch
           .filter(length(col("source")) > 4 && length(trim(col("text"))) > 0)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tok"))
-        nw.select(col("doc_id"), col("tok"),
-            posexplode_outer(shingle_hashes(col("tok"), w)).as(Seq("pos", "fp")))
-          .join(refFps, Seq("fp"), "left_outer")
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(sort_array(collect_list(
-            when(col("hit") === 1, (col("pos") + 1).cast("long")))).as("starts"))
+        // narrow exchanges only: the window rows and the hit aggregate
+        // carry (doc_id, pos, fp) longs — NEVER the token array. The
+        // r11 form grouped by (doc_id, tok), dragging every window
+        // row's full token array through the exchange (~25 GB at sf10
+        // — the real cause of the "sf10 weather": disk writeback of a
+        // corpus×window wide shuffle). Tokens re-attach ONCE per doc.
+        val hits = nw
+          .select(col("doc_id"),
+            posexplode(shingle_hashes(col("tok"), w)).as(Seq("pos", "fp")))
+          .join(refFps, Seq("fp"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list((col("pos") + 1).cast("long"))).as("starts"))
+        nw.join(hits, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), size(col("tok")).cast("long").as("n_tok"),
-            remove_spans(col("tok"), col("starts"), w).as("kept"))
+            remove_spans(col("tok"),
+              coalesce(col("starts"), array().cast("array<long>")), w).as("kept"))
           .select(col("doc_id"), col("n_tok"),
             (col("n_tok") - size(col("kept"))).cast("long").as("n_removed"),
             md5(array_join(col("kept"), " ")).as("kept_fp"))
