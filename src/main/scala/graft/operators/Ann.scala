@@ -642,6 +642,44 @@ object Ann {
     adcTail(perBlock, queryIdCol, idCol, m, k)
   }
 
+  /** IVFADC + exact REFINE — FAISS's IndexRefineFlat stage on top of
+    * the residual index: the compressed probe ([[ivfPqTopKResidual]])
+    * NOMINATES k·refineFactor candidates per query, then only those
+    * candidates' raw vectors are fetched by id and exact-scored. The
+    * production accuracy/IO trade at 100 TB: the corpus-wide scan
+    * stays on the m-byte codes; the raw vectors are touched for
+    * |Q|·k·refineFactor rows only (an id-keyed point join — bucket the
+    * stored corpus by id and it serves exchange-free, the
+    * savePqBucketed discipline on the other key). Guarantee: every
+    * true top-k member the ADC stage nominates survives exact
+    * re-ranking, so recall(refine) ≥ recall(ADC@k) always.
+    * Returns (queryIdCol, idCol, rk, d2) ranked by exact squared L2
+    * over per-element double casts — oracle-replayable. */
+  def ivfPqRefineTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      index: PqIvfIndex, corpus: DataFrame, idCol: String, corpusVecCol: String,
+      m: Int, k: Int, nprobe: Int, refineFactor: Int = 3): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    import graft.functions.TopKFunctions.topk_by
+    val cand = ivfPqTopKResidual(queries, queryIdCol, queryVecCol, index,
+        idCol, m, k * refineFactor, nprobe)
+      .select(col(queryIdCol), col(idCol))
+    cand
+      .join(corpus.select(col(idCol), col(corpusVecCol).as("__cv")), idCol)
+      .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))),
+        queryIdCol)
+      .select(col(queryIdCol), col(idCol),
+        Kmeans.distSq(
+          transform(col("__qv"), _.cast("double")),
+          transform(col("__cv"), _.cast("double"))).as("d2"))
+      .groupBy(col(queryIdCol))
+      .agg(topk_by(-col("d2"), col(idCol), k).as("top"))
+      .select(col(queryIdCol), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col(queryIdCol), col("p.id").as(idCol),
+        (col("i") + 1).cast("int").as("rk"),
+        round(-col("p.score"), 6).as("d2"))
+      .orderBy(col(queryIdCol), col("rk"))
+  }
+
   /** The shared ADC scoring tail: per-candidate fixed-association sum
     * of its m looked-up table entries (per-sub-block pivot, then
     * left-to-right adds — bit-stable across engines), then the

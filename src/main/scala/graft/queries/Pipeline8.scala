@@ -482,7 +482,9 @@ object Pipeline8 {
       index, "neighbor_id", pqM, pqK, ivfProbe)
   }
 
-  val s09_sql: String = {
+  /** The IVFADC replay CTE chain (everything through the per-pair ADC
+    * sums) — shared by the s09 statement and s10's refine extension. */
+  private val ivfadcSqlCtes: String = {
     val sd = 64 / pqM
     def d2E(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
@@ -492,7 +494,7 @@ object Pipeline8 {
     val adcSum = (1 until pqM).foldLeft("MAX(CASE WHEN m=0 THEN d2 END)") {
       (acc, i) => s"($acc + MAX(CASE WHEN m=$i THEN d2 END))"
     }
-    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |ic0 AS (SELECT vec_id AS cid, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
        |       FROM e ORDER BY vec_id LIMIT $ivfCells),
        |ia1 AS (
@@ -567,14 +569,67 @@ object Pipeline8 {
        |    AND qtab.query_id = cands.query_id AND qtab.qcell = cands.cid),
        |adc AS (
        |  SELECT query_id, neighbor_id, $adcSum AS adc
-       |  FROM per GROUP BY query_id, neighbor_id)
+       |  FROM per GROUP BY query_id, neighbor_id)""".stripMargin
+  }
+
+  val s09_sql: String =
+    s"""WITH $ivfadcSqlCtes
        |SELECT query_id, neighbor_id, rk, round(adc, 6) AS adc_d2 FROM (
        |  SELECT query_id, neighbor_id, adc,
        |    CAST(ROW_NUMBER() OVER (
        |      PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rk
        |  FROM adc) WHERE rk <= $pqK
        |ORDER BY query_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // s10: IVFADC + exact REFINE — the FAISS IndexRefineFlat serving
+  // config: the compressed probe nominates k·refineFactor candidates,
+  // then ONLY those candidates' raw vectors are fetched by id and
+  // exact-scored. The accuracy/IO trade production deployments run:
+  // corpus-wide work stays on the m-byte codes, raw vectors are
+  // touched for |Q|·k·factor rows. recall(refine) >= recall(ADC@k)
+  // always (a nominated true neighbor can only be outranked by true
+  // closer vectors). Deterministic end to end — the oracle extends
+  // s09's replay with the candidate cut and the exact re-rank.
+  // ---------------------------------------------------------------- //
+  private val refineFactor = 3
+
+  def s10_ann_ivfadc_refine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val ivf = graft.operators.Ann.buildIvf(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      cells = ivfCells, lloydIters = 1)
+    val (codebooks, codes) = graft.operators.Ann.buildPqResidual(
+      emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", "embedding",
+      ivf, pqM, pqCb)
+    val index = graft.operators.Ann.pqIvfIndexOf(codebooks, codes, "neighbor_id", ivf)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    graft.operators.Ann.ivfPqRefineTopK(queries, "query_id", "embedding", index,
+      emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id", "embedding",
+      pqM, pqK, ivfProbe, refineFactor)
   }
+
+  val s10_sql: String =
+    s"""WITH $ivfadcSqlCtes,
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+       |    FROM adc) WHERE rn <= ${pqK * refineFactor}),
+       |ref AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    list_sum(list_transform(range(1, len(e.v)+1),
+       |      i -> (CAST(qv.qv[i] AS DOUBLE) - CAST(e.v[i] AS DOUBLE))
+       |         * (CAST(qv.qv[i] AS DOUBLE) - CAST(e.v[i] AS DOUBLE)))) AS d2
+       |  FROM approx a JOIN e ON a.neighbor_id = e.vec_id
+       |       JOIN qv USING (query_id))
+       |SELECT query_id, neighbor_id, rk, round(d2, 6) AS d2 FROM (
+       |  SELECT query_id, neighbor_id, d2,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS INT) AS rk
+       |  FROM ref) WHERE rk <= $pqK
+       |ORDER BY query_id, rk""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p46_substring_dedup" -> ((p46_substring_dedup _, Some(p46_sql))),
@@ -582,5 +637,6 @@ object Pipeline8 {
     "s07_ann_pq" -> ((s07_ann_pq _, Some(s07_sql))),
     "s08_ann_ivf_pq" -> ((s08_ann_ivf_pq _, Some(s08_sql))),
     "s09_ann_ivfadc" -> ((s09_ann_ivfadc _, Some(s09_sql))),
+    "s10_ann_ivfadc_refine" -> ((s10_ann_ivfadc_refine _, Some(s10_sql))),
     "st08_stream_scrub" -> ((st08_stream_scrub _, Some(st08_sql))))
 }

@@ -129,6 +129,23 @@ class Wave8Spec extends AnyFunSuite {
       "(residual coding measured 0.345 at 20 queries vs raw 0.240 — PqLab r12)")
   }
 
+  test("s10 refine: exact re-rank recalls at least what the ADC stage recalls") {
+    // the refine guarantee (and the FAISS IndexRefineFlat claim): the
+    // exact re-rank of the ADC stage's k·factor nominees can only
+    // keep or improve recall — a nominated true top-k member is
+    // outranked only by vectors that are themselves true closer
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val exact = exactL2Top10(emb, 5)
+    val dir = "/root/testdata/sf0.01"
+    val rAdc = recallOf(queries.Pipeline8.s09_ann_ivfadc(spark, dir), exact)
+    val rRef = recallOf(queries.Pipeline8.s10_ann_ivfadc_refine(spark, dir), exact)
+    info(f"ADC=$rAdc%.3f refine=$rRef%.3f")
+    assert(rRef >= rAdc,
+      f"refine recall $rRef%.3f fell below the ADC stage's $rAdc%.3f")
+    assert(rRef >= 0.5, f"refine recall $rRef%.3f below floor (measured 0.740)")
+  }
+
   test("residual codes beat raw codes at the same bit budget (IVFADC claim)") {
     // the Jégou et al. 2011 §IV claim, on the real embeddings at the
     // battery bit budget (m=4 cb=8, 16 cells): residuals span only the
