@@ -663,7 +663,10 @@ object Ann {
     val cand = ivfPqTopKResidual(queries, queryIdCol, queryVecCol, index,
         idCol, m, k * refineFactor, nprobe)
       .select(col(queryIdCol), col(idCol))
-    cand
+    // the candidate relation is |Q|·k·refineFactor rows BY CONTRACT —
+    // broadcast it explicitly so the raw-vector fetch is a map-side
+    // probe of the corpus scan, never an id exchange of the embeddings
+    broadcast(cand)
       .join(corpus.select(col(idCol), col(corpusVecCol).as("__cv")), idCol)
       .join(broadcast(queries.select(col(queryIdCol), col(queryVecCol).as("__qv"))),
         queryIdCol)

@@ -219,6 +219,27 @@ class Wave8Spec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getInt(2) >= 1))
   }
 
+  test("s09/s10 plans: residual chain and refine keep the compressed-path shape") {
+    for (mk <- Seq(
+        queries.Pipeline8.s09_ann_ivfadc _,
+        queries.Pipeline8.s10_ann_ivfadc_refine _)) {
+      val df = mk(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"IVFADC must never pair corpus rows without a key:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"centroids/residual tables/candidates must broadcast:\n$plan")
+      assert(!plan.contains("Window"),
+        s"no per-group window sort in the IVFADC chain:\n$plan")
+      assert(plan.contains("partial_topk_by"),
+        s"probe/argmin/top-k must pre-reduce map-side:\n$plan")
+      // (the remaining hashpartitioning exchanges are the BUILD's own
+      // narrow (id, m)-keyed aggregates — the documented one-time
+      // index-build shape; the QUERY path's refine fetch broadcasts
+      // the candidate relation by explicit hint in ivfPqRefineTopK)
+    }
+  }
+
   test("p47: quotas follow sqrt scaling and sampling is a map-side filter") {
     val df = queries.Pipeline8.p47_temp_mix(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
