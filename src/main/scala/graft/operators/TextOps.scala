@@ -562,6 +562,42 @@ object TextOps {
         col("kept_tok"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync family at token
+    * granularity): a chunk boundary falls after token position e
+    * (e ≥ w) whenever the fingerprint of the w-token window ENDING at
+    * e hits the mask (fp % mask == 0) — so an insertion or deletion
+    * re-chunks only its neighborhood and identical downstream content
+    * re-aligns, which fixed-window chunking can never do. Documents
+    * shorter than w are one chunk. Returns one row per chunk:
+    * (idCol, idx, c_len, c_fp) where c_fp = md5 of the space-joined
+    * chunk tokens. Pure map-side per-document array work — the only
+    * post-chunk rows are the chunks themselves. */
+  def cdcChunks(df: DataFrame, idCol: String, tokCol: String,
+      w: Int = 8, mask: Int = 16): DataFrame = {
+    require(w >= 1 && mask >= 1, s"cdcChunks: w=$w mask=$mask")
+    graft.functions.SubstringDedupFunctions.register(df.sparkSession)
+    import graft.functions.SubstringDedupFunctions.shingle_hashes
+    val withCuts = df.withColumn("cuts",
+      when(size(col(tokCol)) >= w,
+        filter(zip_with(
+          shingle_hashes(col(tokCol), w),
+          sequence(lit(w), size(col(tokCol))),
+          (f, e) => when(pmod(f, lit(mask)) === 0, e)),
+          x => x.isNotNull))
+        .otherwise(array().cast("array<int>")))
+    withCuts
+      .withColumn("bounds", zip_with(
+        concat(array(lit(0)), col("cuts")),
+        concat(col("cuts"), array(size(col(tokCol)))),
+        (st, en) => struct(st.as("s"), en.as("e"))))
+      .select(col(idCol), col(tokCol), posexplode(col("bounds")).as(Seq("idx", "b")))
+      .filter(col("b.e") > col("b.s"))
+      .select(col(idCol), col("idx"),
+        (col("b.e") - col("b.s")).cast("long").as("c_len"),
+        md5(concat_ws(" ",
+          slice(col(tokCol), col("b.s") + 1, col("b.e") - col("b.s")))).as("c_fp"))
+  }
+
   /** Exact merge of stored KMV sketches (one row per (shard, group),
     * e.g. `shingleSketch` outputs unioned across shards, round-tripped
     * through parquet): the k smallest distinct values of the union of

@@ -252,11 +252,87 @@ object Pipeline9 {
        |FROM isl GROUP BY eval_doc, island
        |ORDER BY eval_doc, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // p52: content-defined chunking (CDC) dedup — the FastCDC/rsync
+  // family: chunk boundaries fall where a rolling window fingerprint
+  // hits a mask (fp % 16 == 0 after token ≥ w), so an insertion or
+  // deletion only re-chunks its neighborhood — unlike p34's fixed
+  // windows, identical downstream content re-aligns and dedups.
+  // Chunk identity = md5 of the chunk's tokens; an occurrence is a
+  // DUP if it is not the corpus-globally first (min (doc_id, idx))
+  // occurrence of its chunk.
+  //
+  // Scale shape: chunking is pure map-side per-document array work (no
+  // explode until chunks exist — bounded by tokens/avg-chunk); dedup
+  // is ONE fp-keyed aggregate (count + min-struct winner, map-side
+  // partials) and one fp equi-join of narrow (doc, idx, fp, len) rows
+  // — the p46 discipline. No corpus² anything.
+  // ---------------------------------------------------------------- //
+  private val cdcW = 8 // rolling window (tokens)
+  private val cdcMask = 16 // boundary when fp % mask == 0 (~1/16 of ends)
+
+  def p52_cdc_chunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.Scale.spread(
+        t(s, dir, "documents").filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), PipelineOps.tokens.as("tok")))
+    val chunks = graft.operators.TextOps.cdcChunks(docs, "doc_id", "tok",
+      w = cdcW, mask = cdcMask)
+    // corpus-global winner per chunk fp: ONE aggregate, partials
+    // map-side; an occurrence is a dup iff it isn't the winner
+    val winners = chunks.groupBy(col("c_fp"))
+      .agg(min(struct(col("doc_id").as("d"), col("idx").as("i"))).as("first"))
+    chunks.join(winners, "c_fp")
+      .select(col("doc_id"), col("c_len"),
+        when(col("doc_id") === col("first.d") && col("idx") === col("first.i"), 0L)
+          .otherwise(1L).as("is_dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("is_dup")).as("n_dup_chunks"),
+        sum(when(col("is_dup") === 1, col("c_len")).otherwise(0L)).as("dup_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p52_sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+       |  FROM documents WHERE len(trim(text)) > 0),
+       |wc AS (
+       |  SELECT doc_id, tok,
+       |    CASE WHEN len(tok) >= $cdcW THEN
+       |      list_filter(list_transform(range(1, len(tok) - $cdcW + 2),
+       |        i -> CASE WHEN CAST(('0x'||substr(md5(array_to_string(tok[i:i+${cdcW - 1}], ' ')),1,15)) AS BIGINT)
+       |                       % $cdcMask = 0
+       |             THEN CAST(i + $cdcW - 1 AS INT) END), x -> x IS NOT NULL)
+       |    ELSE [] END AS cuts
+       |  FROM d),
+       |b AS (
+       |  SELECT doc_id, tok,
+       |    list_prepend(0, cuts) AS starts, list_append(cuts, len(tok)) AS ends
+       |  FROM wc),
+       |ch AS (
+       |  SELECT doc_id, u.idx AS idx,
+       |    CAST(u.e - u.s AS BIGINT) AS c_len,
+       |    md5(array_to_string(tok[u.s + 1 : u.e], ' ')) AS c_fp
+       |  FROM (SELECT doc_id, tok, unnest(list_transform(range(1, len(starts) + 1),
+       |          j -> {'idx': j - 1, 's': starts[j], 'e': ends[j]})) AS u
+       |        FROM b)
+       |  WHERE u.e > u.s),
+       |w AS (
+       |  SELECT c_fp, MIN({'d': doc_id, 'i': idx}) AS first FROM ch GROUP BY c_fp)
+       |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN NOT (ch.doc_id = (w.first).d AND ch.idx = (w.first).i)
+       |        THEN 1 END) AS n_dup_chunks,
+       |  CAST(coalesce(SUM(CASE WHEN NOT (ch.doc_id = (w.first).d AND ch.idx = (w.first).i)
+       |        THEN c_len END), 0) AS BIGINT) AS dup_tok
+       |FROM ch JOIN w USING (c_fp)
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "p48_leak_split" -> ((p48_leak_split _, Some(p48_sql))),
     "p49_quality_canonical" -> ((p49_quality_canonical _, Some(p49_sql))),
     "p50_contamination_attribution" ->
       ((p50_contamination_attribution _, Some(p50_sql))),
     "p51_span_contamination" ->
-      ((p51_span_contamination _, Some(p51_sql))))
+      ((p51_span_contamination _, Some(p51_sql))),
+    "p52_cdc_chunks" -> ((p52_cdc_chunks _, Some(p52_sql))))
 }

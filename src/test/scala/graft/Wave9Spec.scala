@@ -140,6 +140,28 @@ class Wave9Spec extends AnyFunSuite {
     assert(got == expected, s"got=$got expected=$expected")
   }
 
+  test("p52/cdcChunks: chunks re-align across an insertion (the CDC property)") {
+    import spark.implicits._
+    // doc A = 200 tokens; doc B = the same stream with one token
+    // INSERTED at the front. Fixed-window chunking would misalign
+    // every downstream chunk; content-defined boundaries re-sync after
+    // the first cut, so A and B must share chunk fingerprints.
+    val base = (1 to 200).map(i => s"tok$i")
+    val df = Seq((1L, base), (2L, "INS" +: base)).toDF("doc_id", "tok")
+    val ch = graft.operators.TextOps.cdcChunks(df, "doc_id", "tok").collect()
+    val a = ch.filter(_.getLong(0) == 1L).map(_.getString(3)).toSet
+    val b = ch.filter(_.getLong(0) == 2L).map(_.getString(3)).toSet
+    assert((a intersect b).nonEmpty,
+      s"no shared chunk after a front insertion — boundaries are not content-defined (a=$a b=$b)")
+    // and the chunks tile each document exactly
+    val lens = ch.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(lens == Map(1L -> 200L, 2L -> 201L), s"chunks must tile the doc: $lens")
+    // short doc = one whole-doc chunk
+    val one = graft.operators.TextOps.cdcChunks(
+      Seq((9L, Seq("a", "b"))).toDF("doc_id", "tok"), "doc_id", "tok").collect()
+    assert(one.length == 1 && one.head.getLong(2) == 2L)
+  }
+
   test("p51 plan: eval relation broadcasts, training corpus never hash-exchanges wide") {
     val plan = queries.Pipeline9.p51_span_contamination(spark, "/root/testdata/sf0.01")
       .queryExecution.executedPlan.toString
