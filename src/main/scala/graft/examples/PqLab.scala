@@ -89,5 +89,19 @@ object PqLab {
         queries, "query_id", "embedding", resIx, "neighbor_id", m, 10, nprobe))
       println(f"$m%-2d $cb%-4d $iters%-5d $nprobe%-6d  $rRaw%.3f   $rRes%.3f")
     }
+
+    // refine knob: exact re-rank of the ADC stage's k·factor nominees
+    // (s10). factor=1 exact-ranks the ADC top-k itself (set recall
+    // unchanged, order fixed); each step up trades k·Δfactor raw-vector
+    // fetches per query for recall.
+    println("\nIVFADC + exact refine (16 cells, nprobe=4, m=4 cb=8): recall@10 vs factor")
+    val (cbR2, cdR2) = Ann.buildPqResidual(corp, "neighbor_id", "embedding", ivf, 4, 8)
+    val ix2 = Ann.pqIvfIndexOf(cbR2, cdR2, "neighbor_id", ivf)
+    for (factor <- Seq(1, 2, 3, 6, 10)) {
+      val r = recallOf(Ann.ivfPqRefineTopK(queries, "query_id", "embedding", ix2,
+        corp.select(col("neighbor_id"), col("embedding")), "neighbor_id", "embedding",
+        4, 10, 4, factor))
+      println(f"factor=$factor%-3d recall=$r%.3f")
+    }
   }
 }
