@@ -193,7 +193,7 @@ final class PgTempReaderFactory(pgTypes: Seq[PgType],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val bytes = partition.asInstanceOf[PgTempPayloadPartition].bytes
     new PartitionReader[InternalRow] {
-      private val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      private val in = new graft.codec.PgBlockInput(new java.io.ByteArrayInputStream(bytes))
       private val reader = new PgBinaryReader(pgTypes, targets)
       reader.readHeader(in)
       private var current: InternalRow = _

@@ -68,14 +68,14 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
 
   def this(types: Seq[PgType]) = this(types, types.map(PgType.toSpark))
 
-  def readHeader(in: DataInputStream): Unit = {
+  def readHeader(in: PgBlockInput): Unit = {
     val sig = new Array[Byte](11)
     in.readFully(sig)
     require(java.util.Arrays.equals(sig, PgWire.Signature),
       "not a PGCOPY binary stream")
     in.readInt() // flags
     val ext = in.readInt()
-    if (ext > 0) PgWire.skipFully(in, ext)
+    if (ext > 0) in.skipFully(ext)
   }
 
   // Per-column readers compiled once: fixed-width primitives read
@@ -83,9 +83,9 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
   // allocation — the decode loop runs per field per row on every scan
   // task); everything else falls back to the general byte-slice path.
   // Monomorphic array dispatch also replaces the per-field type match.
-  private val fieldReaders: Array[(DataInputStream, Int) => Any] =
+  private val fieldReaders: Array[(PgBlockInput, Int) => Any] =
     types.zip(targets).map { case (t, target) =>
-      def slice: (DataInputStream, Int) => Any = { (in, len) =>
+      def slice: (PgBlockInput, Int) => Any = { (in, len) =>
         val bytes = new Array[Byte](len)
         in.readFully(bytes)
         readValue(bytes, t, target)
@@ -96,13 +96,13 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
       // count and silently desync the PGCOPY framing for every
       // following field. One int compare per field; a mismatch fails
       // locally naming the type instead of corrupting downstream rows.
-      def fixed(width: Int)(f: DataInputStream => Any): (DataInputStream, Int) => Any =
+      def fixed(width: Int)(f: PgBlockInput => Any): (PgBlockInput, Int) => Any =
         (in, len) => {
           if (len != width) throw new IllegalStateException(
             s"PGCOPY field of type $t declared $len bytes, expected $width")
           f(in)
         }
-      val reader: (DataInputStream, Int) => Any = t match {
+      val reader: (PgBlockInput, Int) => Any = t match {
         case PgBool => fixed(1)(_.readByte() != 0)
         case PgInt2 => fixed(2)(_.readShort())
         case PgInt4 => fixed(4)(_.readInt())
@@ -140,7 +140,7 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
     }.toArray
 
   /** Read one tuple; None at the -1 trailer (or clean EOF). */
-  def readRow(in: DataInputStream): Option[InternalRow] = {
+  def readRow(in: PgBlockInput): Option[InternalRow] = {
     val nfields =
       try in.readShort()
       catch { case _: EOFException => return None }
@@ -237,6 +237,53 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
         new GenericArrayData(Array.fill(npts * 2)(buf.getDouble))
       case a: PgArray => readArray(buf, a, target)
       case c: PgComposite => readComposite(buf, c, target)
+    }
+  }
+
+  /** Positioned [[readValue]]: decode a field in place from a shared
+    * page buffer — the packed-verbatim predicate path evaluates pushed
+    * WHERE columns per tuple, and a per-value `copyOfRange` there is
+    * allocation on a 60M-row loop. Fixed-layout and text shapes decode
+    * zero-copy; exotic shapes (arrays, composites, geometry, bit) fall
+    * back to the copying path. */
+  def readValueAt(bytes: Array[Byte], off: Int, len: Int, t: PgType, target: DataType): Any = {
+    def buf = java.nio.ByteBuffer.wrap(bytes, off, len)
+    t match {
+      case PgBool => bytes(off) != 0
+      case PgInt2 => buf.getShort
+      case PgInt4 => buf.getInt
+      case PgInt8 => buf.getLong
+      case PgOid => buf.getInt.toLong & 0xffffffffL
+      case PgFloat4 => buf.getFloat
+      case PgFloat8 => buf.getDouble
+      case _: PgNumeric => readNumeric(buf, target)
+      case PgText | PgVarchar | PgJson | _: PgUnknown | _: PgEnum =>
+        UTF8String.fromBytes(bytes, off, len)
+      case _: PgBpchar =>
+        var end = off + len
+        while (end > off && bytes(end - 1) == ' ') end -= 1
+        UTF8String.fromBytes(bytes, off, end - off)
+      case PgJsonb => UTF8String.fromBytes(bytes, off + 1, len - 1)
+      case PgDate =>
+        val d = buf.getInt
+        if (d == PgWire.PgDateInf) Int.MaxValue
+        else if (d == PgWire.PgDateNegInf) Int.MinValue
+        else d + PgWire.DateEpochShiftDays
+      case PgTime => buf.getLong
+      case PgTimestamp | PgTimestampTz =>
+        val us = buf.getLong
+        if (us == PgWire.PgTsInf) Long.MaxValue
+        else if (us == PgWire.PgTsNegInf) Long.MinValue
+        else us + PgWire.TsEpochShiftMicros
+      case PgCtid =>
+        val b = buf
+        val page = b.getInt.toLong & 0xffffffffL
+        val row = b.getShort.toLong & 0xffffL
+        (page << 16) | row
+      case PgUuid =>
+        val b = buf
+        UTF8String.fromString(new java.util.UUID(b.getLong, b.getLong).toString)
+      case _ => readValue(java.util.Arrays.copyOfRange(bytes, off, off + len), t, target)
     }
   }
 

@@ -103,7 +103,7 @@ object PgFunctions {
         cols.map(_._2), fields.map(_.dataType))
       // same COPY shape as the postgres_query scan path, so every
       // endpoint that serves `query` scans serves this too
-      val in = new java.io.DataInputStream(transport.copyOut(
+      val in = new graft.codec.PgBlockInput(transport.copyOut(
         PgSqlGen.copyQuerySql(sql,
           cols.map { case (n, pt) => PgSqlGen.ScanColumn(n, pt) }, Nil)))
       val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -241,8 +241,7 @@ object PgFunctions {
                 val sparkTypes = pgTypes.map(graft.types.PgType.toSpark)
                 val reader = new graft.codec.PgBinaryReader(pgTypes, sparkTypes)
                 val writer = new graft.codec.PgTextWriter(pgTypes, sparkTypes)
-                val din = new java.io.DataInputStream(
-                  new java.io.BufferedInputStream(in, 1 << 16))
+                val din = new graft.codec.PgBlockInput(in)
                 reader.readHeader(din)
                 val out = dst.copyIn(
                   s"COPY $dstName ($colList) FROM STDIN (FORMAT text)")

@@ -142,10 +142,10 @@ final class PgCopyPartitionReader(
     required.fields.map(f => fullSchema.fieldIndex(f.name))
   private val posInRequired: Map[Int, Int] = requiredIdx.zipWithIndex.toMap
 
-  private val in: DataInputStream = {
+  private val in: graft.codec.PgBlockInput = {
     val p = new Path(file)
     val fs = p.getFileSystem(hconf)
-    val s = new DataInputStream(new BufferedInputStream(fs.open(p), 1 << 16))
+    val s = new graft.codec.PgBlockInput(fs.open(p))
     reader.readHeader(s)
     s
   }
@@ -171,7 +171,7 @@ final class PgCopyPartitionReader(
               reader.readValue(bytes, pgTypes(i), fullSchema.fields(i).dataType))
           }
         case None =>
-          if (len > 0) graft.codec.PgWire.skipFully(in, len) // pruned column: skip, don't decode
+          if (len > 0) in.skipFully(len) // pruned column: skip, don't decode
       }
       i += 1
     }

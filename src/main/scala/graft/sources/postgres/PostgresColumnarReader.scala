@@ -1,13 +1,13 @@
 package graft.sources.postgres
 
-import java.io.{DataInputStream, EOFException}
+import java.io.EOFException
 
 import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-import graft.codec.{PgBinaryReader, PgWire}
+import graft.codec.{PgBinaryReader, PgBlockInput, PgWire}
 import graft.sqlgen.PgSqlGen.ScanColumn
 import graft.types.PgType
 import graft.types.PgType._
@@ -60,10 +60,10 @@ final class PostgresColumnarReader(
   // numeric decode shares the row reader's base-10000 reconstruction
   private val numericReader = new PgBinaryReader(Seq.empty)
 
-  private type Decoder = (DataInputStream, WritableColumnVector, Int, Int) => Unit
+  private type Decoder = (PgBlockInput, WritableColumnVector, Int, Int) => Unit
 
   private def fixed(t: PgType, width: Int)(
-      f: (DataInputStream, WritableColumnVector, Int) => Unit): Decoder =
+      f: (PgBlockInput, WritableColumnVector, Int) => Unit): Decoder =
     (in, vec, row, len) => {
       // same framing guard as the row path: a mismatched wire length
       // read at the expected width would silently desync every

@@ -807,7 +807,7 @@ final class PostgresReaderFactory(
   * then exhaust the pool and hang every later scan on the DSN. */
 private[postgres] object PgScanOpen {
   def open(dsn: String, sql: String, snapshot: Option[graft.meta.SnapshotRef])
-      : (graft.meta.PgTransport, DataInputStream) = {
+      : (graft.meta.PgTransport, graft.codec.PgBlockInput) = {
     val transport = PgTransportFactory.open(dsn)
     try {
       // adopt the exported snapshot before streaming, then report the
@@ -824,7 +824,7 @@ private[postgres] object PgScanOpen {
       // running task, so a scan built from a cached schema that no
       // longer matches the server fails with an actionable pointer at
       // the cache hook instead of a bare server error.
-      val d = new DataInputStream(
+      val d = new graft.codec.PgBlockInput(
         try transport.copyOut(sql)
         catch {
           case e: Exception if e.getMessage != null &&
@@ -869,7 +869,7 @@ final class PostgresPartitionReader(
       var i = 0
       while (i < nfields) {
         val len = in.readInt()
-        if (len > 0) graft.codec.PgWire.skipFully(in, len)
+        if (len > 0) in.skipFully(len)
         i += 1
       }
       current = new GenericInternalRow(0)
@@ -992,7 +992,7 @@ final class PostgresStreamingWrite(table: PostgresTable, writeSchema: StructType
   }
 
   private def epochCommitted(t: PgTransport, epochId: Long): Boolean = {
-    val in = new java.io.DataInputStream(t.copyOut(
+    val in = new graft.codec.PgBlockInput(t.copyOut(
       s"""COPY (SELECT "epoch_id" FROM $epochsQname WHERE """ +
         s"""("sink" = ${PgSqlGen.quoteString(s"${opts.schema}.$tbl")}) AND """ +
         s"""("epoch_id" = $epochId)) TO STDOUT (FORMAT binary)"""))

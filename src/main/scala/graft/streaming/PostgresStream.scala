@@ -86,7 +86,7 @@ final class PostgresMicroBatchStream(
   private def fetchBound(fn: String): Option[Long] = {
     val t = PgTransportFactory.open(opts.dsn)
     try {
-      val in = new DataInputStream(t.copyOut(
+      val in = new graft.codec.PgBlockInput(t.copyOut(
         s"COPY (SELECT $fn($qk) FROM $qname) TO STDOUT (FORMAT binary)"))
       val reader = new graft.codec.PgBinaryReader(Seq(keyPg))
       reader.readHeader(in)

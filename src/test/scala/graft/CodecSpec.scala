@@ -24,7 +24,7 @@ class CodecSpec extends AnyFunSuite {
     w.writeTrailer(out)
     out.flush()
     val r = new PgBinaryReader(types)
-    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    val in = new graft.codec.PgBlockInput(new ByteArrayInputStream(bos.toByteArray))
     r.readHeader(in)
     Iterator.continually(r.readRow(in)).takeWhile(_.isDefined).map(_.get).toSeq
   }
@@ -75,7 +75,7 @@ class CodecSpec extends AnyFunSuite {
         w.writeHeader(out)
         w.writeRow(out, row(Decimal(bd, math.min(p, 38), bd.scale)))
         w.writeTrailer(out)
-        val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+        val in = new graft.codec.PgBlockInput(new ByteArrayInputStream(bos.toByteArray))
         r.readHeader(in); r.readRow(in).get
       }
       assert(got.getDecimal(0, math.min(p, 38), bd.scale).toJavaBigDecimal
@@ -91,7 +91,7 @@ class CodecSpec extends AnyFunSuite {
     w.writeRow(out, row(Decimal(new java.math.BigDecimal("12345.6789"), 20, 4)))
     w.writeTrailer(out)
     val r = new PgBinaryReader(Seq(t)) // unconstrained → DoubleType target
-    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    val in = new graft.codec.PgBlockInput(new ByteArrayInputStream(bos.toByteArray))
     r.readHeader(in)
     assert(r.readRow(in).get.getDouble(0) == 12345.6789)
   }
@@ -128,7 +128,7 @@ class CodecSpec extends AnyFunSuite {
     w.writeHeader(out)
     w.writeRow(out, row(UTF8String.fromString("ab   ")))
     w.writeTrailer(out)
-    val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+    val in = new graft.codec.PgBlockInput(new ByteArrayInputStream(bos.toByteArray))
     bp.readHeader(in)
     assert(bp.readRow(in).get.getUTF8String(0).toString == "ab")
   }

@@ -1422,7 +1422,7 @@ class PostgresConnectorSpec extends AnyFunSuite {
     val hazards = Seq("name_7", "a AND b", "x' AND ('y", "name_", "zzz", "(paren)")
     val ops = Seq("=", "<>", "<", "<=", ">", ">=")
     def served(where: String): Int = {
-      val in = new java.io.DataInputStream(pg.copyOut(
+      val in = new graft.codec.PgBlockInput(pg.copyOut(
         s"""COPY (SELECT "id" FROM "public"."people" WHERE $where) TO STDOUT (FORMAT binary)"""))
       val r = new graft.codec.PgBinaryReader(Seq(PgInt8))
       r.readHeader(in)
@@ -1543,7 +1543,7 @@ class PostgresConnectorSpec extends AnyFunSuite {
   test("mem endpoint applies bound WHERE server-side; unbound conjunct drops the tail") {
     pg
     def servedRows(sql: String): Int = {
-      val in = new java.io.DataInputStream(pg.copyOut(sql))
+      val in = new graft.codec.PgBlockInput(pg.copyOut(sql))
       val r = new graft.codec.PgBinaryReader(Seq(PgInt8))
       r.readHeader(in)
       var n = 0
@@ -1582,7 +1582,7 @@ class PostgresConnectorSpec extends AnyFunSuite {
       t.execute("""CREATE TABLE "public"."sc" ("k" BIGINT)""")
       val stmt = """COPY (SELECT "k" FROM "public"."sc") TO STDOUT (FORMAT binary)"""
       def served(): Seq[Long] = {
-        val in = new java.io.DataInputStream(pg.copyOut(stmt))
+        val in = new graft.codec.PgBlockInput(pg.copyOut(stmt))
         val r = new graft.codec.PgBinaryReader(Seq(PgInt8))
         r.readHeader(in)
         val out = scala.collection.mutable.ArrayBuffer.empty[Long]
