@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Pipeline7.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline8.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Pipeline9.entries.map { case (k, (fn, _)) => k -> fn } ++
+      graft.queries.Pipeline10.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.ConnectorOps.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.TpchCatalog.entries.map { case (k, (fn, _)) => k -> fn } ++
       graft.queries.Tpcds.entries.map { case (k, (fn, _)) => k -> fn } ++
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.queries.Pipeline7.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline8.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Pipeline9.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
+      graft.queries.Pipeline10.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.ConnectorOps.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.TpchCatalog.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++
       graft.queries.Tpcds.entries.collect { case (k, (_, Some(sql))) => k -> sql } ++

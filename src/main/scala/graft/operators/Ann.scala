@@ -291,6 +291,46 @@ object Ann {
         (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos"))
   }
 
+  /** Filtered ANN: the IVF probe of [[ivfTopK]] with a query-time
+    * metadata predicate applied to the PROBED candidates before exact
+    * scoring — top-k is computed over matching vectors only (the
+    * "pre-filtered search" mode vector stores expose; FAISS's
+    * IDSelector and Milvus boolean exprs are the native-engine
+    * equivalents). Post-filtering a plain top-k instead would return
+    * fewer than k hits whenever the filter is selective. The index is
+    * built over the FULL corpus — the filter rides the corpus relation
+    * as a plain column predicate, so Spark pushes it into the corpus
+    * scan and the candidate join shrinks before any vector math runs.
+    * At 10⁹ vectors the probed-cell candidate set is the only
+    * data-sized relation here, and the filter prunes it map-side. */
+  def ivfFilteredTopK(queries: DataFrame, corpus: DataFrame, index: IvfIndex,
+      k: Int, nprobe: Int, candidateFilter: Column): DataFrame = {
+    val s = queries.sparkSession
+    VectorFunctions.register(s)
+    graft.functions.TopKFunctions.register(s)
+    import graft.functions.TopKFunctions.topk_by
+    val q = queries.withColumn("qn", sqrt(vec_dot(col("qv"), col("qv"))))
+    val c = corpus.filter(candidateFilter)
+      .withColumn("cn", sqrt(vec_dot(col("cv"), col("cv"))))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .select(col("query_id"),
+        Kmeans.distSq(col("qv"), col("centroid")).as("d2"), col("cid"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(-col("d2"), col("cid"), nprobe).as("pr"))
+      .select(col("query_id"), explode(col("pr").getField("id")).as("cid"))
+    probes.join(index.assignments, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id") // inner join = the predicate prunes candidates
+      .withColumn("cos", vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        (col("i") + 1).cast("int").as("rank"), col("p.score").as("cos"))
+  }
+
   /** Deterministic random hyperplanes: L tables × B bits, each plane a
     * `dim`-vector. Generated on the driver (tiny) and inlined as a
     * single nested-array literal — broadcast with the plan, no shuffle. */
