@@ -50,7 +50,9 @@ object DecodeLab {
       ("full_row", "lineitem", Nil),
       ("orders_mixed", "orders", Nil))
 
-    cases.foreach { case (name, table, cols) =>
+    // GRAFT_DECODE_ONLY=name,name narrows the case list (profiling aid)
+    val only = sys.env.get("GRAFT_DECODE_ONLY").map(_.split(",").toSet)
+    cases.filter(c => only.forall(_.contains(c._1))).foreach { case (name, table, cols) =>
       val row = time(s"$name row")(scan(table, cols, vec = false))
       val vec = time(s"$name vec")(scan(table, cols, vec = true))
       println(f"DECODE $name%-14s row $row%7.2f s  vec $vec%7.2f s  speedup ${row / vec}%5.2fx")
