@@ -956,9 +956,6 @@ final class InMemoryPg(val name: String) extends PgTransport {
     }
     val textRenderer = new graft.codec.PgTextWriter(t.colTypes)
     val writer = new PgBinaryWriter(outTypes)
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    writer.writeHeader(out)
     val (loPage, hiPage) = pageRange.getOrElse((0L, Long.MaxValue))
     // '(hi,0)' has row id 0 < any live row id, so page hi itself is
     // excluded — matching PG BETWEEN semantics on tids. Rows stream
@@ -996,28 +993,78 @@ final class InMemoryPg(val name: String) extends PgTransport {
         }.iterator
       }
     val afterOffset = offset.map(sorted.drop).getOrElse(sorted)
-    val served = limit.map(afterOffset.take).getOrElse(afterOffset)
-    served.foreach { case (slot, row) =>
-      val page = slot / RowsPerPage
-      val vals: Array[Any] =
-        if (projCols.isEmpty) Array[Any](null)
-        else idx.map { case (ci, render) =>
-          if (ci == -1) (page.toLong << 16) | (slot % RowsPerPage + 1).toLong
-          else if (row.isNullAt(ci)) null
-          else {
-            val v = row.get(ci, PgType.toSpark(t.columns(ci)._2))
-            if (render)
-              org.apache.spark.unsafe.types.UTF8String.fromString(
-                textRenderer.valueText(v, t.colTypes(ci),
-                  PgType.toSpark(t.colTypes(ci))))
-            else v
+    // the row PIPELINE still evaluates eagerly inside this call (same
+    // visibility window vs concurrent DDL as the old materializing
+    // serve — toArray copies row REFERENCES only); what streams lazily
+    // is the ENCODED payload, which for a large boxed scan is 2-3× the
+    // row data and used to be built three times over (BAOS growth +
+    // toByteArray) before the client saw byte one
+    val servedRows: Array[(Int, InternalRow)] =
+      limit.map(afterOffset.take).getOrElse(afterOffset).toArray
+    new InputStream {
+      private val bos = new ByteArrayOutputStream(1 << 16)
+      private val out = new DataOutputStream(bos)
+      private var chunk: Array[Byte] = {
+        writer.writeHeader(out); out.flush()
+        val h = bos.toByteArray; bos.reset(); h
+      }
+      private var cpos = 0
+      private var clim = chunk.length
+      private var i = 0
+      private var done = false
+
+      private def encodeRow(slot: Int, row: InternalRow): Unit = {
+        val page = slot / RowsPerPage
+        val vals: Array[Any] =
+          if (projCols.isEmpty) Array[Any](null)
+          else idx.map { case (ci, render) =>
+            if (ci == -1) (page.toLong << 16) | (slot % RowsPerPage + 1).toLong
+            else if (row.isNullAt(ci)) null
+            else {
+              val v = row.get(ci, PgType.toSpark(t.columns(ci)._2))
+              if (render)
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  textRenderer.valueText(v, t.colTypes(ci),
+                    PgType.toSpark(t.colTypes(ci))))
+              else v
+            }
+          }.toArray
+        writer.writeRow(out, new GenericInternalRow(vals))
+      }
+
+      private def fillChunk(): Boolean = {
+        while (cpos >= clim) {
+          if (done) return false
+          if (i >= servedRows.length) {
+            writer.writeTrailer(out); out.flush()
+            chunk = bos.toByteArray; bos.reset()
+            cpos = 0; clim = chunk.length; done = true
+          } else {
+            while (i < servedRows.length && bos.size < (1 << 16)) {
+              val (slot, row) = servedRows(i); encodeRow(slot, row); i += 1
+            }
+            out.flush()
+            chunk = bos.toByteArray; bos.reset()
+            cpos = 0; clim = chunk.length
           }
-        }.toArray
-      writer.writeRow(out, new GenericInternalRow(vals))
+        }
+        true
+      }
+
+      override def read(): Int =
+        if (!fillChunk()) -1
+        else { val b = chunk(cpos) & 0xff; cpos += 1; b }
+
+      override def read(b: Array[Byte], boff: Int, blen: Int): Int =
+        if (blen == 0) 0
+        else if (!fillChunk()) -1
+        else {
+          val m = math.min(blen, clim - cpos)
+          System.arraycopy(chunk, cpos, b, boff, m)
+          cpos += m
+          m
+        }
     }
-    writer.writeTrailer(out)
-    out.flush()
-    new ByteArrayInputStream(bos.toByteArray)
   }
 
   /** Serve a packed page range as verbatim PGCOPY bytes: full in-order
