@@ -32,6 +32,36 @@ object TextOps {
         .withColumn(outCol, regexp_replace(col(outCol), r.pattern, r.replacement))
     }
 
+  /** Consistent pseudonymization: every match of `pattern` in
+    * `textCol` becomes `<prefix_k>` where k numbers the DISTINCT
+    * matched entities by first appearance in the document — the same
+    * entity maps to the same placeholder everywhere it recurs
+    * (referential integrity of the redaction: downstream consumers can
+    * still tell "sender wrote to themselves" from "two parties"),
+    * where a plain [[piiScrub]] collapses every entity to one token.
+    * Adds `n_mentions` (all matches) and `n_entities` (distinct).
+    *
+    * Pure map-side column algebra — extract, first-occurrence dedup
+    * (filter-with-index against the first position), and a fold of
+    * literal replaces — so it composes into whole-stage codegen with
+    * no shuffle at any scale, like every scrub here. The pattern must
+    * avoid SQL-literal escapes (use `[.]`, not `\.`) because it is
+    * inlined into lambda SQL; entities must not be substrings of one
+    * another under this fold (true for any anchored email/id pattern —
+    * a match can't extend another match). */
+  def consistentAnonymize(df: DataFrame, textCol: String, outCol: String,
+      pattern: String = "[A-Za-z0-9_]+@[A-Za-z0-9]+[.]com",
+      prefix: String = "EMAIL"): DataFrame =
+    df.withColumn("_m", expr(s"regexp_extract_all($textCol, '$pattern', 0)"))
+      .withColumn("_e", expr("filter(_m, (x, i) -> array_position(_m, x) = i + 1)"))
+      .withColumn("_n", expr("transform(_e, (x, j) -> concat(x, '|', j + 1))"))
+      .withColumn(outCol, expr(
+        s"aggregate(_n, $textCol, (acc, x) -> replace(acc, split_part(x, '|', 1), " +
+          s"concat('<$prefix', '_', split_part(x, '|', 2), '>')))"))
+      .withColumn("n_mentions", size(col("_m")))
+      .withColumn("n_entities", size(col("_e")))
+      .drop("_m", "_e", "_n")
+
   /** Sequence packing: GPT-style concatenate-then-chunk of the token
     * stream into fixed `budget`-token training windows, deterministic
     * order (`groupCol`, `idCol`). Adds `start_off` (global token offset

@@ -7,16 +7,18 @@ import graft.Tables
 
 /** LLM-pipeline probe set, tenth wave — release-hygiene operators:
   *
-  *  - p53: PII SCRUB. Every public corpus release redacts contact
-  *    information (Dolma, FineWeb and CCNet all ship an email/phone
-  *    scrub stage). The operator is a pure per-row projection —
-  *    regex extraction for the audit counts, regex replacement for
-  *    the redacted text — so at 100 TB it is map-side only: no
-  *    shuffle, no state, whole-stage codegen end to end. The
-  *    driver's synthetic documents carry no PII, so the entry plants
-  *    deterministic fake emails/phones (a pure function of doc_id +
-  *    source, replayed identically in the oracle SQL) and then
-  *    scrubs them; the kernel under test is the scrub itself.
+  *  - p53: CONSISTENT ANONYMIZATION. p17's scrub collapses every
+  *    entity to one token; real release pipelines need referential
+  *    integrity — the same email maps to the SAME numbered
+  *    placeholder everywhere it recurs (<EMAIL_1> twice is "sender
+  *    wrote to themselves"; <EMAIL_1>/<EMAIL_2> is two parties).
+  *    TextOps.consistentAnonymize does it with pure column algebra
+  *    (extract, first-occurrence dedup, fold of literal replaces) —
+  *    map-side only, whole-stage codegen, no shuffle at any scale.
+  *    The driver's synthetic documents carry no PII, so the entry
+  *    plants deterministic fake emails with a REPEATED mention (a
+  *    pure function of doc_id, replayed identically in the oracle
+  *    SQL); the numbering-under-recurrence is what's under test.
   *
   *  - s11: FILTERED ANN. The "pre-filtered search" mode vector
   *    stores expose (FAISS IDSelector, Milvus boolean expressions):
@@ -36,69 +38,59 @@ object Pipeline10 {
     Tables.load(s, dir, n)
 
   // ---------------------------------------------------------------- //
-  // p53: PII scrub — plant deterministic fake contact info, then
-  // redact it and report per-document audit counts.
+  // p53: consistent anonymization — plant deterministic fake emails
+  // (one entity mentioned twice, one once), then pseudonymize with
+  // per-document first-appearance numbering.
   // ---------------------------------------------------------------- //
 
-  /** Email/phone patterns chosen to mean the same thing in Java
-    * regex (Spark codegen) and RE2 (the DuckDB oracle): no
-    * backreferences, no lookaround. */
-  val EmailRe = "[A-Za-z0-9_]+@[A-Za-z0-9]+\\.(com|org)"
-  val PhoneRe = "555-[0-9]{4}"
+  /** Pattern shared with the oracle: identical semantics under Java
+    * regex and RE2, and no SQL-literal escapes ([.] instead of \.)
+    * because both engines inline it into lambda SQL. */
+  val EmailRe = "[A-Za-z0-9_]+@[A-Za-z0-9]+[.]com"
 
-  /** Redact emails then phones. Pure projection: stays inside
-    * whole-stage codegen, map-side at any scale. */
-  def piiScrub(text: Column): Column =
-    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
-
-  def p53_pii_scrub(s: SparkSession, dir: String): DataFrame = {
+  def p53_consistent_anonymize(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    // deterministic augmentation: 1 email always, a second on
-    // doc_id%3==0, a phone on doc_id%2==0 — counts vary per doc
+    // u<id>@ appears TWICE (the recurrence consistency must preserve),
+    // u<id+1>@ once — so n_mentions=3, n_entities=2 for every doc
     val aug = concat(
       col("text"),
-      lit(" contact "), col("source"), lit("_"),
-      col("doc_id").cast("string"), lit("@example.com"),
-      when(col("doc_id") % 2 === 0,
-        concat(lit(" call 555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-        .otherwise(lit(" call n/a")),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" cc "), col("source"), lit("@test.org")))
-        .otherwise(lit("")))
-    docs.select(col("doc_id"), aug.as("aug"))
-      .select(
-        col("doc_id"),
-        size(expr(s"regexp_extract_all(aug, '$EmailRe', 0)")).as("n_emails"),
-        size(expr(s"regexp_extract_all(aug, '$PhoneRe', 0)")).as("n_phones"),
-        piiScrub(col("aug")).as("clean"))
-      .select(col("doc_id"), col("n_emails"), col("n_phones"),
-        length(col("clean")).cast("bigint").as("clean_len"),
-        md5(col("clean")).as("clean_fp"))
+      lit(" contact u"), col("doc_id").cast("string"), lit("@example.com or u"),
+      (col("doc_id") + 1).cast("string"), lit("@example.com; primary u"),
+      col("doc_id").cast("string"), lit("@example.com"))
+    graft.operators.TextOps.consistentAnonymize(
+        docs.select(col("doc_id"), aug.as("aug")), "aug", "anon", EmailRe, "EMAIL")
+      .select(col("doc_id"),
+        col("n_mentions").cast("int").as("n_mentions"),
+        col("n_entities").cast("int").as("n_entities"),
+        length(col("anon")).cast("bigint").as("anon_len"),
+        md5(col("anon")).as("anon_fp"))
       .orderBy(col("doc_id"))
   }
 
   val p53_sql: String =
     s"""WITH aug AS (
        |  SELECT doc_id,
-       |    text || ' contact ' || source || '_' || CAST(doc_id AS VARCHAR)
-       |      || '@example.com'
-       |      || CASE WHEN doc_id % 2 = 0
-       |           THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |           ELSE ' call n/a' END
-       |      || CASE WHEN doc_id % 3 = 0
-       |           THEN ' cc ' || source || '@test.org' ELSE '' END AS aug
+       |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or u'
+       |         || CAST(doc_id + 1 AS VARCHAR) || '@example.com; primary u'
+       |         || CAST(doc_id AS VARCHAR) || '@example.com' AS aug
        |  FROM documents),
-       |scrubbed AS (
-       |  SELECT doc_id,
-       |    CAST(len(regexp_extract_all(aug, '$EmailRe')) AS INT) AS n_emails,
-       |    CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS INT) AS n_phones,
-       |    regexp_replace(regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
-       |                   '$PhoneRe', '<PHONE>', 'g') AS clean
-       |  FROM aug)
-       |SELECT doc_id, n_emails, n_phones,
-       |  CAST(len(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_fp
-       |FROM scrubbed ORDER BY doc_id""".stripMargin
+       |m AS (SELECT doc_id, aug, regexp_extract_all(aug, '$EmailRe') AS ms FROM aug),
+       |e AS (SELECT doc_id, aug, ms,
+       |        list_filter(ms, (x, i) -> list_position(ms, x) = i) AS es
+       |      FROM m),
+       |n AS (SELECT doc_id, aug, ms, es,
+       |        list_transform(range(1, len(es) + 1),
+       |          j -> es[j] || '|' || CAST(j AS VARCHAR)) AS ns
+       |      FROM e)
+       |SELECT doc_id, CAST(len(ms) AS INT) AS n_mentions,
+       |  CAST(len(es) AS INT) AS n_entities,
+       |  CAST(len(anon) AS BIGINT) AS anon_len, md5(anon) AS anon_fp
+       |FROM (SELECT doc_id, ms, es,
+       |        list_reduce(list_prepend(aug, ns),
+       |          (acc, x) -> replace(acc, split_part(x, '|', 1),
+       |                              '<EMAIL_' || split_part(x, '|', 2) || '>')) AS anon
+       |      FROM n)
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- //
   // s11: filtered ANN — IVF probe with a label predicate applied to
@@ -173,6 +165,6 @@ object Pipeline10 {
   }
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "p53_pii_scrub" -> ((p53_pii_scrub _, Some(p53_sql))),
+    "p53_consistent_anonymize" -> ((p53_consistent_anonymize _, Some(p53_sql))),
     "s11_ann_ivf_filtered" -> ((s11_ann_ivf_filtered _, Some(s11_sql))))
 }

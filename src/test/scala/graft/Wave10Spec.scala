@@ -23,41 +23,54 @@ class Wave10Spec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("p53: scrubbed text has zero residual PII matches and counts recount") {
-    // reconstruct the augmented text the entry builds, scrub it
-    // independently with java.util.regex, and compare counts
+  test("p53: consistent numbering recounts against a java.util.regex reference") {
+    // rebuild the augmented text, anonymize it independently with a
+    // LinkedHashMap first-occurrence numbering, and compare the md5s
+    // the entry reports — exact string equality by fingerprint
     val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("text"))
       .collect()
-    val email = java.util.regex.Pattern.compile(queries.Pipeline10.EmailRe)
-    val phone = java.util.regex.Pattern.compile(queries.Pipeline10.PhoneRe)
+    val pat = java.util.regex.Pattern.compile(queries.Pipeline10.EmailRe)
     val expected = docs.map { r =>
       val id = r.getLong(0)
-      val aug = r.getString(1) + " contact " + r.getString(2) + "_" + id +
-        "@example.com" +
-        (if (id % 2 == 0) " call 555-" + ("%04d".format(id % 10000)) else " call n/a") +
-        (if (id % 3 == 0) " cc " + r.getString(2) + "@test.org" else "")
-      def count(p: java.util.regex.Pattern) = {
-        val m = p.matcher(aug); var n = 0; while (m.find()) n += 1; n
+      val aug = r.getString(1) + " contact u" + id + "@example.com or u" +
+        (id + 1) + "@example.com; primary u" + id + "@example.com"
+      val seen = new java.util.LinkedHashMap[String, Int]()
+      val m = pat.matcher(aug)
+      var mentions = 0
+      while (m.find()) {
+        mentions += 1
+        if (!seen.containsKey(m.group)) seen.put(m.group, seen.size + 1)
       }
-      id -> ((count(email), count(phone)))
+      var anon = aug
+      seen.forEach((e, k) => anon = anon.replace(e, s"<EMAIL_$k>"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(anon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> ((mentions, seen.size, anon.length.toLong, md))
     }.toMap
-    val out = queries.Pipeline10.p53_pii_scrub(spark, dir).collect()
+    val out = queries.Pipeline10.p53_consistent_anonymize(spark, dir).collect()
     assert(out.length == expected.size)
     out.foreach { r =>
-      val (e, p) = expected(r.getLong(0))
-      assert(r.getInt(1) == e, s"email count mismatch for doc ${r.getLong(0)}")
-      assert(r.getInt(2) == p, s"phone count mismatch for doc ${r.getLong(0)}")
+      val (mentions, entities, len, md) = expected(r.getLong(0))
+      assert(r.getInt(1) == mentions, s"mention count mismatch for doc ${r.getLong(0)}")
+      assert(r.getInt(2) == entities, s"entity count mismatch for doc ${r.getLong(0)}")
+      assert(r.getLong(3) == len, s"anon length mismatch for doc ${r.getLong(0)}")
+      assert(r.getString(4) == md, s"anon fingerprint mismatch for doc ${r.getLong(0)}")
     }
-    // the scrub is total: re-scrubbing the clean text is a no-op, so
-    // fingerprints pin it; and no '<EMAIL>'-free residual match exists
-    val clean = Tables.load(spark, dir, "documents")
-      .select(queries.Pipeline10.piiScrub(
-        concat(col("text"), lit(" a_b@example.com 555-1234"))).as("c"))
-    val residual = clean.filter(
-      expr(s"c rlike '${queries.Pipeline10.EmailRe}'") ||
-        expr(s"c rlike '${queries.Pipeline10.PhoneRe}'"))
-    assert(residual.count() == 0, "scrubbed text still matches a PII pattern")
+    // the recurrence property the operator exists for: the repeated
+    // entity keeps ONE placeholder — every doc has <EMAIL_1> twice
+    val anonDf = operators.TextOps.consistentAnonymize(
+      Tables.load(spark, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" x u7@example.com y u7@example.com z u9@example.com"))
+          .as("aug")),
+      "aug", "anon", queries.Pipeline10.EmailRe, "EMAIL")
+    val bad = anonDf.filter(
+      !(col("anon").contains("<EMAIL_1>") &&
+        expr("size(split(anon, '<EMAIL_1>', -1)) = 3") &&
+        col("anon").contains("<EMAIL_2>") &&
+        !col("anon").rlike(queries.Pipeline10.EmailRe)))
+    assert(bad.count() == 0,
+      "a recurring entity did not keep a single consistent placeholder")
   }
 
   test("s11: every returned neighbor satisfies the filter, and pre-filter beats post-filter") {
