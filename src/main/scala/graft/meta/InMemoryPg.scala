@@ -94,6 +94,17 @@ final class InMemoryPg(val name: String) extends PgTransport {
       else if (openPage == null) 0
       else openPageRows
     }
+    /** Atomic (bytes, decodable-row-count) snapshot of page p. Callers
+      * that parse `rows` tuples out of `bytes` MUST use this rather
+      * than the two single-value accessors: a concurrent append landing
+      * between separate packedPageBytes/packedRowsInPage calls can
+      * report one more row than the byte snapshot contains, sending the
+      * length-parsing loop past the end of the buffer. */
+    def packedPageSnapshot(p: Int): (Array[Byte], Int) = this.synchronized {
+      if (p < packedPages.length) (packedPages(p), RowsPerPage)
+      else if (openPage == null) (Array.emptyByteArray, 0)
+      else { openPageOut.flush(); (openPage.toByteArray, openPageRows) }
+    }
     def packedPagesCount: Int = this.synchronized {
       packedPages.length + (if (openPageRows > 0) 1 else 0)
     }
@@ -590,6 +601,17 @@ final class InMemoryPg(val name: String) extends PgTransport {
       }
     }
 
+  /** COPY OUT isolation note: packed-table serves stream LAZILY
+    * (pages encode as the client consumes), so a concurrent TRUNCATE
+    * or clearPacked racing an in-flight stream can surface mid-read —
+    * a vanished tail page degrades to an empty page and the reader
+    * observes fewer rows than the page count it snapshotted at open.
+    * A real server holds an MVCC snapshot for the cursor's lifetime;
+    * this harness does not. Acceptable because battery/spec scans
+    * never mutate a table they are concurrently scanning — writes to
+    * a table are sequenced before its reads by the Spark job DAG — and
+    * per-page tuple parsing stays torn-read-safe via
+    * packedPageSnapshot's atomic (bytes, rows) pairs. */
   override def copyOut(sql: String): InputStream = {
     copyOutStatements.synchronized {
       if (copyOutStatements.length >= copyOutLogCap)
@@ -881,8 +903,8 @@ final class InMemoryPg(val name: String) extends PgTransport {
       val hi = math.min(t.packedPagesCount.toLong, hiPage).toInt
       (lo until hi).iterator.flatMap { p =>
         val reader = new PgBinaryReader(t.colTypes)
-        val in = new graft.codec.PgBlockInput(new ByteArrayInputStream(t.packedPageBytes(p)))
-        val n = t.packedRowsInPage(p)
+        val (pageB, n) = t.packedPageSnapshot(p)
+        val in = new graft.codec.PgBlockInput(new ByteArrayInputStream(pageB))
         (0 until n).iterator.map { r =>
           (p * RowsPerPage + r,
             reader.readRow(in).getOrElse(throw new IllegalStateException(
@@ -1140,8 +1162,7 @@ final class InMemoryPg(val name: String) extends PgTransport {
       }
 
       private def encodePage(p: Int): Unit = {
-        val pageB = t.packedPageBytes(p)
-        val rows = t.packedRowsInPage(p)
+        val (pageB, rows) = t.packedPageSnapshot(p)
         var off = 0
         var r = 0
         while (r < rows) {

@@ -44,23 +44,38 @@ object TextOps {
     * Pure map-side column algebra — extract, first-occurrence dedup
     * (filter-with-index against the first position), and a fold of
     * literal replaces — so it composes into whole-stage codegen with
-    * no shuffle at any scale, like every scrub here. The pattern must
+    * no shuffle at any scale, like every scrub here. The fold applies
+    * LONGEST entity first (placeholder numbers still follow first
+    * appearance): a literal replace of a shorter entity that is a
+    * substring of a longer one (`bob@x.com` inside `alice_bob@x.com`)
+    * would otherwise fire inside the longer match and corrupt it to a
+    * never-numbered `alice_<EMAIL_k>` hybrid — leaking the prefix the
+    * scrub exists to remove. Equal-length distinct entities cannot
+    * contain each other, so ties need no ordering. The pattern must
     * avoid SQL-literal escapes (use `[.]`, not `\.`) because it is
-    * inlined into lambda SQL; entities must not be substrings of one
-    * another under this fold (true for any anchored email/id pattern —
-    * a match can't extend another match). */
+    * inlined into lambda SQL; single quotes in `pattern`/`prefix` are
+    * escaped here, but a placeholder (`<prefix_k>`) must not itself
+    * match `pattern` (true for any pattern requiring a char outside
+    * `[A-Za-z0-9_<>]`, e.g. the `@` every email pattern anchors on). */
   def consistentAnonymize(df: DataFrame, textCol: String, outCol: String,
       pattern: String = "[A-Za-z0-9_]+@[A-Za-z0-9]+[.]com",
-      prefix: String = "EMAIL"): DataFrame =
-    df.withColumn("_m", expr(s"regexp_extract_all($textCol, '$pattern', 0)"))
+      prefix: String = "EMAIL"): DataFrame = {
+    val p = pattern.replace("'", "''")
+    val pfx = prefix.replace("'", "''")
+    df.withColumn("_m", expr(s"regexp_extract_all($textCol, '$p', 0)"))
       .withColumn("_e", expr("filter(_m, (x, i) -> array_position(_m, x) = i + 1)"))
-      .withColumn("_n", expr("transform(_e, (x, j) -> concat(x, '|', j + 1))"))
+      // length-keyed (zero-padded so lexicographic = numeric) so the
+      // fold below can run longest-first off a plain descending sort
+      .withColumn("_n", expr("transform(_e, (x, j) -> concat(" +
+        "lpad(cast(length(x) as string), 8, '0'), '|', x, '|', j + 1))"))
       .withColumn(outCol, expr(
-        s"aggregate(_n, $textCol, (acc, x) -> replace(acc, split_part(x, '|', 1), " +
-          s"concat('<$prefix', '_', split_part(x, '|', 2), '>')))"))
+        s"aggregate(sort_array(_n, false), $textCol, " +
+          s"(acc, x) -> replace(acc, split_part(x, '|', 2), " +
+          s"concat('<$pfx', '_', split_part(x, '|', 3), '>')))"))
       .withColumn("n_mentions", size(col("_m")))
       .withColumn("n_entities", size(col("_e")))
       .drop("_m", "_e", "_n")
+  }
 
   /** Sequence packing: GPT-style concatenate-then-chunk of the token
     * stream into fixed `budget`-token training windows, deterministic

@@ -80,15 +80,16 @@ object Pipeline10 {
        |      FROM m),
        |n AS (SELECT doc_id, aug, ms, es,
        |        list_transform(range(1, len(es) + 1),
-       |          j -> es[j] || '|' || CAST(j AS VARCHAR)) AS ns
+       |          j -> lpad(CAST(len(es[j]) AS VARCHAR), 8, '0') || '|' ||
+       |               es[j] || '|' || CAST(j AS VARCHAR)) AS ns
        |      FROM e)
        |SELECT doc_id, CAST(len(ms) AS INT) AS n_mentions,
        |  CAST(len(es) AS INT) AS n_entities,
        |  CAST(len(anon) AS BIGINT) AS anon_len, md5(anon) AS anon_fp
        |FROM (SELECT doc_id, ms, es,
-       |        list_reduce(list_prepend(aug, ns),
-       |          (acc, x) -> replace(acc, split_part(x, '|', 1),
-       |                              '<EMAIL_' || split_part(x, '|', 2) || '>')) AS anon
+       |        list_reduce(list_prepend(aug, list_reverse_sort(ns)),
+       |          (acc, x) -> replace(acc, split_part(x, '|', 2),
+       |                              '<EMAIL_' || split_part(x, '|', 3) || '>')) AS anon
        |      FROM n)
        |ORDER BY doc_id""".stripMargin
 

@@ -427,6 +427,29 @@ class ScaleSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       assert(viaStored.collect().toSeq == viaFlight.collect().toSeq)
       assert(viaFlight.collect().toSeq ==
         graft.queries.Pipeline8.s09_ann_ivfadc(spark, dir).collect().toSeq)
+      // recall floor ON THE LOADED residual index (mirrors the raw-index
+      // check above): bit-identity with the in-flight build would pass
+      // even if both sides degraded together — the persisted residual
+      // codes must still find true neighbors after the round-trip
+      import graft.functions.TopKFunctions.topk_by
+      val exact = emb.select(col("vec_id").as("neighbor_id"),
+          transform(col("embedding"), _.cast("double")).as("cv"))
+        .join(broadcast(queries.filter(col("query_id") < 5)
+          .select(col("query_id"),
+            transform(col("embedding"), _.cast("double")).as("qv"))),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          graft.operators.Kmeans.distSq(col("qv"), col("cv")).as("d2"))
+        .groupBy(col("query_id"))
+        .agg(topk_by(-col("d2"), col("neighbor_id"), 10).as("top"))
+        .select(col("query_id"), explode(col("top").getField("id")).as("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = viaStored.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact intersect got).size.toDouble / exact.size
+      assert(recall >= 0.06,
+        f"loaded residual-index recall@10 $recall%.3f is at the ~0.02 chance " +
+          "floor — the persisted residual codes are not serving useful neighbors")
       def cidExchanges(df: org.apache.spark.sql.DataFrame): Int =
         "Exchange hashpartitioning\\(cid".r
           .findAllIn(df.queryExecution.executedPlan.toString).length

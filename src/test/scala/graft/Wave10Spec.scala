@@ -43,7 +43,11 @@ class Wave10Spec extends AnyFunSuite {
         if (!seen.containsKey(m.group)) seen.put(m.group, seen.size + 1)
       }
       var anon = aug
-      seen.forEach((e, k) => anon = anon.replace(e, s"<EMAIL_$k>"))
+      // longest-first application, first-appearance numbering — the
+      // shadowing-safe order the operator uses
+      import scala.jdk.CollectionConverters._
+      seen.entrySet().asScala.toSeq.sortBy(-_.getKey.length)
+        .foreach(e => anon = anon.replace(e.getKey, s"<EMAIL_${e.getValue}>"))
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(anon.getBytes("UTF-8")).map("%02x".format(_)).mkString
       id -> ((mentions, seen.size, anon.length.toLong, md))
@@ -71,6 +75,22 @@ class Wave10Spec extends AnyFunSuite {
         !col("anon").rlike(queries.Pipeline10.EmailRe)))
     assert(bad.count() == 0,
       "a recurring entity did not keep a single consistent placeholder")
+  }
+
+  test("p53: a substring-shadowed entity pair survives intact (longest-first fold)") {
+    // u7@example.com (first appearance, EMAIL_1) is a proper substring
+    // of zu7@example.com (EMAIL_2). A first-appearance-ordered fold
+    // corrupts the longer entity to 'z<EMAIL_1>' — a mangled,
+    // never-numbered hybrid that LEAKS the distinguishing prefix.
+    import spark.implicits._
+    val out = operators.TextOps.consistentAnonymize(
+      Seq((1L, "short u7@example.com first, then long zu7@example.com, short again u7@example.com"))
+        .toDF("doc_id", "aug"),
+      "aug", "anon", queries.Pipeline10.EmailRe, "EMAIL").collect().head
+    val anon = out.getAs[String]("anon")
+    assert(anon == "short <EMAIL_1> first, then long <EMAIL_2>, short again <EMAIL_1>",
+      s"shadowed pair mis-anonymized: $anon")
+    assert(out.getAs[Int]("n_mentions") == 3 && out.getAs[Int]("n_entities") == 2)
   }
 
   test("s11: every returned neighbor satisfies the filter, and pre-filter beats post-filter") {
