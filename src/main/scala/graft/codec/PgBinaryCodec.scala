@@ -45,6 +45,54 @@ object PgWire {
   val NumericNeg = 0x4000
   val NumericNaN = 0xC000
 
+  private val Pow10: Array[Long] = {
+    val a = new Array[Long](19)
+    a(0) = 1L
+    var i = 1
+    while (i < 19) { a(i) = a(i - 1) * 10L; i += 1 }
+    a
+  }
+
+  /** Allocation-free numeric decode: the wire value's unscaled long at
+    * `scale`, for DECIMAL(p ≤ 18) targets — the hot money-column shape
+    * of every TPC-H/DS scan. The general [[PgBinaryReader.readNumeric]]
+    * costs ~8 allocations per value (a BigInteger per digit group, two
+    * BigDecimal rescales, a Decimal wrapper); at a 60M-row × 4-decimal
+    * scan that is billions of allocations for values that fit a long.
+    *
+    * Returns [[Long.MinValue]] as the NOT-FAST sentinel (|unscaled| of
+    * a p ≤ 18 decimal is < 10^18, so the sentinel is unreachable as a
+    * real value): NaN/±inf signs, digit or exponent ranges that could
+    * overflow, values exceeding `precision`, or a stored scale finer
+    * than `scale` all fall back to the general path unchanged. */
+  def numericUnscaledLong(b: Array[Byte], off: Int,
+      precision: Int, scale: Int): Long = {
+    def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    val ndigits = u16(off)
+    val weight = u16(off + 2).toShort.toInt // signed
+    val sign = u16(off + 4)
+    if (sign != NumericPos && sign != NumericNeg) return Long.MinValue
+    var v = 0L
+    var i = 0
+    while (i < ndigits) {
+      if (v > 922337203685476L) return Long.MinValue // v*10000+9999 overflows
+      v = v * 10000L + u16(off + 8 + 2 * i)
+      i += 1
+    }
+    val e = 4 * (weight - ndigits + 1) + scale
+    if (e > 0) {
+      if (e > 18 || v > Long.MaxValue / Pow10(e)) return Long.MinValue
+      v *= Pow10(e)
+    } else if (e < 0) {
+      if (e < -18) return Long.MinValue
+      val m = Pow10(-e)
+      if (v % m != 0L) return Long.MinValue // finer stored scale: general path rounds
+      v /= m
+    }
+    if (precision < 19 && v >= Pow10(precision)) return Long.MinValue // overflow → general path's error
+    if (sign == NumericNeg) -v else v
+  }
+
   /** Skip exactly `n` bytes. `DataInputStream.skipBytes` may skip fewer
     * than requested on socket streams, which would desync the PGCOPY
     * framing — loop until the full count is consumed. */
@@ -291,6 +339,16 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
     * (ref: binary_reader.hpp:204-264). Public: the columnar fast path
     * decodes numerics through the same code. */
   def readNumeric(buf: java.nio.ByteBuffer, target: DataType): Any = {
+    // allocation-light fast path for compact decimals (the row and
+    // pushed-predicate paths; the columnar reader goes straight to
+    // PgWire.numericUnscaledLong and skips even the Decimal wrapper)
+    target match {
+      case dt: DecimalType if dt.precision <= 18 && buf.hasArray =>
+        val v = PgWire.numericUnscaledLong(
+          buf.array, buf.arrayOffset + buf.position(), dt.precision, dt.scale)
+        if (v != Long.MinValue) return Decimal(v, dt.precision, dt.scale)
+      case _ =>
+    }
     val ndigits = buf.getShort.toInt
     val weight = buf.getShort.toInt
     val sign = buf.getShort.toInt & 0xffff

@@ -90,6 +90,16 @@ final class PgBlockInput(src: InputStream, chunkSize: Int = 1 << 18) {
     }
   }
 
+  /** Make `n` bytes contiguous in the window and return the backing
+    * array — the field's bytes start at [[windowPos]]. The caller
+    * reads them IN PLACE (no scratch-buffer copy) and then consumes
+    * them with [[skipWindow]]. The array is only valid until the next
+    * read/refill; callers must not retain it. Grows the window when a
+    * single field exceeds the chunk size, so any field length works. */
+  def window(n: Int): Array[Byte] = { ensure(n); buf }
+  def windowPos: Int = pos
+  def skipWindow(n: Int): Unit = pos += n
+
   /** Skip exactly `n` bytes (EOFException if the stream ends first) —
     * the pruned-column path. */
   def skipFully(n: Int): Unit = {
