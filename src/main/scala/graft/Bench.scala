@@ -35,6 +35,13 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // accept subset-of-join-keys co-partitioning: a user repartition
+      // on l_orderkey alone then serves BOTH the (orderkey, linenumber)
+      // self-join and the downstream orders join — without this the
+      // planner re-exchanges the full joined fact (q80/c69's 120M-row
+      // shuffle at sf10). Spark's default=true guards against subset
+      // skew; our subset keys are the high-cardinality halves.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated subset for local iteration

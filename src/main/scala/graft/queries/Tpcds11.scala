@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Catalog-path TPC-DS variants, fifth batch (c65-c69): PERCENT_RANK
   * cuts, correlated EXISTS chains over two fact relations, null-aware
@@ -61,11 +63,45 @@ object Tpcds11 {
        |JOIN ${p}orders ON l_orderkey = o_orderkey
        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** c69 runs q80's TUNED plan through the catalog rather than the raw
+    * SQL template: Catalyst's default plan for the template sort-merge
+    * joins the two fact sides on the composite (l_orderkey,
+    * l_linenumber) key — two full-fact exchanges plus two full-fact
+    * sorts the parquet twin eliminated in round 10 (subset-key
+    * repartition on l_orderkey serves both the self-join and the
+    * downstream orders join; shuffle-hash skips the sorts; see
+    * Tpcds5.q80_net_returns). The r12 "writeback weather" on this entry
+    * (43-181 s sf10 swings) was dominated by exactly those extra
+    * 120M-row spilling exchanges — a plan property of the catalog
+    * variant, not the box. Oracle SQL is the unchanged q80 template. */
+  private def c69_net_returns(s: SparkSession, dir: String): DataFrame = {
+    ConnectorOps.ensureTpchSeeded(s, dir)
+    val cat = ConnectorOps.catalogFor(s, dir)
+    def tbl(n: String): DataFrame = s.table(s"$cat.public.$n")
+    val li = tbl("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .repartition(col("l_orderkey"))
+    val ret = tbl("lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"),
+        col("l_quantity").as("r_qty"))
+      .repartition(col("r_ok"))
+    li.join(ret.hint("shuffle_hash"),
+        col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"),
+        "left_outer")
+      .join(tbl("orders").hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
+          .cast(DecimalType(18, 2))).cast("double").as("net_qty"))
+      .orderBy(col("o_custkey"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c65_ds_cat_percent_rank" -> ((ConnectorOps.viaCatalog(q68Tpl) _, Some(q68Tpl("")))),
     "c66_ds_cat_exists_chain" -> ((ConnectorOps.viaCatalog(q58Tpl) _, Some(q58Tpl("")))),
     "c67_ds_cat_not_in" -> ((ConnectorOps.viaCatalog(q88Tpl) _, Some(q88Tpl("")))),
     "c68_ds_cat_deciles" -> ((ConnectorOps.viaCatalog(q65Tpl) _, Some(q65Tpl("")))),
-    "c69_ds_cat_net_returns" -> ((ConnectorOps.viaCatalog(q80Tpl) _, Some(q80Tpl("")))),
+    "c69_ds_cat_net_returns" -> ((c69_net_returns _, Some(q80Tpl("")))),
   )
 }
