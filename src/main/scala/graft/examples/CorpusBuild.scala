@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   *       gates both the rare-token rate and the CCNet tail bucket)
   *   7b. temperature mixing (τ=0.5)     (n^τ source quotas, threshold
   *       sampling — rare feeds upweighted before packing)
-  *   8. PII scrub                       (TextOps.piiScrub)
+  *   8. PII scrub                       (p53 consistent anonymization
+  *       for emails — same entity, same numbered placeholder — then
+  *       TextOps.piiScrub for digit runs)
   *   9. token counts + sequence packing (TextOps.packSequences)
-  *   9b. retrieval chunks side output   (TextOps.chunkDocs — the RAG
-  *       index feed, written next to the training shards)
+  *   9b. retrieval chunks side output   (p52 content-defined chunking
+  *       + corpus-global chunk dedup: each distinct chunk stored once;
+  *       written next to the training shards)
   *  10. deterministic shuffle + shard, write packed parquet
   *
   * Every stage is declarative DataFrame work — at 100 TB the same
@@ -232,23 +235,45 @@ object CorpusBuild {
       .drop("mix_n", "mix_q"))
     stage("temperature mix", mixed.count())
 
-    // 8-9. PII scrub, token counts, GPT-style packing at 2048 tokens
+    // 8-9. scrub, token counts, GPT-style packing at 2048 tokens.
+    // Emails go through CONSISTENT anonymization (p53): every
+    // recurrence of the same address maps to the same numbered
+    // placeholder, so "sender wrote to themselves" survives the
+    // redaction — a release-hygiene property the collapse-all scrub
+    // loses. Remaining digit runs collapse via the plain scrub. Both
+    // are pure map-side column algebra.
+    val anon = graft.operators.TextOps.consistentAnonymize(
+        mixed, "clean_text", "anon_text",
+        pattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+        prefix = "EMAIL")
+      .drop("n_mentions", "n_entities")
     val scrubbed = graft.operators.TextOps
-      .piiScrub(mixed, "clean_text", "final_text")
+      .piiScrub(anon, "anon_text", "final_text",
+        rules = Seq(graft.operators.TextOps.LongDigitRule))
     val counted = scrubbed.withColumn("n_tokens",
       size(split(col("final_text"), "\\s+")).cast("long"))
     val packed = graft.operators.TextOps
       .packSequences(counted, "doc_id", "source", "n_tokens", budget = 2048)
     stage("packed", packed.count())
 
-    // 9b. retrieval chunks: the same cleaned corpus sliced into
-    // overlapping 64/48-token windows with md5 fingerprints — the
-    // feed a RAG/embedding index builds from; written beside the
-    // training shards (pure map-side expansion, no shuffle)
-    val chunks = pin(graft.operators.TextOps
-      .chunkDocs(scrubbed, "doc_id", "final_text"))
+    // 9b. retrieval chunks via CONTENT-DEFINED boundaries (p52,
+    // FastCDC at token granularity) instead of fixed 64/48 windows:
+    // an edit re-chunks only its own neighborhood, so identical
+    // downstream content re-aligns and the corpus-global chunk dedup
+    // below stores each distinct chunk ONCE (the reuse property fixed
+    // windows can never give). One fp-keyed winner aggregate — chunk
+    // rows are narrow, the exchange is bounded by distinct content.
+    val tokd = scrubbed
+      .filter(length(trim(col("final_text"))) > 0)
+      .select(col("doc_id"), split(trim(col("final_text")), "\\s+").as("tok"))
+    val cdc = graft.operators.TextOps.cdcChunks(tokd, "doc_id", "tok")
+    val chunks = pin(cdc.groupBy(col("c_fp"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"),
+        count(lit(1)).as("n_copies"), max(col("c_len")).as("c_len"))
+      .select(col("c_fp"), col("w.doc_id").as("doc_id"),
+        col("w.idx").as("idx"), col("c_len"), col("n_copies")))
     chunks.write.mode("overwrite").parquet(out + "_chunks")
-    stage("retrieval chunks", chunks.count())
+    stage("cdc chunks (unique)", chunks.count())
 
     // 9c. tokenizer artifacts from the FINAL corpus: train the BPE
     // merge table on the cleaned text (rounds on the vocab-bounded
