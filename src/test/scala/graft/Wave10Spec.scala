@@ -93,6 +93,54 @@ class Wave10Spec extends AnyFunSuite {
     assert(out.getAs[Int]("n_mentions") == 3 && out.getAs[Int]("n_entities") == 2)
   }
 
+  test("s11: recall vs the FILTERED brute-force oracle holds a floor, and nprobe escalation recovers it") {
+    // pre-filtering keeps top-k k-deep, but matching vectors can live
+    // outside the probed cells (the FAISS IDSelector failure mode), so
+    // recall vs a filtered exact oracle is the honest quality metric.
+    // FilteredAnnLab sweeps the full selectivity×nprobe grid; this pins
+    // the battery config's floor (sf0.001 measured 0.400 at nprobe=4)
+    // and the escalation contract (nprobe=cells ⇒ exhaustive ⇒ ~1.0).
+    import org.apache.spark.sql.Column
+    import graft.functions.TopKFunctions.topk_by
+    import graft.functions.VectorFunctions.vec_dot
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TopKFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queriesDf = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ivf = operators.Ann.buildIvf(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+      cells = 16, lloydIters = 1)
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("label"))
+    val f: Column = col("label") === 3
+    val exact = corpus.filter(f)
+      .withColumn("cn", sqrt(vec_dot(col("cv"), col("cv"))))
+      .join(broadcast(queriesDf
+        .withColumn("qn", sqrt(vec_dot(col("qv"), col("qv"))))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk_by(col("cos"), col("neighbor_id"), 10).as("top"))
+      .select(col("query_id"), explode(col("top").getField("id")).as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = operators.Ann.ivfFilteredTopK(queriesDf, corpus, ivf,
+          k = 10, nprobe = nprobe, candidateFilter = f)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16)
+    assert(r4 >= 0.25,
+      f"filtered recall@10 at the battery config (nprobe=4) fell to $r4%.3f")
+    assert(r16 >= 0.95,
+      f"nprobe=cells should be exhaustive over the filtered corpus, got $r16%.3f")
+    assert(r16 >= r4, "nprobe escalation must not lose recall")
+  }
+
   test("s11: every returned neighbor satisfies the filter, and pre-filter beats post-filter") {
     val out = queries.Pipeline10.s11_ann_ivf_filtered(spark, dir)
     val emb = Tables.load(spark, dir, "embeddings")
