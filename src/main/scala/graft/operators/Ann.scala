@@ -143,7 +143,13 @@ object Ann {
       .transform(d => side(d, "a", Seq(col("gs").as("gi"), col("gj"))))
     val rights = big.withColumn("gi", explode(sequence(lit(0), col("gs"))))
       .transform(d => side(d, "b", Seq(col("gi"), col("gs").as("gj"))))
-    val bigPairs = lefts.join(rights, Seq("cid", "gi", "gj"))
+    // explicit salt-cell exchange: under subset-key co-partition
+    // acceptance the planner would reuse the cid partitioning here and
+    // re-serialize the hot cluster into one task (see TextDedup's
+    // identical guard)
+    val saltKeys = Seq(col("cid"), col("gi"), col("gj"))
+    val bigPairs = lefts.repartition(saltKeys: _*)
+      .join(rights.repartition(saltKeys: _*), Seq("cid", "gi", "gj"))
       .filter(col("gi") < col("gj") || col("id_a") < col("id_b"))
       .select(greatest(col("id_a"), col("id_b")).as(idCol), col("cid"),
         least(col("id_a"), col("id_b")).as("dup_of"), cosOf.as("cos"))

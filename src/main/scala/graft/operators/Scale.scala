@@ -50,7 +50,13 @@ object Scale {
       pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
     val replicated = right.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    // explicit (key, salt) exchanges: if a caller hands in a side
+    // already partitioned by the bare key, subset-key co-partition
+    // acceptance (the bench session setting) would otherwise reuse that
+    // partitioning and put the hot key back into one task
+    salted.repartition(col(key), col("_salt"))
+      .join(replicated.repartition(col(key), col("_salt")), Seq(key, "_salt"))
+      .drop("_salt")
   }
 
   /** Estimate how many partitions executing `df` would plan, WITHOUT

@@ -151,7 +151,14 @@ object TextDedup {
       .withColumn("gi", explode(sequence(lit(0), col("gs"))))
       .select(bKeys.map(col) ++ Seq(col("gi"), col("gs").as("gj"),
         col("doc_id").as("id_b"), col("bhs").as("bhs_b"), col("sz").as("sz_b")): _*)
-    val bigCands = lefts.join(rights, bKeys ++ Seq("gi", "gj"))
+    // the salt-cell exchange is EXPLICIT: under subset-key co-partition
+    // acceptance (requireAllClusterKeysForCoPartition=false, the bench
+    // session setting) the planner would otherwise reuse the upstream
+    // bucket-key partitioning for this join — re-serializing the hot
+    // bucket into one task, which is exactly what salting exists to break
+    val saltKeys = (bKeys ++ Seq("gi", "gj")).map(col)
+    val bigCands = lefts.repartition(saltKeys: _*)
+      .join(rights.repartition(saltKeys: _*), bKeys ++ Seq("gi", "gj"))
       .filter(col("gi") < col("gj") || col("id_a") < col("id_b"))
       .filter(sizeGate)
       .filter(firstCollidingBand)
