@@ -71,6 +71,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(tokens, starts, w) - drop tokens covered by removed windows") {
       graft.functions.SubstringDedupFunctions.removeBuilder
     }
+    inject("email_extract_all",
+      "_FUNC_(text) - default-pattern email matches (scanner, not regex)") { a =>
+      graft.functions.EmailExtractAll(a.head)
+    }
     inject("pg_ctid_pack", "_FUNC_(page, row) - pack a ctid into bigint") { a =>
       graft.functions.PgCtidPack(a(0), a(1))
     }

@@ -57,12 +57,24 @@ object TextOps {
     * escaped here, but a placeholder (`<prefix_k>`) must not itself
     * match `pattern` (true for any pattern requiring a char outside
     * `[A-Za-z0-9_<>]`, e.g. the `@` every email pattern anchors on). */
+  /** The default [[consistentAnonymize]] pattern; matches of it are
+    * extracted by the codegen'd [[graft.functions.EmailExtractAll]]
+    * scanner instead of the regex engine (byte-equal by property test;
+    * java.util.regex backtracks at ~100 MB/s and is the whole cost of
+    * a corpus-scale pass). */
+  val DefaultAnonymizePattern = "[A-Za-z0-9_]+@[A-Za-z0-9]+[.]com"
+
   def consistentAnonymize(df: DataFrame, textCol: String, outCol: String,
-      pattern: String = "[A-Za-z0-9_]+@[A-Za-z0-9]+[.]com",
+      pattern: String = DefaultAnonymizePattern,
       prefix: String = "EMAIL"): DataFrame = {
     val p = pattern.replace("'", "''")
     val pfx = prefix.replace("'", "''")
-    df.withColumn("_m", expr(s"regexp_extract_all($textCol, '$p', 0)"))
+    val extract =
+      if (pattern == DefaultAnonymizePattern) {
+        graft.functions.TextScanFunctions.register(df.sparkSession)
+        s"email_extract_all($textCol)"
+      } else s"regexp_extract_all($textCol, '$p', 0)"
+    df.withColumn("_m", expr(extract))
       .withColumn("_e", expr("filter(_m, (x, i) -> array_position(_m, x) = i + 1)"))
       // length-keyed (zero-padded so lexicographic = numeric) so the
       // fold below can run longest-first off a plain descending sort

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{ShingleKmvKernel, SubstringDedupKernel}
+import graft.functions.{EmailScanKernel, ShingleKmvKernel, SubstringDedupKernel}
 
 /** Property tests for the hand-rolled byte-loop kernels behind
   * `shingle_kmv` / `shingle_hashes` / `remove_spans`, against naive
@@ -77,6 +77,42 @@ class KernelPropertySpec extends AnyFunSuite {
 
   private val genToks: Gen[List[Option[String]]] =
     Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, genToken))
+
+
+  test("email_extract_all scanner is byte-equal to java.util.regex on adversarial texts") {
+    val pat = java.util.regex.Pattern.compile(
+      graft.operators.TextOps.DefaultAnonymizePattern)
+    def reference(text: String): Seq[String] = {
+      val m = pat.matcher(text)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    def scanned(text: String): Seq[String] = {
+      val arr = EmailScanKernel.extractAll(UTF8String.fromString(text))
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    // hand-picked adversarial shapes: boundary-adjacent matches,
+    // failed-@ candidates, shadowing substrings, multi-byte text,
+    // greedy-domain traps, region-floor after a match
+    val fixed = Seq(
+      "", "@", "a@b.com", "a@b.co", "a@b.comz", "a@b.como", "x@y.comm",
+      "a@b.comx@y.com", "a@b.com.c@d.com", "_a@b.com", "a@@b.com",
+      "@x.com", "a@.com", "a@b..com", "a@b1.c.com", "u7@example.com or zu7@example.com",
+      "héllo a@b.com wörld", "日本語x@y.comテスト", "a@b.coma@c.com",
+      "tail a@b.c", "a@b.comcom", "m@n.com.com", "..@..com", "a_b@c9.com!",
+      "A@B.com a@b.COM", "1@2.com3@4.com5@6.com")
+    fixed.foreach { t =>
+      assert(scanned(t) == reference(t), s"mismatch on fixed case: '$t'")
+    }
+    // randomized: fragments drawn from email-ish alphabet incl. @ . com
+    val frag = Gen.oneOf("a", "b9", "_", "@", ".", "com", ".com", "x@y.com",
+      " ", "@.", "zz@", "ü", "c", "om", ".c", "@a.com", "m@")
+    val gen = Gen.listOfN(12, frag).map(_.mkString)
+    forAll(gen, n = 500) { t =>
+      assert(scanned(t) == reference(t), s"mismatch on generated: '$t'")
+    }
+  }
 
   test("shingle_hashes matches the naive join→md5→hex-prefix reference") {
     val gen = for { toks <- genToks; w <- Gen.choose(1, 6) } yield (toks, w)
