@@ -97,8 +97,18 @@ object Tpcds11 {
       .orderBy(col("o_custkey"))
   }
 
+  /** c65 = q68's aggregate-before-join shape over catalog tables (see
+    * Tpcds4.q68Shape — one narrow l_partkey exchange instead of the
+    * template plan's two data-sized ones); oracle SQL unchanged. */
+  private def c65_percent_rank(s: SparkSession, dir: String): DataFrame = {
+    ConnectorOps.ensureTpchSeeded(s, dir)
+    val cat = ConnectorOps.catalogFor(s, dir)
+    Tpcds4.q68Shape(
+      s.table(s"$cat.public.lineitem"), s.table(s"$cat.public.part"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
-    "c65_ds_cat_percent_rank" -> ((ConnectorOps.viaCatalog(q68Tpl) _, Some(q68Tpl("")))),
+    "c65_ds_cat_percent_rank" -> ((c65_percent_rank _, Some(q68Tpl("")))),
     "c66_ds_cat_exists_chain" -> ((ConnectorOps.viaCatalog(q58Tpl) _, Some(q58Tpl("")))),
     "c67_ds_cat_not_in" -> ((ConnectorOps.viaCatalog(q88Tpl) _, Some(q88Tpl("")))),
     "c68_ds_cat_deciles" -> ((ConnectorOps.viaCatalog(q65Tpl) _, Some(q65Tpl("")))),
