@@ -64,11 +64,20 @@ object PgWire {
     * a p ≤ 18 decimal is < 10^18, so the sentinel is unreachable as a
     * real value): NaN/±inf signs, digit or exponent ranges that could
     * overflow, values exceeding `precision`, or a stored scale finer
-    * than `scale` all fall back to the general path unchanged. */
-  def numericUnscaledLong(b: Array[Byte], off: Int,
+    * than `scale` all fall back to the general path unchanged.
+    *
+    * `len` is the wire-declared field length: a corrupt/truncated
+    * numeric whose digit count overruns it returns the sentinel too,
+    * so the length-bounded general path raises the framing error —
+    * without the check, the columnar caller (which hands over the
+    * whole block window) would silently read the NEXT field's bytes
+    * as digit groups and produce a wrong value. */
+  def numericUnscaledLong(b: Array[Byte], off: Int, len: Int,
       precision: Int, scale: Int): Long = {
     def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    if (len < 8) return Long.MinValue
     val ndigits = u16(off)
+    if (8 + 2 * ndigits > len) return Long.MinValue
     val weight = u16(off + 2).toShort.toInt // signed
     val sign = u16(off + 4)
     if (sign != NumericPos && sign != NumericNeg) return Long.MinValue
@@ -345,7 +354,8 @@ final class PgBinaryReader(types: Seq[PgType], targets: Seq[DataType]) {
     target match {
       case dt: DecimalType if dt.precision <= 18 && buf.hasArray =>
         val v = PgWire.numericUnscaledLong(
-          buf.array, buf.arrayOffset + buf.position(), dt.precision, dt.scale)
+          buf.array, buf.arrayOffset + buf.position(), buf.remaining(),
+          dt.precision, dt.scale)
         if (v != Long.MinValue) return Decimal(v, dt.precision, dt.scale)
       case _ =>
     }

@@ -76,14 +76,15 @@ object TextOps {
       } else s"regexp_extract_all($textCol, '$p', 0)"
     df.withColumn("_m", expr(extract))
       .withColumn("_e", expr("filter(_m, (x, i) -> array_position(_m, x) = i + 1)"))
-      // length-keyed (zero-padded so lexicographic = numeric) so the
-      // fold below can run longest-first off a plain descending sort
-      .withColumn("_n", expr("transform(_e, (x, j) -> concat(" +
-        "lpad(cast(length(x) as string), 8, '0'), '|', x, '|', j + 1))"))
+      // (length, entity, first-appearance number) structs: sort_array
+      // descending compares field-by-field, so the fold below runs
+      // longest-entity-first with no packed-string delimiter — an
+      // entity containing ANY character (including '|') is safe
+      .withColumn("_n", expr(
+        "transform(_e, (x, j) -> struct(length(x) as l, x as e, j + 1 as k))"))
       .withColumn(outCol, expr(
         s"aggregate(sort_array(_n, false), $textCol, " +
-          s"(acc, x) -> replace(acc, split_part(x, '|', 2), " +
-          s"concat('<$pfx', '_', split_part(x, '|', 3), '>')))"))
+          s"(acc, x) -> replace(acc, x.e, concat('<$pfx', '_', x.k, '>')))"))
       .withColumn("n_mentions", size(col("_m")))
       .withColumn("n_entities", size(col("_e")))
       .drop("_m", "_e", "_n")

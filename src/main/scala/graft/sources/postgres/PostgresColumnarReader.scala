@@ -148,7 +148,7 @@ final class PostgresColumnarReader(
         vec.putByteArray(row, s, 0, s.length)
       case OpDecimalCompact =>
         val b = in.window(len); val off = in.windowPos
-        val v = PgWire.numericUnscaledLong(b, off, precisions(c), scales(c))
+        val v = PgWire.numericUnscaledLong(b, off, len, precisions(c), scales(c))
         if (v != Long.MinValue) {
           // putDecimal's own compact layout: int storage under 10
           // digits, long storage under 19

@@ -93,6 +93,20 @@ class Wave10Spec extends AnyFunSuite {
     assert(out.getAs[Int]("n_mentions") == 3 && out.getAs[Int]("n_entities") == 2)
   }
 
+  test("p53: entities containing '|' are handled (struct fold has no packed delimiter)") {
+    // the pre-r14 fold packed len|entity|index into one string and
+    // split_part'ed on '|'; a pattern whose matches can contain '|'
+    // corrupted the parse. The struct-based fold has no delimiter.
+    import spark.implicits._
+    val out = operators.TextOps.consistentAnonymize(
+      Seq((1L, "see |alpha| and |beta| then |alpha| again"))
+        .toDF("doc_id", "aug"),
+      "aug", "anon", "[|][a-z]+[|]", "TAG").collect().head
+    assert(out.getAs[String]("anon") == "see <TAG_1> and <TAG_2> then <TAG_1> again",
+      s"pipe-bearing entities mis-anonymized: ${out.getAs[String]("anon")}")
+    assert(out.getAs[Int]("n_mentions") == 3 && out.getAs[Int]("n_entities") == 2)
+  }
+
   test("s11: recall vs the FILTERED brute-force oracle holds a floor, and nprobe escalation recovers it") {
     // pre-filtering keeps top-k k-deep, but matching vectors can live
     // outside the probed cells (the FAISS IDSelector failure mode), so
