@@ -75,6 +75,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(text) - default-pattern email matches (scanner, not regex)") { a =>
       graft.functions.EmailExtractAll(a.head)
     }
+    inject("email_extract_all_g",
+      "_FUNC_(text) - production-pattern email matches (scanner, not regex)") { a =>
+      graft.functions.EmailExtractAll(a.head, general = true)
+    }
     inject("pg_ctid_pack", "_FUNC_(page, row) - pack a ctid into bigint") { a =>
       graft.functions.PgCtidPack(a(0), a(1))
     }

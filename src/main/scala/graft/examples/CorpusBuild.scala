@@ -244,12 +244,15 @@ object CorpusBuild {
     // are pure map-side column algebra.
     val anon = graft.operators.TextOps.consistentAnonymize(
         mixed, "clean_text", "anon_text",
-        pattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+        pattern = graft.operators.TextOps.ProductionEmailPattern,
         prefix = "EMAIL")
       .drop("n_mentions", "n_entities")
+    // placeholder-safe digit rule: the plain [0-9]{4,} rule would
+    // rewrite <EMAIL_1000> and up to one shared <EMAIL_<NUM>> token,
+    // breaking the referential integrity the stage above provides
     val scrubbed = graft.operators.TextOps
       .piiScrub(anon, "anon_text", "final_text",
-        rules = Seq(graft.operators.TextOps.LongDigitRule))
+        rules = Seq(graft.operators.TextOps.placeholderSafeDigitRule("EMAIL")))
     val counted = scrubbed.withColumn("n_tokens",
       size(split(col("final_text"), "\\s+")).cast("long"))
     val packed = graft.operators.TextOps

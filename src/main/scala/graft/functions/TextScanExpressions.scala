@@ -78,16 +78,96 @@ object EmailScanKernel extends Serializable {
     if (out == null) new GenericArrayData(Array.empty[AnyRef])
     else new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
   }
+
+  // ---- general (production) pattern ------------------------------- //
+  // [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,} — the CorpusBuild
+  // scrub pattern. Same skeleton as the default scanner; the extra
+  // piece is the greedy-domain BACKTRACK, because '.' is itself a
+  // domain-class char here.
+
+  @inline private def isLocalG(b: Byte): Boolean =
+    isAlnum(b) || b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+
+  @inline private def isDomainG(b: Byte): Boolean =
+    isAlnum(b) || b == '.' || b == '-'
+
+  @inline private def isAlpha(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+
+  /** All matches of the production email pattern, in order, non-
+    * overlapping — byte-equal to `regexp_extract_all(text, pat, 0)`.
+    *
+    * EXACTNESS: the default-pattern argument (one '@' per match,
+    * leftmost start = maximal local run floored at the previous match
+    * end, ASCII classes are multi-byte safe) carries over unchanged —
+    * both classes still exclude '@' and stay ASCII. What changes is
+    * the tail: `[A-Za-z0-9.-]+[.][A-Za-z]{2,}` backtracks, because
+    * '.' is in the domain class. Greedy `D+` consumes the maximal
+    * domain-class run and gives back one char at a time, so the first
+    * success is the LARGEST split point p with `text[p] == '.'`
+    * preceded by a non-empty D+ (p ≥ at+2) and followed by ≥2
+    * letters; `[A-Za-z]{2,}` then extends greedily over letters
+    * (letters ⊂ D, so the TLD run never escapes the maximal D-run —
+    * scanning dots inside the run from the right is exhaustive). */
+  def extractAllGeneral(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    var out: Array[AnyRef] = null
+    var nOut = 0
+    var lastEnd = 0
+    var at = 0
+    while (at < n) {
+      if (b(at) == '@') {
+        // maximal local-part run ending at the '@', floored at lastEnd
+        var ls = at
+        while (ls > lastEnd && isLocalG(b(ls - 1))) ls -= 1
+        if (ls < at) {
+          // maximal domain-class run after the '@'
+          var e = at + 1
+          while (e < n && isDomainG(b(e))) e += 1
+          // last dot at p ≥ at+2 followed by ≥2 letters wins (greedy
+          // D+ backtracks longest-first). Dots at e-2/e-1 can never
+          // qualify (their letters would extend the maximal run), so
+          // starting at e-3 also keeps p+2 in bounds.
+          var p = e - 3
+          var split = -1
+          while (p >= at + 2 && split < 0) {
+            if (b(p) == '.' && isAlpha(b(p + 1)) && isAlpha(b(p + 2))) split = p
+            p -= 1
+          }
+          if (split >= 0) {
+            var k = split + 3
+            while (k < n && isAlpha(b(k))) k += 1
+            if (out == null) out = new Array[AnyRef](4)
+            else if (nOut == out.length)
+              out = java.util.Arrays.copyOf(out, out.length * 2)
+            out(nOut) = UTF8String.fromBytes(b, ls, k - ls)
+            nOut += 1
+            lastEnd = k
+            at = k - 1 // -1: the loop increment lands on k
+          }
+        }
+      }
+      at += 1
+    }
+    if (out == null) new GenericArrayData(Array.empty[AnyRef])
+    else new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
 }
 
-/** `email_extract_all(text)` — array<string> of every default-pattern
-  * email match, byte-equal to `regexp_extract_all` with
-  * [[graft.operators.TextOps.DefaultAnonymizePattern]]. */
-case class EmailExtractAll(child: Expression) extends UnaryExpression {
+/** `email_extract_all(text)` / `email_extract_all_g(text)` —
+  * array<string> of every email match, byte-equal to
+  * `regexp_extract_all` with
+  * [[graft.operators.TextOps.DefaultAnonymizePattern]] (`general =
+  * false`) or [[graft.operators.TextOps.ProductionEmailPattern]]
+  * (`general = true`). */
+case class EmailExtractAll(child: Expression, general: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
-  override def prettyName: String = "email_extract_all"
+  override def prettyName: String =
+    if (general) "email_extract_all_g" else "email_extract_all"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -96,12 +176,14 @@ case class EmailExtractAll(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    EmailScanKernel.extractAll(input.asInstanceOf[UTF8String])
+    if (general) EmailScanKernel.extractAllGeneral(input.asInstanceOf[UTF8String])
+    else EmailScanKernel.extractAll(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernel = ctx.addReferenceObj("emailScanKernel", EmailScanKernel,
       "graft.functions.EmailScanKernel$")
-    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $kernel.extractAll($t);")
+    val method = if (general) "extractAllGeneral" else "extractAll"
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $kernel.$method($t);")
   }
 
   override protected def withNewChildInternal(c: Expression): EmailExtractAll =
@@ -114,10 +196,21 @@ object TextScanFunctions {
     case _ => throw new IllegalArgumentException("email_extract_all(text string)")
   }
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  val emailGeneralBuilder: Seq[Expression] => Expression = {
+    case Seq(t) => EmailExtractAll(t, general = true)
+    case _ => throw new IllegalArgumentException("email_extract_all_g(text string)")
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "email_extract_all", emailBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "email_extract_all_g", emailGeneralBuilder, "built-in")
+  }
 
   def email_extract_all(text: Column): Column =
     org.apache.spark.sql.functions.call_function("email_extract_all", text)
+
+  def email_extract_all_g(text: Column): Column =
+    org.apache.spark.sql.functions.call_function("email_extract_all_g", text)
 }

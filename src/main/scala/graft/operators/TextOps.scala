@@ -21,6 +21,19 @@ object TextOps {
   val LongDigitRule: ScrubRule =
     ScrubRule("digit_runs", "[0-9]{4,}", "<NUM>")
 
+  /** [[LongDigitRule]] for text that already carries `<prefix_k>`
+    * placeholders ([[consistentAnonymize]] output): maximal digit runs
+    * still collapse to `<NUM>`, but a placeholder's own number is left
+    * intact — the plain rule rewrites `<EMAIL_1000>` and every higher
+    * entity to one shared `<EMAIL_<NUM>>` token, silently breaking the
+    * same-entity-same-placeholder property on email-dense documents
+    * (directories, mailing-list dumps). The maximal-run lookarounds
+    * `(?<![0-9])…(?![0-9])` stop the engine from re-matching a
+    * placeholder number's SUFFIX after the lookbehind rejects the full
+    * run. Java-regex only (lookbehind is not RE2-portable). */
+  def placeholderSafeDigitRule(prefix: String = "EMAIL"): ScrubRule =
+    ScrubRule("digit_runs", s"(?<!<${prefix}_)(?<![0-9])[0-9]{4,}(?![0-9])", "<NUM>")
+
   /** PII scrubbing: apply `rules` in order to `textCol`, producing the
     * scrubbed text in `outCol` plus one `n_<rule>` count column per
     * rule (counted against the text as it stands when the rule runs).
@@ -64,6 +77,13 @@ object TextOps {
     * a corpus-scale pass). */
   val DefaultAnonymizePattern = "[A-Za-z0-9_]+@[A-Za-z0-9]+[.]com"
 
+  /** The production-grade email pattern ([[EmailRule]]'s regex in the
+    * SQL-literal-safe `[.]` spelling) — the CorpusBuild scrub shape.
+    * Matches of it are extracted by the codegen'd general scanner
+    * ([[graft.functions.EmailScanKernel.extractAllGeneral]], byte-
+    * equal by property test) instead of java.util.regex. */
+  val ProductionEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+
   def consistentAnonymize(df: DataFrame, textCol: String, outCol: String,
       pattern: String = DefaultAnonymizePattern,
       prefix: String = "EMAIL"): DataFrame = {
@@ -73,6 +93,9 @@ object TextOps {
       if (pattern == DefaultAnonymizePattern) {
         graft.functions.TextScanFunctions.register(df.sparkSession)
         s"email_extract_all($textCol)"
+      } else if (pattern == ProductionEmailPattern) {
+        graft.functions.TextScanFunctions.register(df.sparkSession)
+        s"email_extract_all_g($textCol)"
       } else s"regexp_extract_all($textCol, '$p', 0)"
     df.withColumn("_m", expr(extract))
       .withColumn("_e", expr("filter(_m, (x, i) -> array_position(_m, x) = i + 1)"))

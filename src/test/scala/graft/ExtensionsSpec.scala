@@ -67,6 +67,13 @@ class ExtensionsSpec extends AnyFunSuite {
       val kmv = Seq(5L, 9L, 5L, 1L).toDF("h")
         .agg(expr("kmv_minima(h, 2)").as("m")).head.getSeq[Long](0)
       assert(kmv == Seq(1L, 5L))
+      // the email scanners resolve from SQL text (injected, not the
+      // per-call TextScanFunctions.register path the operators use)
+      val em = s2.sql(
+        "SELECT email_extract_all('hit a@b.com miss a@b.org') AS d, " +
+          "email_extract_all_g('hit a@b.com hit j.d+t@sub-1.host.io') AS g").head
+      assert(em.getSeq[String](0) == Seq("a@b.com"))
+      assert(em.getSeq[String](1) == Seq("a@b.com", "j.d+t@sub-1.host.io"))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)

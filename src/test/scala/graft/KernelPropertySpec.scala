@@ -114,6 +114,45 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("email_extract_all_g scanner is byte-equal to java.util.regex on adversarial texts") {
+    val pat = java.util.regex.Pattern.compile(
+      graft.operators.TextOps.ProductionEmailPattern)
+    def reference(text: String): Seq[String] = {
+      val m = pat.matcher(text)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    def scanned(text: String): Seq[String] = {
+      val arr = EmailScanKernel.extractAllGeneral(UTF8String.fromString(text))
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    // hand-picked adversarial shapes for the BACKTRACKING tail
+    // D+[.][A-Za-z]{2,} ('.' is a domain char here): dotted domains,
+    // TLD cut short by digits, dots that never qualify, region floors
+    val fixed = Seq(
+      "", "@", "a@b.co", "a@b.c", "a@b.com5", "a@b.cd.x5y", "x@a.b.co",
+      "x@a.b.c.d", "a@-b.com", "a@.com", "a@b..com", ".a@b.com",
+      "-a+b%c@d.org!", "a@b.COM", "a@b.c-m", "a@b.comx@y.com",
+      "a@b.com.c@d.com", "x@a.com.b@c.org", "a@b.co.uk", "a@b.co.uk.z",
+      "u7@example.com or zu7@example.com", "héllo j.doe+tag@sub.host-9.io wörld",
+      "日本語x%y@z.b-c.deテスト", "1@2.info3@4.net", "a@9.9", "a@x.a1b",
+      "e@f.gh-", "e@f.gh.", "e@f.g.hi", "tail@dot.", "a@b.cde.f",
+      "a.b@c.d@e.fg", "trail a@b.org more a@b.org")
+    fixed.foreach { t =>
+      assert(scanned(t) == reference(t), s"mismatch on fixed case: '$t'")
+    }
+    // randomized: fragments drawn from the production-pattern alphabet
+    // incl. dots/dashes in domains and short/long TLDs
+    val frag = Gen.oneOf("a", "b9", "_", "%", "+", "-", "@", ".", "co",
+      "com", ".co", ".c", "om", " ", "@.", "ü", "x@y.io", "@a.b.cd",
+      "-.", ".-", "e5", "d.e", "info")
+    val gen = Gen.listOfN(12, frag).map(_.mkString)
+    forAll(gen, n = 800) { t =>
+      assert(scanned(t) == reference(t), s"mismatch on generated: '$t'")
+    }
+  }
+
   test("shingle_hashes matches the naive join→md5→hex-prefix reference") {
     val gen = for { toks <- genToks; w <- Gen.choose(1, 6) } yield (toks, w)
     forAll(gen) { case (toks, w) =>

@@ -93,6 +93,34 @@ class Wave10Spec extends AnyFunSuite {
     assert(out.getAs[Int]("n_mentions") == 3 && out.getAs[Int]("n_entities") == 2)
   }
 
+  test("CorpusBuild scrub order: digit-run rule leaves >=1000-numbered placeholders intact") {
+    // the plain [0-9]{4,} rule applied AFTER consistentAnonymize
+    // rewrote <EMAIL_1000> and up to one shared <EMAIL_<NUM>> token —
+    // every >=1000th distinct entity collapsed together, silently
+    // breaking same-entity-same-placeholder on email-dense documents.
+    // This mirrors CorpusBuild's stage order with its production
+    // pattern and the placeholder-safe rule.
+    import spark.implicits._
+    val emails = (1 to 1200).map(i => s"user$i@host$i.org")
+    val text = emails.mkString(" ") + " and again " + emails.last + " call 5551234 now"
+    val df = Seq((1L, text)).toDF("doc_id", "clean_text")
+    val anon = operators.TextOps.consistentAnonymize(
+      df, "clean_text", "anon_text",
+      pattern = operators.TextOps.ProductionEmailPattern, prefix = "EMAIL")
+    val out = operators.TextOps.piiScrub(
+        anon.drop("n_mentions", "n_entities"), "anon_text", "final_text",
+        rules = Seq(operators.TextOps.placeholderSafeDigitRule("EMAIL")))
+      .select("final_text", "n_digit_runs").collect().head
+    val ft = out.getString(0)
+    assert(!ft.contains("<NUM>>") && !ft.contains("@"),
+      "a placeholder number was collapsed or an email leaked")
+    assert(ft.contains("<EMAIL_1200>") &&
+      ft.indexOf("<EMAIL_1200>") != ft.lastIndexOf("<EMAIL_1200>"),
+      "the recurring 1200th entity lost its consistent placeholder")
+    assert(ft.endsWith("call <NUM> now"), s"legit digit run survived: ${ft.takeRight(40)}")
+    assert(out.getInt(1) == 1, "digit-run count should see only the non-placeholder run")
+  }
+
   test("p53: entities containing '|' are handled (struct fold has no packed delimiter)") {
     // the pre-r14 fold packed len|entity|index into one string and
     // split_part'ed on '|'; a pattern whose matches can contain '|'
