@@ -77,24 +77,8 @@ object Tpcds11 {
   private def c69_net_returns(s: SparkSession, dir: String): DataFrame = {
     ConnectorOps.ensureTpchSeeded(s, dir)
     val cat = ConnectorOps.catalogFor(s, dir)
-    def tbl(n: String): DataFrame = s.table(s"$cat.public.$n")
-    val li = tbl("lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .repartition(col("l_orderkey"))
-    val ret = tbl("lineitem").filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"),
-        col("l_quantity").as("r_qty"))
-      .repartition(col("r_ok"))
-    li.join(ret.hint("shuffle_hash"),
-        col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"),
-        "left_outer")
-      .join(tbl("orders").hint("shuffle_hash"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum((col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
-          .cast(DecimalType(18, 2))).cast("double").as("net_qty"))
-      .orderBy(col("o_custkey"))
+    Tpcds5.q80Shape(
+      () => s.table(s"$cat.public.lineitem"), s.table(s"$cat.public.orders"))
   }
 
   /** c65 = q68's aggregate-before-join shape over catalog tables (see

@@ -151,10 +151,22 @@ object Tpcds4 {
   def q68_percent_rank(s: SparkSession, dir: String): DataFrame =
     q68Shape(t(s, dir, "lineitem"), t(s, dir, "part"))
 
+  /** The revenue sum runs through a primitive-long accumulator
+    * ([[graft.functions.DecimalFastFunctions]]): sum(DECIMAL(18,2))
+    * widens to DECIMAL(28,2), past Spark's compact range, so the
+    * plain dsum pays a BigDecimal add per fact row — the R14Lab sf10
+    * decomposition measured that as the whole query wall (agg 49 s+
+    * under GC amplification vs 1.05 s unscaled; full query 1.24 s vs
+    * 2.37 s best-case). Exactness bound (owned here): per-partkey
+    * Σ|unscaled(l_extendedprice)| < 2^63 ⇔ per-part revenue < 9.2e16
+    * — lineitems-per-part is a scale-invariant TPC-H constant (~30)
+    * and prices are < 1e6, so the bound holds by ~9 orders at any SF. */
   private[queries] def q68Shape(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(lineitem.sparkSession)
     val rev = lineitem
       .groupBy(col("l_partkey"))
-      .agg(dsum(col("l_extendedprice")).as("rev"))
+      .agg(graft.functions.DecimalFastFunctions
+        .sum_unscaled(dec(col("l_extendedprice")), 2).cast("double").as("rev"))
       .join(part, col("l_partkey") === col("p_partkey"))
     rev.withColumn("pr", percent_rank().over(
         Window.partitionBy(col("p_type")).orderBy(col("rev"), col("p_partkey"))))

@@ -381,34 +381,50 @@ object Tpcds5 {
   // fact-to-fact self join on (orderkey, linenumber) is the plan
   // class; at scale both sides share the orderkey distribution.
   // ---------------------------------------------------------------- //
-  def q80_net_returns(s: SparkSession, dir: String): DataFrame = {
-    // Partition both self-join inputs by orderkey ALONE: hash
-    // partitioning on a SUBSET of the (orderkey, linenumber) join keys
-    // satisfies its clustering, and — unlike the default (ok, ln)
-    // exchange — the join output then also satisfies the orders join
-    // on ok, so the joined fact never re-shuffles. The two sides stay
-    // separate scans so the R side keeps its parquet filter pushdown
-    // and the main side's shuffle never carries l_returnflag. Net at
-    // 100 TB: one full-fact shuffle removed from the plan class.
-    val li = t(s, dir, "lineitem")
+  def q80_net_returns(s: SparkSession, dir: String): DataFrame =
+    q80Shape(() => t(s, dir, "lineitem"), t(s, dir, "orders"))
+
+  /** Shared with the catalog variant (c69, Tpcds11).
+    *
+    * Partition both self-join inputs by orderkey ALONE: hash
+    * partitioning on a SUBSET of the (orderkey, linenumber) join keys
+    * satisfies its clustering, and — unlike the default (ok, ln)
+    * exchange — the join output then also satisfies the orders join
+    * on ok, so the joined fact never re-shuffles. `lineitem` is a
+    * thunk so the two sides stay separate scans: the R side keeps its
+    * source filter pushdown and the main side's shuffle never carries
+    * l_returnflag. Net at 100 TB: one full-fact shuffle removed from
+    * the plan class. Shuffle-hash, not sort-merge: both joins are
+    * equi-joins whose probe side is the full fact — hashing the
+    * smaller side skips two whole-fact sorts (the strategy DuckDB's
+    * own hash joins use).
+    *
+    * The net-quantity sum runs through a primitive-long accumulator
+    * (see Tpcds4.q68Shape — same engine wall, R14Lab table).
+    * Exactness bound (owned here): per-custkey Σ|unscaled(net qty)| <
+    * 2^63 ⇔ per-customer net quantity < 9.2e16 — quantities are < 100
+    * per line and lines-per-customer is a scale-invariant TPC-H
+    * constant (~40), ~13 orders of margin at any SF. */
+  private[queries] def q80Shape(lineitem: () => DataFrame, orders: DataFrame): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(orders.sparkSession)
+    val li = lineitem()
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .repartition(col("l_orderkey"))
-    val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ret = lineitem().filter(col("l_returnflag") === "R")
       .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"),
         col("l_quantity").as("r_qty"))
       .repartition(col("r_ok"))
-    // shuffle-hash, not sort-merge: both joins are equi-joins whose
-    // probe side is the full fact — hashing the smaller side skips two
-    // whole-fact sorts (the strategy DuckDB's own hash joins use)
     li.join(ret.hint("shuffle_hash"),
         col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"),
         "left_outer")
-      .join(t(s, dir, "orders").hint("shuffle_hash"),
+      .join(orders.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_lines"),
-        sum((col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
-          .cast(DecimalType(18, 2))).cast("double").as("net_qty"))
+        graft.functions.DecimalFastFunctions.sum_unscaled(
+            (col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
+              .cast(DecimalType(18, 2)), 2)
+          .cast("double").as("net_qty"))
       .orderBy(col("o_custkey"))
   }
 
