@@ -106,6 +106,62 @@ object R14Lab {
           val tFullDec = time("q68_full_dec", withTail(aggDec))
           println(f"R14 WALLS-DEC agg ${tAggDec}%.2f  full ${tFullDec}%.2f")
         }
+      } else if (mode == "q80pair") {
+        // within-JVM old-vs-new q80 sum (phase-robust comparison):
+        // identical joins, decimal accumulator vs unscaled-long
+        graft.functions.DecimalFastFunctions.register(spark)
+        import graft.functions.DecimalFastFunctions.{make_decimal, unscaled_value}
+        def joined = {
+          val li = graft.Tables.load(spark, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+            .repartition(col("l_orderkey"))
+          val ret = graft.Tables.load(spark, dir, "lineitem")
+            .filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("r_ok"), col("l_linenumber").as("r_ln"),
+              col("l_quantity").as("r_qty"))
+            .repartition(col("r_ok"))
+          li.join(ret.hint("shuffle_hash"),
+              col("l_orderkey") === col("r_ok") && col("l_linenumber") === col("r_ln"),
+              "left_outer")
+            .join(graft.Tables.load(spark, dir, "orders").hint("shuffle_hash"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_custkey"))
+        }
+        val net = (col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
+          .cast(DecimalType(18, 2))
+        val tU = time("q80_uns", joined.agg(count(lit(1)).as("n_lines"),
+          make_decimal(sum(unscaled_value(net)), 28, 2).cast("double").as("net_qty"))
+          .orderBy(col("o_custkey")))
+        val tD = time("q80_dec", joined.agg(count(lit(1)).as("n_lines"),
+          sum(net).cast("double").as("net_qty"))
+          .orderBy(col("o_custkey")))
+        println(f"R14 Q80PAIR uns $tU%.2f s  dec $tD%.2f s  (${tD / tU}%.2fx)")
+      } else if (mode == "scrub") {
+        // the r13 #3 ask's done-criterion: the production-pattern scrub
+        // wall with the general scanner vs java.util.regex on the same
+        // text. The regex leg appends a no-op group `(?:)` — same
+        // language, different string — to dodge the exact-pattern
+        // routing in consistentAnonymize.
+        graft.functions.TextScanFunctions.register(spark)
+        val plain = graft.Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        // email-dense regime: the p53-style augmentation (multiple
+        // distinct + recurring addresses per document)
+        val dense = plain.withColumn("text", concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"), lit("@mail-host.example.org or "),
+          lit("j.doe+"), col("doc_id").cast("string"), lit("@sub.host"), col("doc_id").cast("string"),
+          lit(".io and again u"), col("doc_id").cast("string"), lit("@mail-host.example.org")))
+        for ((nm, d) <- Seq(("plain", plain), ("dense", dense))) {
+          val ext = time(s"xtr_scan_$nm", d.select(expr("email_extract_all_g(text)").as("m")))
+          val exr = time(s"xtr_re_$nm", d.select(
+            expr(s"regexp_extract_all(text, '${graft.operators.TextOps.ProductionEmailPattern}', 0)").as("m")))
+          def anon(p: String): DataFrame = graft.operators.TextOps
+            .consistentAnonymize(d, "text", "anon", p, "EMAIL")
+          val sc = time(s"scrub_scan_$nm", anon(graft.operators.TextOps.ProductionEmailPattern))
+          val re = time(s"scrub_re_$nm", anon(graft.operators.TextOps.ProductionEmailPattern + "(?:)"))
+          println(f"R14 SCRUB[$nm] extract ${exr}%.2f->${ext}%.2f s (${exr / ext}%.2fx)  " +
+            f"pipeline ${re}%.2f->${sc}%.2f s (${re / sc}%.2fx)")
+        }
       } else {
         val t0 = System.nanoTime()
         graft.queries.ConnectorOps.seedPackedTpch(spark, dir)
