@@ -240,8 +240,8 @@ object CorpusBuild {
     // recurrence of the same address maps to the same numbered
     // placeholder, so "sender wrote to themselves" survives the
     // redaction — a release-hygiene property the collapse-all scrub
-    // loses. Remaining digit runs collapse via the plain scrub. Both
-    // are pure map-side column algebra.
+    // loses. Remaining digit runs collapse via the placeholder-safe
+    // scrub. Both are pure map-side column algebra.
     val anon = graft.operators.TextOps.consistentAnonymize(
         mixed, "clean_text", "anon_text",
         pattern = graft.operators.TextOps.ProductionEmailPattern,
