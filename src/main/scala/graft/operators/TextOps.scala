@@ -30,9 +30,14 @@ object TextOps {
     * (directories, mailing-list dumps). The maximal-run lookarounds
     * `(?<![0-9])…(?![0-9])` stop the engine from re-matching a
     * placeholder number's SUFFIX after the lookbehind rejects the full
-    * run. Java-regex only (lookbehind is not RE2-portable). */
+    * run. Java-regex only (lookbehind is not RE2-portable). The prefix
+    * is taken LITERALLY (`Pattern.quote`): a metacharacter-bearing
+    * prefix like `A+B` stays a fixed-width lookbehind instead of
+    * throwing PatternSyntaxException or silently mis-scrubbing. */
   def placeholderSafeDigitRule(prefix: String = "EMAIL"): ScrubRule =
-    ScrubRule("digit_runs", s"(?<!<${prefix}_)(?<![0-9])[0-9]{4,}(?![0-9])", "<NUM>")
+    ScrubRule("digit_runs",
+      s"(?<!<${java.util.regex.Pattern.quote(prefix)}_)(?<![0-9])[0-9]{4,}(?![0-9])",
+      "<NUM>")
 
   /** PII scrubbing: apply `rules` in order to `textCol`, producing the
     * scrubbed text in `outCol` plus one `n_<rule>` count column per

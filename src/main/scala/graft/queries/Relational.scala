@@ -417,12 +417,18 @@ object Relational {
   // ---------------------------------------------------------------- //
   // q21: HAVING over grouped aggregation
   // ---------------------------------------------------------------- //
-  def q21_having(s: SparkSession, dir: String): DataFrame =
+  def q21_having(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     t(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
-      .agg(dsum(col("l_quantity")).as("total_qty"))
+      // long-path dsum: lines-per-supplier is scale-invariant (~600 at
+      // any SF; suppliers scale with the data), far under the 2^63
+      // group bound (DecimalFastFunctions contract)
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("l_quantity"))).as("total_qty"))
       .filter(col("total_qty") > 300)
       .orderBy(col("l_suppkey"))
+  }
 
   val q21_sql: String =
     """SELECT l_suppkey,

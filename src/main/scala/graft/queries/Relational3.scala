@@ -113,9 +113,13 @@ object Relational3 {
   // per-customer aggregate.
   // ---------------------------------------------------------------- //
   def x04_scalar_in_select(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val agg = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("spend0"))
+      // long-path dsum: orders-per-customer is scale-invariant (~10),
+      // under the 2^63 group bound (DecimalFastFunctions contract)
+      .agg(count(lit(1)).as("cnt"), graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("o_totalprice"))).as("spend0"))
     t(s, dir, "customer")
       .join(agg, col("c_custkey") === col("o_custkey"), "left_outer")
       .select(col("c_custkey"), col("c_name"),

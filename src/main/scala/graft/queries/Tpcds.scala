@@ -151,12 +151,15 @@ object Tpcds {
   // outer-join-under-window corner a plain join would silently drop).
   // ---------------------------------------------------------------- //
   def q44_rank_zero_sales(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val sales = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .groupBy(col("l_partkey"))
-      .agg(sum(dec(col("l_extendedprice")) *
-        (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+      // long-path revenue: lines-per-part is scale-invariant (~30 at
+      // any SF), so the 2^63 group bound holds (DecimalFastFunctions)
+      .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue(
+          dec(col("l_extendedprice")), dec(col("l_discount")))
         .cast("double").as("rev"))
     val w = Window.partitionBy(col("p_type"))
       .orderBy(desc("rev0"), asc("p_partkey"))

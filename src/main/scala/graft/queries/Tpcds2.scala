@@ -118,9 +118,15 @@ object Tpcds2 {
   // the expensive aggregate materializes once, not per consumer.
   // ---------------------------------------------------------------- //
   def q47_cte_reuse(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val prev = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
-      .agg(dsum(col("l_extendedprice")).as("rev"))
+      // long-path dsum: lines-per-part is scale-invariant (~30), under
+      // the 2^63 group bound (DecimalFastFunctions contract); the
+      // re-aggregate over per-part partials below is dim-scale and
+      // stays on the decimal path
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("l_extendedprice"))).as("rev"))
     val bar = prev.agg(
       (sum(dec(col("rev"))).cast("double") / count(lit(1))).as("avg_rev"))
     val hot = prev.crossJoin(broadcast(bar)).filter(col("rev") > col("avg_rev"))
@@ -314,11 +320,15 @@ object Tpcds2 {
   // customer, top movers by growth ratio.
   // ---------------------------------------------------------------- //
   def q52_yoy_ratio(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val yearly = t(s, dir, "orders")
       .withColumn("yr", year(col("o_orderdate")))
       .filter(col("yr").isin(1996, 1997))
       .groupBy(col("o_custkey"), col("yr"))
-      .agg(dsum(col("o_totalprice")).as("total"))
+      // long-path dsum: orders-per-(customer, year) is scale-invariant
+      // (~10), under the 2^63 group bound (DecimalFastFunctions)
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("o_totalprice"))).as("total"))
     yearly.filter(col("yr") === 1996)
       .select(col("o_custkey"), col("total").as("t96"))
       .join(yearly.filter(col("yr") === 1997)
@@ -438,12 +448,18 @@ object Tpcds2 {
   // ties, volume floor in HAVING.
   // ---------------------------------------------------------------- //
   def q56_return_rate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
+    import graft.functions.DecimalFastFunctions.{dsum_unscaled, make_decimal, unscaled_value}
     val pr = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
+      // long-path sums: lines-per-part is scale-invariant (~30), under
+      // the 2^63 group bound (DecimalFastFunctions contract); the
+      // filtered sum rides the same path (NULL skips both ways)
       .agg(
-        coalesce(sum(when(col("l_returnflag") === "R", dec(col("l_quantity"))))
+        coalesce(make_decimal(sum(when(col("l_returnflag") === "R",
+            unscaled_value(dec(col("l_quantity"))))), 28, 2)
           .cast("double"), lit(0.0)).as("ret_qty"),
-        dsum(col("l_quantity")).as("tot_qty"))
+        dsum_unscaled(dec(col("l_quantity"))).as("tot_qty"))
       .filter(col("tot_qty") >= 100.0)
       .withColumn("ret_rate", col("ret_qty") / col("tot_qty"))
     pr.withColumn("rk", row_number().over(

@@ -42,9 +42,15 @@ object Tpcds4 {
   // per-decile count + decimal spend totals.
   // ---------------------------------------------------------------- //
   def q65_spend_deciles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
-      .agg(dsum(col("o_totalprice")).as("spend"))
+      // long-path dsum: orders-per-customer is scale-invariant (~10),
+      // under the 2^63 group bound (DecimalFastFunctions contract);
+      // the decile re-sum below runs over per-customer partials
+      // (dim-scale) on the decimal path
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("o_totalprice"))).as("spend"))
     spend
       .withColumn("decile", ntile(10).over(
         Window.orderBy(desc("spend"), col("o_custkey"))).cast("int"))

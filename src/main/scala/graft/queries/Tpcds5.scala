@@ -141,12 +141,15 @@ object Tpcds5 {
   // SUM(decimal)/COUNT so both engines derive it exactly.
   // ---------------------------------------------------------------- //
   def q73_avg_threshold(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val rev = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .groupBy(col("l_partkey"))
-      .agg(sum(dec(col("l_extendedprice")) *
-        (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+      // long-path revenue: lines-per-part is scale-invariant (~30),
+      // under the 2^63 group bound (DecimalFastFunctions contract)
+      .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue(
+          dec(col("l_extendedprice")), dec(col("l_discount")))
         .cast("double").as("rev"))
     // rev carries four decimal places (price(2dp) × discount(2dp)):
     // re-aggregate through DECIMAL(18,4), not the 2dp helper
@@ -253,11 +256,15 @@ object Tpcds5 {
       .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
       .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .withColumn("yr", year(col("o_orderdate")))
+    graft.functions.DecimalFastFunctions.register(s)
     def pass(yr: Int, out: String) =
       base.filter(col("yr") === yr)
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        // long-path revenue: lines-per-customer-per-year is
+        // scale-invariant (~30), under the 2^63 group bound
+        // (DecimalFastFunctions contract)
+        .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue(
+            dec(col("l_extendedprice")), dec(col("l_discount")))
           .cast("double").as(out))
     pass(1996, "rev96")
       .join(pass(1997, "rev97"), Seq("c_custkey", "c_name", "n_name"))

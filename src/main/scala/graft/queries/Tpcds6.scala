@@ -39,12 +39,18 @@ object Tpcds6 {
   // per-group threshold.
   // ---------------------------------------------------------------- //
   def q81_above_group_avg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val tot = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_nationkey"))
-      .agg(dsum(col("o_totalprice")).as("spend"))
+      // long-path dsum: orders-per-customer is scale-invariant (~10),
+      // under the 2^63 group bound (DecimalFastFunctions contract);
+      // the per-nation re-average below runs over per-customer
+      // partials (dim-scale) on the decimal path
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("o_totalprice"))).as("spend"))
     val nav = tot.groupBy(col("c_nationkey"))
       .agg((sum(dec(col("spend"))).cast("double") / count(lit(1))).as("avg_spend"))
     tot.join(nav, Seq("c_nationkey"))

@@ -88,11 +88,15 @@ object Tpcds8 {
     // decimal sums keep the revenue bit-identical either way.
     val raw = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+    graft.functions.DecimalFastFunctions.register(s)
     raw.repartitionByRange(col("l_orderkey"))
       .groupBy(col("l_orderkey"))
+      // long-path revenue sum: ≤7 lines per order at any SF, trivially
+      // under the 2^63 group bound (DecimalFastFunctions contract)
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         count(lit(1)).as("n_lines"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("order_rev"))
+        graft.functions.DecimalFastFunctions
+          .dsum_unscaled(dec(col("l_extendedprice"))).as("order_rev"))
       .filter(col("n_supp") >= 3)
       .sortWithinPartitions(col("l_orderkey"))
   }
@@ -113,10 +117,15 @@ object Tpcds8 {
   // over the tied set).
   // ---------------------------------------------------------------- //
   def q97_argmax_joinback(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val rev = t(s, dir, "lineitem")
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
-      .agg(dsum(col("l_extendedprice")).as("rev"))
+      // long-path dsum: the part key dominates the group — lines per
+      // part are scale-invariant (~30), under the 2^63 group bound
+      // (DecimalFastFunctions contract)
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("l_extendedprice"))).as("rev"))
     val mx = rev.groupBy(col("p_brand").as("b"))
       .agg(max(col("rev")).as("max_rev"))
     val tied = rev.join(mx,

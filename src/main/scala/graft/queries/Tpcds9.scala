@@ -142,10 +142,15 @@ object Tpcds9 {
   // scan, no self-join).
   // ---------------------------------------------------------------- //
   def q102_revenue_share(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val rev = t(s, dir, "lineitem")
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"), col("p_partkey"))
-      .agg(dsum(col("l_extendedprice")).as("rev"))
+      // long-path dsum: the part key dominates — lines per part are
+      // scale-invariant (~30), under the 2^63 group bound
+      // (DecimalFastFunctions contract)
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("l_extendedprice"))).as("rev"))
     val w = Window.partitionBy(col("p_type"))
     // scale-invariant cut: keep parts at >1.5x the within-type average
     // share (share * n > 1.5) — an absolute threshold empties as the
@@ -178,11 +183,15 @@ object Tpcds9 {
   // falls in [50, 150], as a distinct ordered listing.
   // ---------------------------------------------------------------- //
   def q103_window_band(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val windowQty = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-30").cast("timestamp"))
       .groupBy(col("l_partkey"))
-      .agg(dsum(col("l_quantity")).as("win_qty"))
+      // long-path dsum: lines-per-part is scale-invariant (~30), under
+      // the 2^63 group bound (DecimalFastFunctions contract)
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("l_quantity"))).as("win_qty"))
       .filter(col("win_qty") >= 50.0 && col("win_qty") <= 150.0)
     t(s, dir, "part")
       .filter(col("p_retailprice") >= 950.0 && col("p_retailprice") <= 985.0)
@@ -350,11 +359,17 @@ object Tpcds9 {
   // returned revenue (scalar subquery over the same aggregate).
   // ---------------------------------------------------------------- //
   def q107_self_threshold(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val per = t(s, dir, "lineitem")
       .filter(col("l_returnflag") === "R")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
-      .agg(dsum(col("l_extendedprice")).as("ret_rev"))
+      // long-path dsum: returned lines per customer are scale-invariant
+      // (~8), under the 2^63 group bound (DecimalFastFunctions
+      // contract); the global threshold below re-sums per-customer
+      // partials (dim-scale) on the decimal path
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("l_extendedprice"))).as("ret_rev"))
     // decimal sum / count, not AVG over doubles (summation-order FP)
     val thr = per.agg(((sum(dec(col("ret_rev"))).cast("double") /
       count(lit(1))) * 1.05).as("thr"))
@@ -421,6 +436,7 @@ object Tpcds9 {
   // revenue, bucketed into 5000-wide segments with customer counts.
   // ---------------------------------------------------------------- //
   def q109_next_month_segments(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
     val o97 = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -430,7 +446,11 @@ object Tpcds9 {
       .join(anchor, col("o_custkey") === col("a_ck") &&
         month(col("o_orderdate")) === col("first_mo") + 1)
       .groupBy(col("a_ck"))
-      .agg(dsum(col("o_totalprice")).as("next_rev"))
+      // long-path dsum: follow-month orders per customer are
+      // scale-invariant (~1), under the 2^63 group bound
+      // (DecimalFastFunctions contract)
+      .agg(graft.functions.DecimalFastFunctions
+        .dsum_unscaled(dec(col("o_totalprice"))).as("next_rev"))
     follow
       .withColumn("segment", floor(col("next_rev") / 5000.0).cast("int"))
       .groupBy(col("segment"))
