@@ -3,10 +3,12 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, MakeDecimal, UnaryExpression, UnscaledValue}
-import org.apache.spark.sql.functions.{call_function, lit, sum}
-import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, DecimalAddNoOverflowCheck, EvalMode, Expression, ExpressionInfo, GreaterThan, If, IsNotNull, IsNull, LessThan, Literal, MakeDecimal, Or, UnaryExpression, UnscaledValue}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.{call_function, floor, lit, sum}
+import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, IntegerType, LongType}
 
 /** Long-path decimal aggregation.
   *
@@ -123,6 +125,40 @@ object DecimalFastFunctions {
     * sum → identical decimal → identical double). */
   def dsum_unscaled(c: Column): Column = sum_unscaled(c, 2).cast("double")
 
+  /** Unscaled long of a DOUBLE column holding decimal data, without
+    * materializing a Decimal at all: `floor(d · 10^scale + 0.5)`,
+    * three codegen-primitive ops and zero allocations. The
+    * `unscaled_value(CAST(d AS DECIMAL(18,s)))` form it replaces is
+    * NOT allocation-free even though the sum is: Spark's double →
+    * decimal cast routes through `BigDecimal.valueOf` (one BigDecimal
+    * on `Double.toString`, another in `changePrecision`) plus a
+    * Decimal box per row — at a 60M-row fact scan that cast is most
+    * of the remaining aggregate wall (R15 lab table in BENCH_NOTES).
+    *
+    * EXACTNESS CONTRACT (caller owns, same scope as the oracle's):
+    * the column's values carry at most `scale` fractional decimal
+    * digits (each value is the nearest double to k·10^-scale for
+    * integer k) and |value|·10^scale < 2^52. Then d·10^scale lands
+    * within ~1e-9 of k, every rounding mode agrees, and the result
+    * equals the cast path's unscaled long bit-for-bit. On DIRTY data
+    * (a third decimal digit of noise) this rounds the binary value
+    * half-up while Spark's cast rounds the shortest decimal string
+    * half-up — but on such data Spark's cast already disagrees with
+    * DuckDB's (binary-value) cast, so any query under the DuckDB
+    * oracle is in-contract by construction. NaN/±Inf are out of
+    * contract (the cast nulls them; this folds them to Long bounds).
+    */
+  def unscaled_of_double(c: Column, scale: Int): Column =
+    floor(c * lit(math.pow(10, scale)) + lit(0.5)).cast(LongType)
+
+  /** The battery's `dsum` over a raw DOUBLE column through the long
+    * path end-to-end: scan-side [[unscaled_of_double]] (no per-row
+    * BigDecimal cast), primitive-long accumulator, one decimal per
+    * group. Result matches `sum(c.cast(DECIMAL(18,2))).cast("double")`
+    * under the contracts above. */
+  def dsum_unscaled_double(c: Column): Column =
+    make_decimal(sum(unscaled_of_double(c, 2)), 28, 2).cast("double")
+
   /** The TPC-H revenue aggregate `sum(price × (1 − disc))` through a
     * primitive-long accumulator. On the decimal path the product is
     * DECIMAL(18,2) × DECIMAL(19,2) → DECIMAL(38,4): non-compact before
@@ -139,4 +175,15 @@ object DecimalFastFunctions {
   def sum_unscaled_revenue(price: Column, disc: Column): Column =
     make_decimal(
       sum(unscaled_value(price) * (lit(100L) - unscaled_value(disc))), 38, 4)
+
+  /** [[sum_unscaled_revenue]] over raw DOUBLE columns: both factors'
+    * unscaled longs come from [[unscaled_of_double]], so the fact row
+    * pays three primitive flops instead of two BigDecimal casts plus
+    * a BigDecimal multiply. Same group bound as the decimal variant
+    * (Σ|price_u·(100−disc_u)| < 2^63); same per-column contract as
+    * [[unscaled_of_double]] at scale 2. */
+  def sum_unscaled_revenue_double(price: Column, disc: Column): Column =
+    make_decimal(
+      sum(unscaled_of_double(price, 2) * (lit(100L) - unscaled_of_double(disc, 2))),
+      38, 4)
 }

@@ -425,7 +425,7 @@ object Relational {
       // any SF; suppliers scale with the data), far under the 2^63
       // group bound (DecimalFastFunctions contract)
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("l_quantity"))).as("total_qty"))
+        .dsum_unscaled_double(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 300)
       .orderBy(col("l_suppkey"))
   }

@@ -119,7 +119,7 @@ object Relational3 {
       // long-path dsum: orders-per-customer is scale-invariant (~10),
       // under the 2^63 group bound (DecimalFastFunctions contract)
       .agg(count(lit(1)).as("cnt"), graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("o_totalprice"))).as("spend0"))
+        .dsum_unscaled_double(col("o_totalprice")).as("spend0"))
     t(s, dir, "customer")
       .join(agg, col("c_custkey") === col("o_custkey"), "left_outer")
       .select(col("c_custkey"), col("c_name"),

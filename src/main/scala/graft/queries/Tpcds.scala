@@ -158,8 +158,8 @@ object Tpcds {
       .groupBy(col("l_partkey"))
       // long-path revenue: lines-per-part is scale-invariant (~30 at
       // any SF), so the 2^63 group bound holds (DecimalFastFunctions)
-      .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue(
-          dec(col("l_extendedprice")), dec(col("l_discount")))
+      .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue_double(
+          col("l_extendedprice"), col("l_discount"))
         .cast("double").as("rev"))
     val w = Window.partitionBy(col("p_type"))
       .orderBy(desc("rev0"), asc("p_partkey"))

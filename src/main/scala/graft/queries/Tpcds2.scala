@@ -126,7 +126,7 @@ object Tpcds2 {
       // re-aggregate over per-part partials below is dim-scale and
       // stays on the decimal path
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("l_extendedprice"))).as("rev"))
+        .dsum_unscaled_double(col("l_extendedprice")).as("rev"))
     val bar = prev.agg(
       (sum(dec(col("rev"))).cast("double") / count(lit(1))).as("avg_rev"))
     val hot = prev.crossJoin(broadcast(bar)).filter(col("rev") > col("avg_rev"))
@@ -328,7 +328,7 @@ object Tpcds2 {
       // long-path dsum: orders-per-(customer, year) is scale-invariant
       // (~10), under the 2^63 group bound (DecimalFastFunctions)
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("o_totalprice"))).as("total"))
+        .dsum_unscaled_double(col("o_totalprice")).as("total"))
     yearly.filter(col("yr") === 1996)
       .select(col("o_custkey"), col("total").as("t96"))
       .join(yearly.filter(col("yr") === 1997)
@@ -449,7 +449,7 @@ object Tpcds2 {
   // ---------------------------------------------------------------- //
   def q56_return_rate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DecimalFastFunctions.register(s)
-    import graft.functions.DecimalFastFunctions.{dsum_unscaled, make_decimal, unscaled_value}
+    import graft.functions.DecimalFastFunctions.{dsum_unscaled_double, make_decimal, unscaled_of_double}
     val pr = t(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
       // long-path sums: lines-per-part is scale-invariant (~30), under
@@ -457,9 +457,9 @@ object Tpcds2 {
       // filtered sum rides the same path (NULL skips both ways)
       .agg(
         coalesce(make_decimal(sum(when(col("l_returnflag") === "R",
-            unscaled_value(dec(col("l_quantity"))))), 28, 2)
+            unscaled_of_double(col("l_quantity"), 2))), 28, 2)
           .cast("double"), lit(0.0)).as("ret_qty"),
-        dsum_unscaled(dec(col("l_quantity"))).as("tot_qty"))
+        dsum_unscaled_double(col("l_quantity")).as("tot_qty"))
       .filter(col("tot_qty") >= 100.0)
       .withColumn("ret_rate", col("ret_qty") / col("tot_qty"))
     pr.withColumn("rk", row_number().over(

@@ -50,7 +50,7 @@ object Tpcds4 {
       // the decile re-sum below runs over per-customer partials
       // (dim-scale) on the decimal path
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("o_totalprice"))).as("spend"))
+        .dsum_unscaled_double(col("o_totalprice")).as("spend"))
     spend
       .withColumn("decile", ntile(10).over(
         Window.orderBy(desc("spend"), col("o_custkey"))).cast("int"))
@@ -163,16 +163,22 @@ object Tpcds4 {
     * plain dsum pays a BigDecimal add per fact row — the R14Lab sf10
     * decomposition measured that as the whole query wall (agg 49 s+
     * under GC amplification vs 1.05 s unscaled; full query 1.24 s vs
-    * 2.37 s best-case). Exactness bound (owned here): per-partkey
-    * Σ|unscaled(l_extendedprice)| < 2^63 ⇔ per-part revenue < 9.2e16
-    * — lineitems-per-part is a scale-invariant TPC-H constant (~30)
-    * and prices are < 1e6, so the bound holds by ~9 orders at any SF. */
+    * 2.37 s best-case). r15 closes the scan side too: the unscaled
+    * long comes from `unscaled_of_double` (3 primitive flops) rather
+    * than `unscaled_value(CAST(double AS DECIMAL))`, whose cast
+    * allocates two BigDecimals per row — jstack caught that cast as
+    * the whole remaining agg wall at sf10. Exactness bound (owned
+    * here): per-partkey Σ|unscaled(l_extendedprice)| < 2^63 ⇔
+    * per-part revenue < 9.2e16 — lineitems-per-part is a
+    * scale-invariant TPC-H constant (~30) and prices are < 1e6, so
+    * the bound holds by ~9 orders at any SF; the clean-2-decimal
+    * input contract is the oracle's own (see unscaled_of_double). */
   private[queries] def q68Shape(lineitem: DataFrame, part: DataFrame): DataFrame = {
     graft.functions.DecimalFastFunctions.register(lineitem.sparkSession)
     val rev = lineitem
       .groupBy(col("l_partkey"))
       .agg(graft.functions.DecimalFastFunctions
-        .sum_unscaled(dec(col("l_extendedprice")), 2).cast("double").as("rev"))
+        .dsum_unscaled_double(col("l_extendedprice")).as("rev"))
       .join(part, col("l_partkey") === col("p_partkey"))
     rev.withColumn("pr", percent_rank().over(
         Window.partitionBy(col("p_type")).orderBy(col("rev"), col("p_partkey"))))

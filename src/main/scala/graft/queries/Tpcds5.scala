@@ -148,8 +148,8 @@ object Tpcds5 {
       .groupBy(col("l_partkey"))
       // long-path revenue: lines-per-part is scale-invariant (~30),
       // under the 2^63 group bound (DecimalFastFunctions contract)
-      .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue(
-          dec(col("l_extendedprice")), dec(col("l_discount")))
+      .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue_double(
+          col("l_extendedprice"), col("l_discount"))
         .cast("double").as("rev"))
     // rev carries four decimal places (price(2dp) × discount(2dp)):
     // re-aggregate through DECIMAL(18,4), not the 2dp helper
@@ -263,8 +263,8 @@ object Tpcds5 {
         // long-path revenue: lines-per-customer-per-year is
         // scale-invariant (~30), under the 2^63 group bound
         // (DecimalFastFunctions contract)
-        .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue(
-            dec(col("l_extendedprice")), dec(col("l_discount")))
+        .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue_double(
+            col("l_extendedprice"), col("l_discount"))
           .cast("double").as(out))
     pass(1996, "rev96")
       .join(pass(1997, "rev97"), Seq("c_custkey", "c_name", "n_name"))
@@ -428,10 +428,9 @@ object Tpcds5 {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_lines"),
-        graft.functions.DecimalFastFunctions.sum_unscaled(
-            (col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
-              .cast(DecimalType(18, 2)), 2)
-          .cast("double").as("net_qty"))
+        graft.functions.DecimalFastFunctions.dsum_unscaled_double(
+            col("l_quantity") - coalesce(col("r_qty"), lit(0.0)))
+          .as("net_qty"))
       .orderBy(col("o_custkey"))
   }
 

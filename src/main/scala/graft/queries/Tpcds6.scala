@@ -50,7 +50,7 @@ object Tpcds6 {
       // the per-nation re-average below runs over per-customer
       // partials (dim-scale) on the decimal path
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("o_totalprice"))).as("spend"))
+        .dsum_unscaled_double(col("o_totalprice")).as("spend"))
     val nav = tot.groupBy(col("c_nationkey"))
       .agg((sum(dec(col("spend"))).cast("double") / count(lit(1))).as("avg_spend"))
     tot.join(nav, Seq("c_nationkey"))

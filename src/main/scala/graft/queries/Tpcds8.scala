@@ -96,7 +96,7 @@ object Tpcds8 {
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         count(lit(1)).as("n_lines"),
         graft.functions.DecimalFastFunctions
-          .dsum_unscaled(dec(col("l_extendedprice"))).as("order_rev"))
+          .dsum_unscaled_double(col("l_extendedprice")).as("order_rev"))
       .filter(col("n_supp") >= 3)
       .sortWithinPartitions(col("l_orderkey"))
   }
@@ -125,7 +125,7 @@ object Tpcds8 {
       // part are scale-invariant (~30), under the 2^63 group bound
       // (DecimalFastFunctions contract)
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("l_extendedprice"))).as("rev"))
+        .dsum_unscaled_double(col("l_extendedprice")).as("rev"))
     val mx = rev.groupBy(col("p_brand").as("b"))
       .agg(max(col("rev")).as("max_rev"))
     val tied = rev.join(mx,

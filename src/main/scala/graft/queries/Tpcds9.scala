@@ -150,7 +150,7 @@ object Tpcds9 {
       // scale-invariant (~30), under the 2^63 group bound
       // (DecimalFastFunctions contract)
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("l_extendedprice"))).as("rev"))
+        .dsum_unscaled_double(col("l_extendedprice")).as("rev"))
     val w = Window.partitionBy(col("p_type"))
     // scale-invariant cut: keep parts at >1.5x the within-type average
     // share (share * n > 1.5) — an absolute threshold empties as the
@@ -191,7 +191,7 @@ object Tpcds9 {
       // long-path dsum: lines-per-part is scale-invariant (~30), under
       // the 2^63 group bound (DecimalFastFunctions contract)
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("l_quantity"))).as("win_qty"))
+        .dsum_unscaled_double(col("l_quantity")).as("win_qty"))
       .filter(col("win_qty") >= 50.0 && col("win_qty") <= 150.0)
     t(s, dir, "part")
       .filter(col("p_retailprice") >= 950.0 && col("p_retailprice") <= 985.0)
@@ -369,7 +369,7 @@ object Tpcds9 {
       // contract); the global threshold below re-sums per-customer
       // partials (dim-scale) on the decimal path
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("l_extendedprice"))).as("ret_rev"))
+        .dsum_unscaled_double(col("l_extendedprice")).as("ret_rev"))
     // decimal sum / count, not AVG over doubles (summation-order FP)
     val thr = per.agg(((sum(dec(col("ret_rev"))).cast("double") /
       count(lit(1))) * 1.05).as("thr"))
@@ -450,7 +450,7 @@ object Tpcds9 {
       // scale-invariant (~1), under the 2^63 group bound
       // (DecimalFastFunctions contract)
       .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled(dec(col("o_totalprice"))).as("next_rev"))
+        .dsum_unscaled_double(col("o_totalprice")).as("next_rev"))
     follow
       .withColumn("segment", floor(col("next_rev") / 5000.0).cast("int"))
       .groupBy(col("segment"))

@@ -65,6 +65,53 @@ class Wave11Spec extends AnyFunSuite {
     assert(fast.except(ref).isEmpty && ref.except(fast).isEmpty)
   }
 
+  test("unscaled_of_double equals the cast path on clean 2-decimal doubles") {
+    // the contract's whole domain: nearest-doubles to k/100, k any
+    // sign and magnitude through money range; plus null propagation.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cents = Seq.tabulate(4000)(_ =>
+      (rnd.nextLong() % 1000000000L)) ++ // ±1e7 money range
+      Seq(0L, 1L, -1L, 99L, -99L, 50L, -50L, 999999999999L, -999999999999L)
+    val df = cents.map(k => (k, k / 100.0)).toDF("k", "d")
+    functions.DecimalFastFunctions.register(spark)
+    val bad = df.select(col("k"), col("d"),
+        functions.DecimalFastFunctions.unscaled_of_double(col("d"), 2).as("fast"),
+        functions.DecimalFastFunctions
+          .unscaled_value(col("d").cast("decimal(18,2)")).as("cast_path"))
+      .filter(col("fast") =!= col("cast_path") || col("fast") =!= col("k"))
+    assert(bad.isEmpty, s"mismatches: ${bad.collect().take(5).mkString(", ")}")
+    // null in → null out, same as the cast path
+    val n = Seq[(java.lang.Double, Int)]((null, 1)).toDF("d", "g")
+      .select(functions.DecimalFastFunctions.unscaled_of_double(col("d"), 2).as("u"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("dsum_unscaled_double matches the decimal sum bit-exactly (incl. differences)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(3000) { i =>
+      (i % 11, (rnd.nextInt(2000000) - 1000000) / 100.0,
+        rnd.nextInt(10000) / 100.0)
+    }.toDF("g", "a", "b")
+    functions.DecimalFastFunctions.register(spark)
+    // q80's shape: a sum over a DIFFERENCE of clean 2-decimal doubles
+    val fast = df.groupBy("g").agg(functions.DecimalFastFunctions
+      .dsum_unscaled_double(col("a") - col("b")).as("s"))
+    val ref = df.groupBy("g")
+      .agg(sum((col("a") - col("b")).cast("decimal(18,2)")).cast("double").as("s"))
+    assert(fast.except(ref).isEmpty && ref.except(fast).isEmpty)
+    // revenue product: price × (1 − disc) in unscaled space
+    val fastRev = df.groupBy("g").agg(functions.DecimalFastFunctions
+      .sum_unscaled_revenue_double(abs(col("a")), col("b") % 1.0).as("s"))
+    val refRev = df.groupBy("g").agg(sum(abs(col("a")).cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - (col("b") % 1.0).cast("decimal(18,2)"))).as("s"))
+    assert(fastRev.schema("s").dataType == refRev.schema("s").dataType,
+      s"${fastRev.schema("s").dataType} vs ${refRev.schema("s").dataType}")
+    assert(fastRev.except(refRev).isEmpty && refRev.except(fastRev).isEmpty)
+  }
+
   test("unscaled_value carries its overflow contract in DESCRIBE FUNCTION") {
     functions.DecimalFastFunctions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION EXTENDED unscaled_value")
