@@ -44,6 +44,8 @@ object Bench {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // clean-decimal corpus (oracle-imposed) → fast-double-sum contract holds
+    graft.plans.FastDoubleDecimalSumRule.install(spark)
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }

@@ -30,6 +30,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
 
+    // Conf-gated (spark.graft.fastDoubleDecimalSum, default false):
+    // no-op unless the session opts into the clean-decimal contract.
+    ext.injectOptimizerRule(_ => graft.plans.FastDoubleDecimalSumRule)
+
     inject("vec_dot", "_FUNC_(a, b) - sequential-fold dot product") { a =>
       graft.functions.VecDot(a(0), a(1))
     }

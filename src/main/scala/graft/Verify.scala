@@ -19,6 +19,9 @@ object Verify {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the testdata corpus is clean-decimal by construction (the DuckDB
+    // oracle imposes it), so the fast-double-sum contract holds
+    graft.plans.FastDoubleDecimalSumRule.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }

@@ -44,6 +44,9 @@ object R15Lab {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.getOrElse("R15_FAST_DSUM", "1") == "1") {
+      graft.plans.FastDoubleDecimalSumRule.install(spark)
+    }
     try {
       def gcMillis: Long = {
         import scala.jdk.CollectionConverters._

@@ -65,6 +65,90 @@ object DecimalFastFunctions {
       copy(child = c)
   }
 
+  /** Exact decimal sum of unscaled longs with a primitive-long hot
+    * path and NO caller-owned group bound — the Class-B answer (see
+    * BENCH_NOTES r15 sweep): fixed-cardinality keys whose groups grow
+    * with the data cannot promise Σ|unscaled| < 2^63, so they could
+    * not adopt the raw-long accumulator; this aggregate keeps the
+    * per-row work a long add + one comparison and SPILLS the long
+    * into a DECIMAL(p,s) running total whenever |acc| crosses 2^61 —
+    * at money magnitudes that is once per ~10^11 rows per buffer, so
+    * BigDecimal arithmetic happens O(spills + merges) times, not
+    * O(rows). Exact at ANY scale: the spill threshold (2^61) plus the
+    * per-row input bound (|child| < 2^60, any unscaled value of a
+    * compact decimal) keeps the long add overflow-free, and the
+    * decimal total is integer-exact up to DECIMAL(p) capacity — the
+    * same capacity bound the built-in decimal Sum has, minus its
+    * per-row BigDecimal tax. Buffer: (hi: DECIMAL(p,s), acc: LONG,
+    * seen: BOOLEAN); merge folds the partial's long into the decimal,
+    * i.e. the two-level aggregate (bounded long partials, decimal
+    * re-sum) expressed inside Spark's own partial/final machinery.
+    *
+    * Differences vs `sum(CAST(x AS DECIMAL))`, both out of practical
+    * range: past DECIMAL(p) capacity the built-in nulls (non-ANSI)
+    * where this wraps high digits (p=28 ⇒ capacity 10^26: ~8 orders
+    * above a 100 TB global money sum); per-row inputs ≥ 2^60 are
+    * rejected by no analysis check (unreachable from compact-decimal
+    * unscaled values, which are < 10^18 < 2^60). */
+  case class UnscaledDecimalSum(child: Expression, precision: Int, scale: Int)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+    override def dataType: DataType = DecimalType(precision, scale)
+    override def nullable: Boolean = true
+    override def prettyName: String = "sum_unscaled_safe"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sum_unscaled_safe sums unscaled BIGINT values, got ${other.catalogString}")
+    }
+
+    private lazy val hi = AttributeReference("hi", dataType, nullable = false)()
+    private lazy val acc = AttributeReference("acc", LongType, nullable = false)()
+    private lazy val seen = AttributeReference("seen", BooleanType, nullable = false)()
+
+    override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, acc, seen)
+
+    private def zeroDec: Literal = Literal.create(Decimal(0, precision, scale), dataType)
+    private def toDec(l: Expression): Expression = MakeDecimal(l, precision, scale)
+    private def addDec(l: Expression, r: Expression): Expression =
+      DecimalAddNoOverflowCheck(l, r, dataType)
+    // legacy-mode long add: the spill gate (2^61) + input bound (2^60)
+    // make overflow unreachable, so skip ANSI's addExact branch
+    private def addLong(l: Expression, r: Expression): Expression =
+      Add(l, r, EvalMode.LEGACY)
+    private val gate = 1L << 61
+
+    override lazy val initialValues: Seq[Expression] =
+      Seq(zeroDec, Literal(0L), Literal(false))
+
+    override lazy val updateExpressions: Seq[Expression] = {
+      val spill = Or(GreaterThan(acc, Literal(gate)), LessThan(acc, Literal(-gate)))
+      Seq(
+        If(IsNull(child), hi, If(spill, addDec(hi, toDec(acc)), hi)),
+        If(IsNull(child), acc, If(spill, child, addLong(acc, child))),
+        Or(seen, IsNotNull(child)))
+    }
+
+    override lazy val mergeExpressions: Seq[Expression] = Seq(
+      addDec(addDec(hi.left, hi.right), toDec(acc.right)),
+      acc.left,
+      Or(seen.left, seen.right))
+
+    override lazy val evaluateExpression: Expression =
+      If(seen, addDec(hi, toDec(acc)), Literal.create(null, dataType))
+
+    override protected def withNewChildInternal(c: Expression): UnscaledDecimalSum =
+      copy(child = c)
+  }
+
+  val safeSumBuilder: Seq[Expression] => Expression = {
+    case Seq(c, Literal(p: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+      UnscaledDecimalSum(c, p, s)
+    case _ => throw new IllegalArgumentException(
+      "sum_unscaled_safe(unscaled bigint, precision int literal, scale int literal)")
+  }
+
   val unscaledBuilder: Seq[Expression] => Expression = {
     case Seq(c) => CompactUnscaledValue(c)
     case _ => throw new IllegalArgumentException("unscaled_value(decimal)")
@@ -98,6 +182,15 @@ object DecimalFastFunctions {
         "unscaled_value(d) - the unscaled long of a compact decimal " +
           "(precision <= 18), for primitive-long aggregation."),
       unscaledBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sum_unscaled_safe"),
+      info("sum_unscaled_safe",
+        "sum_unscaled_safe(l, p, s) - exact DECIMAL(p, s) sum of unscaled " +
+          "bigints with a primitive-long hot path that spills to the decimal " +
+          "total past 2^61; no per-group bound needed (unlike a raw " +
+          "sum(unscaled_value(x))). Inputs must be unscaled values of " +
+          "compact decimals (|l| < 2^60)."),
+      safeSumBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("make_decimal"),
       info("make_decimal",
@@ -175,6 +268,28 @@ object DecimalFastFunctions {
   def sum_unscaled_revenue(price: Column, disc: Column): Column =
     make_decimal(
       sum(unscaled_value(price) * (lit(100L) - unscaled_value(disc))), 38, 4)
+
+  /** [[UnscaledDecimalSum]] as a Column: exact decimal sum of unscaled
+    * longs, safe for ANY group cardinality (global sums included). */
+  def sum_unscaled_safe(c: Column, precision: Int, scale: Int): Column =
+    call_function("sum_unscaled_safe", c, lit(precision), lit(scale))
+
+  /** The battery's `dsum` over a raw DOUBLE column, Class-B safe:
+    * scan-side [[unscaled_of_double]], spill-guarded long accumulator,
+    * decimal rebuilt per group — same double as
+    * `sum(c.cast(DECIMAL(18,2))).cast("double")` under the
+    * [[unscaled_of_double]] contract, with NO group-size bound. */
+  def dsum_safe_double(c: Column): Column =
+    sum_unscaled_safe(unscaled_of_double(c, 2), 28, 2).cast("double")
+
+  /** Class-B-safe revenue aggregate over raw DOUBLE columns: the
+    * per-row product in long space (|price_u·(100−disc_u)| ≲ 10^10,
+    * far under the 2^60 input bound), spill-guarded accumulation to
+    * the decimal-path result type DECIMAL(38,4). */
+  def sum_revenue_safe_double(price: Column, disc: Column): Column =
+    sum_unscaled_safe(
+      unscaled_of_double(price, 2) * (lit(100L) - unscaled_of_double(disc, 2)),
+      38, 4)
 
   /** [[sum_unscaled_revenue]] over raw DOUBLE columns: both factors'
     * unscaled longs come from [[unscaled_of_double]], so the fact row

@@ -112,6 +112,102 @@ class Wave11Spec extends AnyFunSuite {
     assert(fastRev.except(refRev).isEmpty && refRev.except(fastRev).isEmpty)
   }
 
+  test("sum_unscaled_safe matches the decimal sum with forced spills and merges") {
+    import spark.implicits._
+    functions.DecimalFastFunctions.register(spark)
+    // values near the 2^60 per-row input bound force the 2^61 spill
+    // gate every ~2 rows, exercising the decimal spill branch AND the
+    // long branch; 8 partitions exercise the merge path's long fold
+    val rnd = new scala.util.Random(13)
+    // |u| in [1e17, 9e17] (inside DECIMAL(18) capacity), 5/7 positive
+    // so every group's running sum drifts across the 2^61 gate
+    val big = Seq.tabulate(400) { i =>
+      val sign = if (i % 7 < 5) 1L else -1L
+      (i % 3, sign * ((rnd.nextLong().abs % 400000000000000000L) + 500000000000000000L))
+    }
+    val small = Seq.tabulate(400)(i => (i % 3, rnd.nextInt(100000).toLong))
+    val df = (big ++ small).toDF("g", "u").repartition(8)
+    val fast = df.groupBy("g").agg(functions.DecimalFastFunctions
+      .sum_unscaled_safe(col("u"), 38, 2).as("s"))
+    val ref = df.groupBy("g")
+      .agg(sum(functions.DecimalFastFunctions.make_decimal(col("u"), 18, 2))
+        .cast("decimal(38,2)").as("s"))
+    assert(fast.schema("s").dataType == ref.schema("s").dataType)
+    assert(fast.except(ref).isEmpty && ref.except(fast).isEmpty)
+    // empty input → null, like sum; nulls skipped
+    val e = Seq[(Int, java.lang.Long)]((1, null)).toDF("g", "u")
+      .groupBy("g").agg(functions.DecimalFastFunctions
+        .sum_unscaled_safe(col("u"), 28, 2).as("s")).collect().head
+    assert(e.isNullAt(1))
+    // SQL-registered form resolves and aggregates
+    df.createOrReplaceTempView("safe_sum_t")
+    val viaSql = spark.sql(
+      "SELECT g, sum_unscaled_safe(u, 38, 2) AS s FROM safe_sum_t GROUP BY g")
+    assert(viaSql.except(ref).isEmpty && ref.except(viaSql).isEmpty)
+  }
+
+  test("dsum_safe_double matches the decimal-path dsum on clean doubles") {
+    import spark.implicits._
+    functions.DecimalFastFunctions.register(spark)
+    val rnd = new scala.util.Random(99)
+    val df = Seq.tabulate(5000) { i =>
+      (i % 2, (rnd.nextInt(200000000) - 100000000) / 100.0)
+    }.toDF("g", "d").repartition(6)
+    val fast = df.groupBy("g")
+      .agg(functions.DecimalFastFunctions.dsum_safe_double(col("d")).as("s"))
+    val ref = df.groupBy("g")
+      .agg(sum(col("d").cast("decimal(18,2)")).cast("double").as("s"))
+    assert(fast.except(ref).isEmpty && ref.except(fast).isEmpty)
+    val fastRev = df.groupBy("g").agg(functions.DecimalFastFunctions
+      .sum_revenue_safe_double(abs(col("d")), abs(col("d")) % 1.0).as("s"))
+    val refRev = df.groupBy("g").agg(sum(abs(col("d")).cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - (abs(col("d")) % 1.0).cast("decimal(18,2)"))).as("s"))
+    assert(fastRev.schema("s").dataType == refRev.schema("s").dataType)
+    assert(fastRev.except(refRev).isEmpty && refRev.except(fastRev).isEmpty)
+  }
+
+  test("FastDoubleDecimalSumRule rewrites double-cast sums, conf-gated") {
+    import spark.implicits._
+    plans.FastDoubleDecimalSumRule.install(spark)
+    val rnd = new scala.util.Random(5)
+    val df = Seq.tabulate(2000)(i =>
+      (i % 4, rnd.nextInt(100000) / 100.0, rnd.nextInt(100) / 100.0))
+      .toDF("g", "p", "d").repartition(5)
+    df.createOrReplaceTempView("fast_sum_t")
+
+    def planOf(q: org.apache.spark.sql.DataFrame): String =
+      q.queryExecution.executedPlan.toString
+
+    // DataFrame form
+    val dfSum = df.groupBy("g").agg(sum(col("p").cast("decimal(18,2)")).as("s"))
+    assert(planOf(dfSum).contains("sum_unscaled_safe"), planOf(dfSum))
+    // SQL-text form (the catalog entries' shape) + revenue product form
+    val sqlSum = spark.sql(
+      """SELECT g, SUM(CAST(p AS DECIMAL(18,2))) AS s,
+        |  SUM(CAST(p AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))) AS rev
+        |FROM fast_sum_t GROUP BY g""".stripMargin)
+    assert(planOf(sqlSum).count(_ == 's') > 0 &&
+      "sum_unscaled_safe".r.findAllIn(planOf(sqlSum)).size >= 2, planOf(sqlSum))
+
+    // results identical to the decimal path (rule off)
+    spark.conf.set(plans.FastDoubleDecimalSumRule.ConfKey, "false")
+    val refSum = spark.sql(
+      """SELECT g, SUM(CAST(p AS DECIMAL(18,2))) AS s,
+        |  SUM(CAST(p AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(d AS DECIMAL(18,2)))) AS rev
+        |FROM fast_sum_t GROUP BY g""".stripMargin)
+    assert(!planOf(refSum).contains("sum_unscaled_safe"), "conf gate ignored")
+    spark.conf.set(plans.FastDoubleDecimalSumRule.ConfKey, "true")
+    assert(sqlSum.except(refSum).isEmpty && refSum.except(sqlSum).isEmpty)
+    assert(sqlSum.schema == refSum.schema,
+      s"${sqlSum.schema} vs ${refSum.schema}")
+
+    // distinct sums stay on the decimal path
+    val dist = df.groupBy("g").agg(sum_distinct(col("p").cast("decimal(18,2)")).as("s"))
+    assert(!planOf(dist).contains("sum_unscaled_safe"), planOf(dist))
+  }
+
   test("unscaled_value carries its overflow contract in DESCRIBE FUNCTION") {
     functions.DecimalFastFunctions.register(spark)
     val desc = spark.sql("DESCRIBE FUNCTION EXTENDED unscaled_value")
