@@ -58,15 +58,18 @@ object R15Lab {
         df.queryExecution.toRdd.foreach(_ => ())
         (System.nanoTime() - t1) / 1e9
       }
+      // gate override is for functional smoke runs only — numbers of
+      // record require the 0.5 s protocol gate
+      val gateS = sys.env.getOrElse("R15_CANARY_GATE", "0.5").toDouble
       def canary(tag: String): Double = {
         val li = graft.Tables.load(spark, dir, "lineitem")
           .select(col("l_partkey"), col("l_extendedprice"))
         wall(li) // cold (parquet footer + code cache)
         val c = math.min(wall(li), wall(li))
-        println(f"R15 CANARY[$tag] scan2 $c%.2f s  (gate 0.50)")
+        println(f"R15 CANARY[$tag] scan2 $c%.2f s  (gate $gateS%.2f)")
         c
       }
-      if (canary("open") > 0.5) {
+      if (canary("open") > gateS) {
         println("R15 CANARY FAIL — phase-poisoned JVM, aborting per protocol")
         sys.exit(2)
       }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, DecimalAddNoOverflowCheck, EvalMode, Expression, ExpressionInfo, GreaterThan, If, IsNotNull, IsNull, LessThan, Literal, MakeDecimal, Or, UnaryExpression, UnscaledValue}
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, Cast, CheckOverflow, EvalMode, Expression, ExpressionInfo, GreaterThan, If, IntegralDivide, IsNotNull, IsNull, LessThan, Literal, MakeDecimal, Multiply, Or, Remainder, UnaryExpression, UnscaledValue}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.functions.{call_function, floor, lit, sum}
 import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, DecimalType, IntegerType, LongType}
@@ -65,31 +65,27 @@ object DecimalFastFunctions {
       copy(child = c)
   }
 
-  /** Exact decimal sum of unscaled longs with a primitive-long hot
+  /** Exact decimal sum of unscaled longs with an all-primitive hot
     * path and NO caller-owned group bound — the Class-B answer (see
     * BENCH_NOTES r15 sweep): fixed-cardinality keys whose groups grow
     * with the data cannot promise Σ|unscaled| < 2^63, so they could
-    * not adopt the raw-long accumulator; this aggregate keeps the
-    * per-row work a long add + one comparison and SPILLS the long
-    * into a DECIMAL(p,s) running total whenever |acc| crosses 2^61 —
-    * at money magnitudes that is once per ~10^11 rows per buffer, so
-    * BigDecimal arithmetic happens O(spills + merges) times, not
-    * O(rows). Exact at ANY scale: the spill threshold (2^61) plus the
-    * per-row input bound (|child| < 2^60, any unscaled value of a
-    * compact decimal) keeps the long add overflow-free, and the
-    * decimal total is integer-exact up to DECIMAL(p) capacity — the
-    * same capacity bound the built-in decimal Sum has, minus its
-    * per-row BigDecimal tax. Buffer: (hi: DECIMAL(p,s), acc: LONG,
-    * seen: BOOLEAN); merge folds the partial's long into the decimal,
-    * i.e. the two-level aggregate (bounded long partials, decimal
-    * re-sum) expressed inside Spark's own partial/final machinery.
+    * not adopt the raw-long accumulator. The running total is carried
+    * as `cnt·2^60 + acc` over two long buffer fields: each row is one
+    * long add plus two comparisons, and when |acc| crosses 2^60 the
+    * rare spill branch moves whole gate-units into `cnt` with one
+    * integer div/mod — at money magnitudes once per ~10^10 rows per
+    * buffer. Total capacity ≈ 2^123 ≈ 10^37, effectively the
+    * DECIMAL(38) ceiling; past the declared DECIMAL(p) the
+    * once-per-group evaluate NULLS via CheckOverflow, matching the
+    * built-in non-ANSI decimal sum. The merge path is the two-level
+    * aggregate (bounded long partials, wide re-sum) expressed inside
+    * Spark's own partial/final machinery.
     *
-    * Differences vs `sum(CAST(x AS DECIMAL))`, both out of practical
-    * range: past DECIMAL(p) capacity the built-in nulls (non-ANSI)
-    * where this wraps high digits (p=28 ⇒ capacity 10^26: ~8 orders
-    * above a 100 TB global money sum); per-row inputs ≥ 2^60 are
-    * rejected by no analysis check (unreachable from compact-decimal
-    * unscaled values, which are < 10^18 < 2^60). */
+    * Per-row input contract: |child| ≤ 2^60 (any compact decimal's
+    * unscaled value is < 10^18 < 2^60) — this keeps every long
+    * add/merge overflow-free by the bounds in the field comments; it
+    * is not analysis-checkable for free, so it is documented here and
+    * in the SQL usage string. */
   case class UnscaledDecimalSum(child: Expression, precision: Int, scale: Int)
     extends DeclarativeAggregate with UnaryLike[Expression] {
 
@@ -103,40 +99,73 @@ object DecimalFastFunctions {
         s"sum_unscaled_safe sums unscaled BIGINT values, got ${other.catalogString}")
     }
 
-    private lazy val hi = AttributeReference("hi", dataType, nullable = false)()
+    // ALL buffer fields are fixed-width primitives — this is
+    // load-bearing, not a convenience. A first cut kept the spill
+    // total as a DECIMAL(p,s) buffer attribute; a jstack of the sf10
+    // run caught the hash aggregate in UnsafeRow.setDecimal →
+    // BigInteger.toByteArray on EVERY row — non-compact decimals are
+    // variable-width in UnsafeRow, so the buffer write-back itself
+    // re-pays the decimal tax even when the value is unchanged. The
+    // total is therefore carried as cnt·2^60 + acc over two longs;
+    // the only non-primitive work left anywhere is the once-per-group
+    // evaluate.
+    private lazy val cnt = AttributeReference("cnt", LongType, nullable = false)()
     private lazy val acc = AttributeReference("acc", LongType, nullable = false)()
     private lazy val seen = AttributeReference("seen", BooleanType, nullable = false)()
 
-    override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, acc, seen)
+    override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(cnt, acc, seen)
 
-    private def zeroDec: Literal = Literal.create(Decimal(0, precision, scale), dataType)
-    private def toDec(l: Expression): Expression = MakeDecimal(l, precision, scale)
-    private def addDec(l: Expression, r: Expression): Expression =
-      DecimalAddNoOverflowCheck(l, r, dataType)
-    // legacy-mode long add: the spill gate (2^61) + input bound (2^60)
-    // make overflow unreachable, so skip ANSI's addExact branch
+    // Spill unit 2^60 with per-row |input| ≤ 2^60 (any compact
+    // decimal's unscaled value is < 10^18 < 2^60): after any update
+    // |acc| ≤ gate + 2^60 ≤ 2^61, so the pre-branch add and the merge
+    // sum (≤ 2^62) never overflow a long.
+    private val gate = 1L << 60
+    private def gateLit = Literal(gate)
+    // legacy-mode arithmetic: overflow unreachable by the bounds
+    // above, so skip ANSI's addExact branch in the hot loop
     private def addLong(l: Expression, r: Expression): Expression =
       Add(l, r, EvalMode.LEGACY)
-    private val gate = 1L << 61
+    // toward-zero div/mod pair (Java semantics): (a div g)·g + (a mod g) = a
+    private def divGate(e: Expression): Expression =
+      IntegralDivide(e, gateLit, EvalMode.LEGACY)
+    private def modGate(e: Expression): Expression =
+      Remainder(e, gateLit, EvalMode.LEGACY)
 
     override lazy val initialValues: Seq[Expression] =
-      Seq(zeroDec, Literal(0L), Literal(false))
+      Seq(Literal(0L), Literal(0L), Literal(false))
 
     override lazy val updateExpressions: Seq[Expression] = {
-      val spill = Or(GreaterThan(acc, Literal(gate)), LessThan(acc, Literal(-gate)))
+      val spill = Or(GreaterThan(acc, gateLit), LessThan(acc, Literal(-gate)))
       Seq(
-        If(IsNull(child), hi, If(spill, addDec(hi, toDec(acc)), hi)),
-        If(IsNull(child), acc, If(spill, child, addLong(acc, child))),
+        If(IsNull(child), cnt, If(spill, addLong(cnt, divGate(acc)), cnt)),
+        If(IsNull(child), acc,
+          If(spill, addLong(modGate(acc), child), addLong(acc, child))),
         Or(seen, IsNotNull(child)))
     }
 
-    override lazy val mergeExpressions: Seq[Expression] = Seq(
-      addDec(addDec(hi.left, hi.right), toDec(acc.right)),
-      acc.left,
-      Or(seen.left, seen.right))
+    override lazy val mergeExpressions: Seq[Expression] = {
+      val rawAcc = addLong(acc.left, acc.right) // |…| ≤ 2^62: no overflow
+      Seq(
+        addLong(addLong(cnt.left, cnt.right), divGate(rawAcc)),
+        modGate(rawAcc),
+        Or(seen.left, seen.right))
+    }
 
-    override lazy val evaluateExpression: Expression =
-      If(seen, addDec(hi, toDec(acc)), Literal.create(null, dataType))
+    // total = cnt·2^60 + acc, assembled in decimal space once per
+    // group: value (cnt·2^60 + acc)·10^-scale, checked into (p,s) —
+    // past DECIMAL(p) capacity this NULLS, matching the built-in
+    // non-ANSI decimal sum (capacity ~10^(38-s): cnt would need
+    // ~2^63 spills to wrap ITS long first — unreachable).
+    override lazy val evaluateExpression: Expression = {
+      val d38 = DecimalType(38, 0)
+      val unscaledTotal = Add(
+        Multiply(Cast(cnt, d38), Literal.create(Decimal(gate, 38, 0), d38)),
+        Cast(acc, d38))
+      val scaled = Multiply(unscaledTotal,
+        Literal.create(Decimal(1L, 38, scale), DecimalType(38, scale)))
+      If(seen, CheckOverflow(scaled, DecimalType(precision, scale), nullOnOverflow = true),
+        Literal.create(null, dataType))
+    }
 
     override protected def withNewChildInternal(c: Expression): UnscaledDecimalSum =
       copy(child = c)
@@ -186,10 +215,10 @@ object DecimalFastFunctions {
       FunctionIdentifier("sum_unscaled_safe"),
       info("sum_unscaled_safe",
         "sum_unscaled_safe(l, p, s) - exact DECIMAL(p, s) sum of unscaled " +
-          "bigints with a primitive-long hot path that spills to the decimal " +
-          "total past 2^61; no per-group bound needed (unlike a raw " +
-          "sum(unscaled_value(x))). Inputs must be unscaled values of " +
-          "compact decimals (|l| < 2^60)."),
+          "bigints over an all-primitive (cnt*2^60 + acc) accumulator; no " +
+          "per-group bound needed (unlike a raw sum(unscaled_value(x))), " +
+          "nulls past DECIMAL(p) capacity. Inputs must be unscaled values " +
+          "of compact decimals (|l| <= 2^60)."),
       safeSumBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("make_decimal"),
