@@ -281,37 +281,47 @@ object TextOps {
     * warm): sf0.1 1.16 s vs 0.95 s, sf10 cold 14.6 vs 14.7 but warm
     * 53.4 vs 6.0 — the checkpointed blocks (|docs|·|types per doc|
     * rows) stay resident for the session and the NEXT big query pays
-    * for them in evictions. Instead the token stream is walked twice
-    * (the LM-table pass and the scoring pass — tokenize is cheaper
-    * than materializing the per-doc type relation), every shuffle is
-    * bounded by the vocabulary except the (token, doc) dedup the
-    * document frequency genuinely needs, and the scoring identities
-    * are per-instance: sum_types(tf·cnt) = sum_instances(cnt), and
-    * instances-of-rare-types = sum_instances([df < k]). */
+    * for them in evictions. r15 keeps the no-persist rule but shares
+    * the (token, doc, c) relation between its two consumers through
+    * ReuseExchange instead of recomputing it: both the LM aggregate
+    * and the scoring aggregate now hang off the SAME tf subtree, so
+    * tokenize+explode runs once, the shuffle files back the reuse (disk,
+    * reaped with the stage — none of the checkpoint's resident-block
+    * eviction tax), and the scoring join + per-doc aggregate run at
+    * tf granularity (types per doc), not instance granularity. The
+    * scoring identities that make tf granularity exact:
+    * sum_types(tf·cnt) = sum_instances(cnt), n_tokens = sum_types(tf),
+    * and instances-of-rare-types = sum_types(tf·[df < k]). Every
+    * shuffle is bounded by the vocabulary except the (token, doc)
+    * aggregate the document frequency genuinely needs. */
   def unigramLmScores(df: DataFrame, idCol: String, tokCol: String,
       rareDocFreq: Int = 3, includeLikelihood: Boolean = true): DataFrame = {
-    val inst = df.select(col(idCol), explode(col(tokCol)).as("__token"))
-    // df = distinct documents per type, via the two-level (token, doc)
-    // aggregate; cnt = total instances per type (sum of the per-doc
-    // counts the first level already has)
-    val lm0 = inst.groupBy(col("__token"), col(idCol))
+    // one (token, doc) → tf aggregate, shared by BOTH consumers below
+    // (identical subtree → one Exchange, reused)
+    val tf = df.select(col(idCol), explode(col(tokCol)).as("__token"))
+      .groupBy(col("__token"), col(idCol))
       .agg(count(lit(1)).as("__c"))
-      .groupBy(col("__token"))
-    val nr = sum(when(col("__df") < rareDocFreq, 1L).otherwise(0L)).as("__nr")
+    val nr = sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(0L))
+      .as("__nr")
     if (includeLikelihood) {
-      val lm = lm0.agg(sum(col("__c")).as("__cnt"), count(lit(1)).as("__df"))
+      val lm = tf.groupBy(col("__token"))
+        .agg(sum(col("__c")).as("__cnt"), count(lit(1)).as("__df"))
       val total = lm.agg(sum(col("__cnt")).as("__n_corpus"))
-      inst.join(broadcast(lm), "__token")
+      graft.functions.DecimalFastFunctions.register(df.sparkSession)
+      tf.join(broadcast(lm), "__token")
         .crossJoin(broadcast(total))
         .groupBy(col(idCol), col("__n_corpus"))
-        .agg(count(lit(1)).as("n_tokens"),
-          // per-instance corpus counts can sum past 2^63 on a large
-          // corpus (Spark's long sum would wrap SILENTLY under
-          // non-ANSI while the DuckDB twin widens to HUGEINT) —
-          // accumulate in DECIMAL(38,0), exact past the int128 range,
-          // per the house decimal-exact pattern
-          sum(col("__cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .as("__wsum"),
+        .agg(sum(col("__c")).as("n_tokens"),
+          // per-type tf·cnt terms can sum past 2^63 on a large corpus
+          // (Spark's long sum would wrap SILENTLY under non-ANSI while
+          // the DuckDB twin widens to HUGEINT) — accumulate through the
+          // spill-guarded all-primitive decimal sum, exact past the
+          // int128 range with no per-row BigDecimal. The 64-bit per-row
+          // product is in-contract: the oracle's own SQL computes the
+          // same BIGINT c·cnt, so any corpus the oracle can check keeps
+          // each term far under the accumulator's 2^60 input bound.
+          graft.functions.DecimalFastFunctions
+            .sum_unscaled_safe(col("__c") * col("__cnt"), 38, 0).as("__wsum"),
           nr)
         .select(col(idCol), col("n_tokens"),
           (col("__wsum").cast("double") / col("n_tokens") / col("__n_corpus"))
@@ -319,11 +329,11 @@ object TextOps {
           (col("__nr").cast("double") / col("n_tokens")).as("rare_rate"))
     } else {
       // rare-rate-only callers (e.g. a pure quality gate) skip the
-      // corpus-total pass and the per-instance likelihood sum entirely
-      val lm = lm0.agg(count(lit(1)).as("__df"))
-      inst.join(broadcast(lm), "__token")
+      // corpus-total pass and the likelihood sum entirely
+      val lm = tf.groupBy(col("__token")).agg(count(lit(1)).as("__df"))
+      tf.join(broadcast(lm), "__token")
         .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_tokens"), nr)
+        .agg(sum(col("__c")).as("n_tokens"), nr)
         .select(col(idCol), col("n_tokens"),
           (col("__nr").cast("double") / col("n_tokens")).as("rare_rate"))
     }

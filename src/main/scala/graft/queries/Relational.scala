@@ -128,18 +128,29 @@ object Relational {
   // Dims are broadcast; the orders⋈lineitem join shuffles on orderkey.
   // ---------------------------------------------------------------- //
   def q06_join_multi(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
+    import graft.functions.DecimalFastFunctions.{sum_unscaled_safe, unscaled_of_double}
     val r = t(s, dir, "region"); val n = t(s, dir, "nation")
     val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // aggregate-before-join (guide §2.3): the per-order revenue partial
+    // collapses ~7 lineitem rows to one BEFORE the orderkey exchange
+    // (map-side partial agg), so the orders join streams 1/7th the
+    // rows. Per-row scale-4 unscaled product on longs (|term| ≲ 10^9,
+    // lines-per-order ≤ 7 — scale-invariant, far under 2^63); the
+    // per-(region, nation) re-sum is fixed-cardinality × growing
+    // groups, so it rides the spill-guarded any-cardinality sum.
+    val liAgg = li.groupBy(col("l_orderkey")).agg(
+      sum(unscaled_of_double(col("l_extendedprice"), 2) *
+        (lit(100L) - unscaled_of_double(col("l_discount"), 2))).as("__ru"),
+      count(lit(1)).as("__nl"))
+    liAgg.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(sum_unscaled_safe(col("__ru"), 38, 4).cast("double").as("revenue"),
+        sum(col("__nl")).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
@@ -459,13 +470,109 @@ object Relational {
   // ---------------------------------------------------------------- //
   // q25: exact interpolated percentiles (median / p90)
   // ---------------------------------------------------------------- //
-  def q25_percentile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+  // Counting rewrite of `percentile(...)`: Spark's exact Percentile is
+  // an interpreted ObjectHashAggregate that updates a per-group
+  // value→count OpenHashMap on EVERY fact row (the whole entry wall).
+  // The same statistic falls out of fully codegen'd relational ops:
+  //   (1) count per distinct (group, value) — codegen HashAggregate,
+  //       the ONLY pass over the fact table;
+  //   (2) one windowed cumulative count per group ordered by value
+  //       (bounded by distinct values, not rows);
+  //   (3) the two bracketing values around each target index, then
+  //       Percentile's own interpolation, computed once per group:
+  //       pos = p·(N−1), result = (⌈pos⌉−pos)·v⌊pos⌋ + (pos−⌊pos⌋)·v⌈pos⌉
+  //       (identical double arithmetic to Percentile.getPercentile, so
+  //       the values are bit-identical).
+  // The value at 0-based index k is the row with cum−c ≤ k < cum.
+  // Two-level bucketed order statistic (the distributed exact-quantile
+  // shape): level 1 buckets values by `floor(v / width)` — the bucket
+  // histogram collapses MAP-SIDE, so the only corpus-wide exchange
+  // carries O(#buckets) counts, never values — and a tiny window over
+  // buckets locates, for each target index, its bucket and offset
+  // within it. Level 2 re-scans with a broadcast filter to JUST the
+  // few target buckets and resolves the exact bracketing values with a
+  // per-bucket window. Nothing proportional to the data ever shuffles
+  // or sorts, so the shape holds at any scale; `width` only tunes the
+  // histogram grain. All value columns ride the same two scans via a
+  // (group, which, value) unpivot.
+  private def exactPercentiles(in: DataFrame, grp: String,
+      specs: Seq[(Column, String, Double, Seq[(Double, String)])]): DataFrame = {
+    val rows = in.select(col(grp), explode(array(specs.map {
+        case (c, tag, wd, _) =>
+          struct(lit(tag).as("w"), c.as("v"), lit(wd).as("wd")) }: _*)).as("x"))
+      .select(col(grp), col("x.w").as("__w"), col("x.v").as("__v"),
+        floor(col("x.v") / col("x.wd")).as("__b"))
+      .filter(col("__v").isNotNull)
+    val wB = Window.partitionBy(col(grp), col("__w")).orderBy(col("__b"))
+    val l1 = rows.groupBy(col(grp), col("__w"), col("__b"))
+      .agg(count(lit(1)).as("__cb"))
+      .withColumn("__cumb", sum(col("__cb")).over(wB))
+      .withColumn("__n", sum(col("__cb")).over(
+        wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // one row per (percentile, side): the bucket holding the global
+    // 0-based index pos = p·(N−1) (floor for lo, ceil for hi) and the
+    // index's offset within that bucket
+    val targetDefs = specs.flatMap { case (_, tag, _, ps) =>
+      ps.flatMap { case (p, name) =>
+        Seq((tag, p, name, "lo"), (tag, p, name, "hi")) } }
+    val tgt = l1.select(col(grp), col("__w"), col("__b"), col("__cb"),
+        col("__cumb"), col("__n"),
+        explode(array(targetDefs.map { case (tag, p, name, side) =>
+          val posv = lit(p) * (col("__n") - 1).cast("double")
+          val idx = if (side == "lo") floor(posv) else ceil(posv)
+          struct(lit(tag).as("t"), lit(name).as("nm"), lit(side).as("sd"),
+            idx.as("ix"))
+        }: _*)).as("g"))
+      .filter(col("__w") === col("g.t") &&
+        col("__cumb") - col("__cb") <= col("g.ix") &&
+        col("g.ix") < col("__cumb"))
+      .select(col(grp), col("__w"), col("__b"), col("g.nm").as("__nm"),
+        col("g.sd").as("__sd"),
+        (col("g.ix") - (col("__cumb") - col("__cb"))).as("__off"), col("__n"))
+    // level 2 joins the broadcast target list straight onto the raw
+    // rows (ONE execution of the l1 subtree, one broadcast): counting
+    // and the per-bucket window run per (target, value), so a bucket
+    // holding several targets stays correct
+    val wV = Window.partitionBy(col(grp), col("__w"), col("__b"),
+      col("__nm"), col("__sd")).orderBy(col("__v"))
+    val pick = rows.join(broadcast(tgt), Seq(grp, "__w", "__b"))
+      .groupBy(col(grp), col("__w"), col("__b"), col("__nm"), col("__sd"),
+        col("__off"), col("__n"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wV))
+      .filter(col("__cum") - col("__c") <= col("__off") &&
+        col("__off") < col("__cum"))
+    val aggs = specs.flatMap { case (_, _, _, ps) => ps }.flatMap {
+      case (_, name) => Seq(
+        max(when(col("__nm") === name && col("__sd") === "lo", col("__v")))
+          .as(s"__lo_$name"),
+        max(when(col("__nm") === name && col("__sd") === "hi", col("__v")))
+          .as(s"__hi_$name"),
+        max(when(col("__nm") === name, col("__n"))).as(s"__nn_$name"))
+    }
+    val picked = pick.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+    // Percentile.getPercentile's own interpolation, once per group:
+    // (⌈pos⌉−pos)·v⌊pos⌋ + (pos−⌊pos⌋)·v⌈pos⌉ — identical double
+    // arithmetic, so values are bit-identical to the old aggregate
+    specs.flatMap(_._4).foldLeft(picked) { case (df, (p, name)) =>
+      val ix = lit(p) * (col(s"__nn_$name") - 1).cast("double")
+      val lo = col(s"__lo_$name"); val hi = col(s"__hi_$name")
+      df.withColumn(name,
+        when(ceil(ix) === floor(ix) || lo === hi, lo)
+          .otherwise((ceil(ix) - ix) * lo + (ix - floor(ix)) * hi))
+    }.select(col(grp) +: specs.flatMap(_._4).map { case (_, n) => col(n) }: _*)
+  }
+
+  def q25_percentile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    // widths sized so the histogram stays O(10^2..10^3) buckets:
+    // quantities are integers 1..50, prices span ~[900, 105000]
+    exactPercentiles(li, "l_returnflag", Seq(
+      (col("l_quantity"), "q", 1.0, Seq(0.5 -> "median_qty", 0.9 -> "p90_qty")),
+      (col("l_extendedprice"), "p", 128.0, Seq(0.5 -> "median_price"))))
       .orderBy(col("l_returnflag"))
+  }
 
   val q25_sql: String =
     """SELECT l_returnflag,

@@ -35,6 +35,8 @@ object Relational2 {
   // partitioning, so it scales to any cluster layout.
   // ---------------------------------------------------------------- //
   def q31_stats_agg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
+    import graft.functions.DecimalFastFunctions.{sum_unscaled_safe, unscaled_of_double}
     val li = t(s, dir, "lineitem")
     // Integer-cents row values, so every moment is an INTEGRAL decimal.
     // Casting a scale-s decimal whose scaled value exceeds 2^53 to
@@ -42,16 +44,25 @@ object Relational2 {
     // once in Spark (BigDecimal, correctly rounded) — a 1-ulp mismatch.
     // An integral decimal casts with a single rounding in both engines;
     // the 10^-s division then happens in identical double arithmetic.
+    //
+    // r15: the five moment sums ride unscaled LONGS end-to-end — the
+    // decimal form paid a per-row BigDecimal multiply AND a non-compact
+    // DECIMAL(38,0) accumulate on every fact row. Per-row products stay
+    // far inside a long (qi ≤ 5×10^3·cents, pi ≤ 1.1×10^7·cents →
+    // pi² ≤ 1.3×10^14 < 2^60); the per-flag totals are fixed-cardinality
+    // × growing groups, so each rides the spill-guarded any-cardinality
+    // accumulator to the exact same integral DECIMAL the decimal path
+    // produced — identical values, zero per-row allocation.
     val rows = li.select(col("l_returnflag"),
-      (dec(col("l_quantity")) * lit(100)).cast(DecimalType(18, 0)).as("qi"),
-      (dec(col("l_extendedprice")) * lit(100)).cast(DecimalType(18, 0)).as("pi"))
+      unscaled_of_double(col("l_quantity"), 2).as("qi"),
+      unscaled_of_double(col("l_extendedprice"), 2).as("pi"))
     val m0 = rows.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
-      sum(col("qi")).as("i1q"),
-      sum((col("qi") * col("qi")).cast(DecimalType(38, 0))).as("i2q"),
-      sum(col("pi")).as("i1p"),
-      sum((col("pi") * col("pi")).cast(DecimalType(38, 0))).as("i2p"),
-      sum((col("qi") * col("pi")).cast(DecimalType(38, 0))).as("i11"))
+      sum_unscaled_safe(col("qi"), 28, 0).as("i1q"),
+      sum_unscaled_safe(col("qi") * col("qi"), 38, 0).as("i2q"),
+      sum_unscaled_safe(col("pi"), 28, 0).as("i1p"),
+      sum_unscaled_safe(col("pi") * col("pi"), 38, 0).as("i2p"),
+      sum_unscaled_safe(col("qi") * col("pi"), 38, 0).as("i11"))
     val m = m0.select(col("l_returnflag"), col("n"),
       (col("i1q").cast("double") / lit(100.0)).as("s1q"),
       (col("i2q").cast("double") / lit(10000.0)).as("s2q"),

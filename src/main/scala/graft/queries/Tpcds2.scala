@@ -187,15 +187,29 @@ object Tpcds2 {
   // against their own grain, never against leaves).
   // ---------------------------------------------------------------- //
   def q49_rollup_rank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
+    import graft.functions.DecimalFastFunctions.{sum_unscaled_safe, unscaled_of_double}
     // two-level (the q26 pattern): the fact join aggregates to the
     // (brand, type) grid first; Expand multiplies only that tiny grid
     // into the rollup lattice, never the joined fact rows — exact,
-    // the decimal partials re-sum before the one double cast
-    val agg = t(s, dir, "lineitem")
+    // the decimal partials re-sum before the one double cast.
+    // r15: three-level — the fact aggregates per l_partkey BEFORE the
+    // part join (guide §2.3 aggregate-before-shuffle: ~30 lines per
+    // part collapse map-side, and the join probes parts, not lines),
+    // with the per-part revenue as an unscaled scale-4 long (the old
+    // sum(ext) accumulated a non-compact DECIMAL(38,4) — one BigDecimal
+    // multiply + add per joined fact row). Lines-per-part is
+    // scale-invariant, so the long partial is bounded; the per-(brand,
+    // type) re-sum over a growing part count rides the spill-guarded
+    // any-cardinality sum to the identical DECIMAL(38,4).
+    val perPart = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(unscaled_of_double(col("l_extendedprice"), 2) *
+        (lit(100L) - unscaled_of_double(col("l_discount"), 2))).as("__ru"))
+    val agg = perPart
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .withColumn("ext", ext)
       .groupBy(col("p_brand"), col("p_type"))
-      .agg(sum(col("ext")).as("pe"))
+      .agg(sum_unscaled_safe(col("__ru"), 38, 4).as("pe"))
       .rollup(col("p_brand"), col("p_type"))
       .agg(sum(col("pe")).cast("double").as("rev"),
         grouping(col("p_brand")).cast("int").as("g_b"),
@@ -282,22 +296,27 @@ object Tpcds2 {
   // with a second derived set (returned orders) as an anti-join gate.
   // ---------------------------------------------------------------- //
   def q51_multi_supplier(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    // two-level instead of COUNT(DISTINCT): the (order, supplier)
-    // pre-aggregate leaves distinct rows, so a plain count per order is
-    // the supplier cardinality — no Expand duplication over the fact
-    val multiSupp = li.select(col("l_orderkey"), col("l_suppkey")).distinct()
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("ns"))
-      .filter(col("ns") > 1)
-      .select(col("l_orderkey"))
-    val returned = li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey")).distinct()
-    t(s, dir, "orders")
+    // r15 single-pass gate: COUNT(DISTINCT supp) > 1 is just
+    // min(supp) ≠ max(supp), and "has an R line" is a max(flag='R') —
+    // ONE lineitem aggregate replaces the old (order, supplier)
+    // distinct + per-order count + separate returned-orders distinct
+    // (3 exchanges + 2 gate joins → 1 exchange + 1 gate join). The
+    // date-filtered orders semi-join runs BEFORE the aggregate (guide
+    // §3.2: pre-filter the big side), dropping ~97% of lineitem rows
+    // ahead of the orderkey exchange; the aggregate's orderkey
+    // partitioning is then reused by the gate join.
+    val oF = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
-      .join(multiSupp, col("o_orderkey") === multiSupp("l_orderkey"), "left_semi")
-      .join(returned, col("o_orderkey") === returned("l_orderkey"), "left_anti")
+    val gate = t(s, dir, "lineitem")
+      .join(oF.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_suppkey")).as("__mn"), max(col("l_suppkey")).as("__mx"),
+        max(col("l_returnflag") === "R").as("__ret"))
+      .filter(col("__mn") =!= col("__mx") && !col("__ret"))
+      .select(col("l_orderkey"))
+    oF.join(gate, col("o_orderkey") === gate("l_orderkey"), "left_semi")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
   }
 
@@ -414,18 +433,31 @@ object Tpcds2 {
   // channel's revenue restricted to those parts, union'd.
   // ---------------------------------------------------------------- //
   def q55_frequent_parts(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
+    import graft.functions.DecimalFastFunctions.{sum_unscaled_safe, unscaled_of_double}
+    // r15 single-scan form: the old shape scanned lineitem three times
+    // (the distinct-months frequent-part CTE + once per channel) with
+    // an Expand for COUNT(DISTINCT month) and two semi-join exchanges.
+    // One l_partkey aggregate computes all three in one pass:
+    // distinct-month count = bit_count of a 12-bit month mask (exact —
+    // months are 1..12), each channel's revenue = a filtered unscaled
+    // long sum (lines-per-part is scale-invariant ~30, far under the
+    // 2^63 group bound). The per-channel totals re-sum the per-part
+    // longs across ALL parts — cardinality grows with data — so they
+    // ride the spill-guarded any-cardinality sum. stack() unpivots the
+    // one result row into the same ('A', rev), ('R', rev) output.
     val li = t(s, dir, "lineitem")
-    val freq = li
-      .groupBy(col("l_partkey"))
-      .agg(countDistinct(month(col("l_shipdate"))).as("nm"))
-      .filter(col("nm") >= 8)
-      .select(col("l_partkey"))
-    def channel(flag: String) = li
-      .filter(col("l_returnflag") === flag)
-      .join(freq, Seq("l_partkey"), "left_semi")
-      .agg(dsum(col("l_extendedprice")).as("rev"))
-      .select(lit(flag).as("ch"), col("rev"))
-    channel("A").union(channel("R")).orderBy(col("ch"))
+    val perPart = li.groupBy(col("l_partkey")).agg(
+      bit_count(bit_or(expr("shiftleft(1, month(l_shipdate))"))).as("nm"),
+      sum(when(col("l_returnflag") === "A",
+        unscaled_of_double(col("l_extendedprice"), 2))).as("__ua"),
+      sum(when(col("l_returnflag") === "R",
+        unscaled_of_double(col("l_extendedprice"), 2))).as("__ur"))
+    perPart.filter(col("nm") >= 8)
+      .agg(sum_unscaled_safe(col("__ua"), 28, 2).cast("double").as("__ra"),
+        sum_unscaled_safe(col("__ur"), 28, 2).cast("double").as("__rr"))
+      .select(expr("stack(2, 'A', __ra, 'R', __rr) AS (ch, rev)"))
+      .orderBy(col("ch"))
   }
 
   val q55_sql: String =

@@ -251,25 +251,46 @@ object Tpcds5 {
   // revenue grew.
   // ---------------------------------------------------------------- //
   def q76_two_year_wide(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "customer")
-      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
-      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .withColumn("yr", year(col("o_orderdate")))
     graft.functions.DecimalFastFunctions.register(s)
-    def pass(yr: Int, out: String) =
-      base.filter(col("yr") === yr)
-        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        // long-path revenue: lines-per-customer-per-year is
-        // scale-invariant (~30), under the 2^63 group bound
-        // (DecimalFastFunctions contract)
-        .agg(graft.functions.DecimalFastFunctions.sum_unscaled_revenue_double(
-            col("l_extendedprice"), col("l_discount"))
-          .cast("double").as(out))
-    pass(1996, "rev96")
-      .join(pass(1997, "rev97"), Seq("c_custkey", "c_name", "n_name"))
+    import graft.functions.DecimalFastFunctions.{make_decimal, unscaled_of_double}
+    // r15 single-pass: the old per-year `pass()` instantiation computed
+    // the customer⋈nation⋈orders⋈lineitem subtree TWICE and re-joined
+    // the results; both year columns are conditional sums of ONE pass
+    // (§2.4 remove duplicate subtrees). The year split also now joins
+    // only the two target years (filter before the join), the fact
+    // pre-aggregates per (orderkey → custkey, yr) before the customer
+    // join (§2.3), and the inner self-join's "customer present in both
+    // years" becomes the null-rejecting rev97 > rev96 filter (a NULL
+    // year-sum never satisfies it — same rows out).
+    val oF = t(s, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1996, 1997))
+      .select(col("o_orderkey"), col("o_custkey"), col("yr"))
+    // per-order revenue partial: lines-per-order ≤ 7, scale-invariant,
+    // |unscaled term| ≲ 10^9 — far under the 2^63 long bound. (The
+    // join-then-aggregate variant measured the same at sf0.1 — 0.86 vs
+    // 0.84 — but shuffles RAW lineitem wherever the two-year orders
+    // slice outgrows broadcast, so the pre-aggregated form wins at
+    // scale; both keep one custkey aggregate.)
+    val liAgg = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(unscaled_of_double(col("l_extendedprice"), 2) *
+        (lit(100L) - unscaled_of_double(col("l_discount"), 2))).as("__ru"))
+    // per-(customer, year) roll-up: orders-per-customer-per-year is
+    // scale-invariant (~10), still far under the long bound
+    val perCust = liAgg.join(oF, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        make_decimal(sum(when(col("yr") === 1996, col("__ru"))), 38, 4)
+          .cast("double").as("rev96"),
+        make_decimal(sum(when(col("yr") === 1997, col("__ru"))), 38, 4)
+          .cast("double").as("rev97"))
       .filter(col("rev97") > col("rev96"))
-      .withColumn("growth", col("rev97") / col("rev96"))
+    perCust
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("rev96"),
+        col("rev97"), (col("rev97") / col("rev96")).as("growth"))
       .orderBy(col("c_custkey"))
   }
 

@@ -118,21 +118,29 @@ object Tpcds8 {
   // ---------------------------------------------------------------- //
   def q97_argmax_joinback(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DecimalFastFunctions.register(s)
+    import graft.functions.DecimalFastFunctions.{make_decimal, unscaled_of_double}
+    // r15: the old max-then-join-back computed the whole fact subtree
+    // TWICE (the rev branch and the mx branch do not canonicalize to
+    // one exchange) and re-shuffled for the tie join. The same
+    // brand-argmax with min-partkey tie-break is ONE ordinal aggregate:
+    // max(struct(rev, −partkey)) picks the max revenue and, among equal
+    // revenues, the smallest part key. The fact also now aggregates per
+    // l_partkey BEFORE the part join (guide §2.3: partials collapse
+    // map-side; the broadcast join probes parts, not lines) — exact
+    // because p_partkey is part's key, so (brand, partkey) grouping ≡
+    // partkey grouping, and unmatched keys drop either way.
     val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      // long-path dsum: lines per part are scale-invariant (~30),
+      // under the 2^63 group bound (DecimalFastFunctions contract)
+      .agg(sum(unscaled_of_double(col("l_extendedprice"), 2)).as("__ru"))
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("p_partkey"))
-      // long-path dsum: the part key dominates the group — lines per
-      // part are scale-invariant (~30), under the 2^63 group bound
-      // (DecimalFastFunctions contract)
-      .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled_double(col("l_extendedprice")).as("rev"))
-    val mx = rev.groupBy(col("p_brand").as("b"))
-      .agg(max(col("rev")).as("max_rev"))
-    val tied = rev.join(mx,
-      col("p_brand") === col("b") && col("rev") === col("max_rev"))
-    tied.groupBy(col("p_brand"), col("rev"))
-      .agg(min(col("p_partkey")).as("top_part"))
-      .select(col("p_brand"), col("top_part"), col("rev"))
+      .select(col("p_brand"), col("p_partkey"),
+        make_decimal(col("__ru"), 28, 2).cast("double").as("rev"))
+    rev.groupBy(col("p_brand"))
+      .agg(max(struct(col("rev"), (-col("p_partkey")).as("__nk"))).as("__m"))
+      .select(col("p_brand"), (-col("__m.__nk")).as("top_part"),
+        col("__m.rev").as("rev"))
       .orderBy(col("p_brand"))
   }
 

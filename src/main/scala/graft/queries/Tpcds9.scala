@@ -143,14 +143,20 @@ object Tpcds9 {
   // ---------------------------------------------------------------- //
   def q102_revenue_share(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DecimalFastFunctions.register(s)
+    // r15: aggregate per l_partkey BEFORE the part join (guide §2.3 —
+    // partials collapse map-side, the broadcast join probes parts, not
+    // lines). Exact: p_partkey is part's key, so (type, partkey)
+    // grouping ≡ partkey grouping, and unmatched keys drop either way.
     val rev = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      // long-path dsum: lines per part are scale-invariant (~30),
+      // under the 2^63 group bound (DecimalFastFunctions contract)
+      .agg(sum(graft.functions.DecimalFastFunctions
+        .unscaled_of_double(col("l_extendedprice"), 2)).as("__ru"))
       .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_type"), col("p_partkey"))
-      // long-path dsum: the part key dominates — lines per part are
-      // scale-invariant (~30), under the 2^63 group bound
-      // (DecimalFastFunctions contract)
-      .agg(graft.functions.DecimalFastFunctions
-        .dsum_unscaled_double(col("l_extendedprice")).as("rev"))
+      .select(col("p_type"), col("p_partkey"),
+        graft.functions.DecimalFastFunctions
+          .make_decimal(col("__ru"), 28, 2).cast("double").as("rev"))
     val w = Window.partitionBy(col("p_type"))
     // scale-invariant cut: keep parts at >1.5x the within-type average
     // share (share * n > 1.5) — an absolute threshold empties as the
