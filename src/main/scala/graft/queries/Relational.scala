@@ -495,7 +495,7 @@ object Relational {
   // or sorts, so the shape holds at any scale; `width` only tunes the
   // histogram grain. All value columns ride the same two scans via a
   // (group, which, value) unpivot.
-  private def exactPercentiles(in: DataFrame, grp: String,
+  private[graft] def exactPercentiles(in: DataFrame, grp: String,
       specs: Seq[(Column, String, Double, Seq[(Double, String)])]): DataFrame = {
     val rows = in.select(col(grp), explode(array(specs.map {
         case (c, tag, wd, _) =>
@@ -522,13 +522,13 @@ object Relational {
           val idx = if (side == "lo") floor(posv) else ceil(posv)
           struct(lit(tag).as("t"), lit(name).as("nm"), lit(side).as("sd"),
             idx.as("ix"))
-        }: _*)).as("g"))
-      .filter(col("__w") === col("g.t") &&
-        col("__cumb") - col("__cb") <= col("g.ix") &&
-        col("g.ix") < col("__cumb"))
-      .select(col(grp), col("__w"), col("__b"), col("g.nm").as("__nm"),
-        col("g.sd").as("__sd"),
-        (col("g.ix") - (col("__cumb") - col("__cb"))).as("__off"), col("__n"))
+        }: _*)).as("__g"))
+      .filter(col("__w") === col("__g.t") &&
+        col("__cumb") - col("__cb") <= col("__g.ix") &&
+        col("__g.ix") < col("__cumb"))
+      .select(col(grp), col("__w"), col("__b"), col("__g.nm").as("__nm"),
+        col("__g.sd").as("__sd"),
+        (col("__g.ix") - (col("__cumb") - col("__cb"))).as("__off"), col("__n"))
     // level 2 joins the broadcast target list straight onto the raw
     // rows (ONE execution of the l1 subtree, one broadcast): counting
     // and the per-bucket window run per (target, value), so a bucket
