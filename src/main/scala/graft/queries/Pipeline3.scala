@@ -192,13 +192,32 @@ object Pipeline3 {
   def p26_ngram_dup_rate(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), "\\s+")
     val n = 5
+    // r15, the p27 lesson applied here: explode shingle START INDICES
+    // and fingerprint at TOP level — the old transform(...) lambda
+    // built shingle strings through interpreted per-element eval, while
+    // a top-level xxhash64 over element_at lands inside whole-stage
+    // codegen, and the shingle-keyed exchange moves 8-byte longs
+    // instead of ~40-byte strings. The (doc, shingle) distinct that
+    // replaces the in-array array_distinct is exchange-free: it hangs
+    // off the same window partitioning. Counts are identical barring a
+    // 64-bit fingerprint collision (~1e-8 at 1e6 distinct shingles);
+    // the oracle recomputes with real strings, so a collision would
+    // surface as a count mismatch rather than hide. The (doc, shingle)
+    // dedup that replaces the in-array array_distinct partial-aggregates
+    // MAP-SIDE, so a doc repeating one phrase a thousand times still
+    // ships one 16-byte row; its exchange plus the window's sh exchange
+    // both carry longs, together far narrower than the one string
+    // exchange they replace.
     val sh = PipelineOps.spread(
         t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), toks.as("tok"))
       .filter(size(col("tok")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("tok")) - n),
-          i => concat_ws(" ", (0 until n).map(o => col("tok")(i + o)): _*)))).as("sh"))
+      .select(col("doc_id"), col("tok"),
+        explode(sequence(lit(0), size(col("tok")) - n)).as("i"))
+      .select(col("doc_id"),
+        xxhash64((0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)
+          .as("sh"))
+      .dropDuplicates("doc_id", "sh")
     // sh is distinct per doc, so per-shingle row count == document
     // frequency; no countDistinct shuffle needed. Window count, not a
     // groupBy+join-back: the self-join would plan the scan→explode→

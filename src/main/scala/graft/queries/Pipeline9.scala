@@ -277,11 +277,16 @@ object Pipeline9 {
           .select(col("doc_id"), PipelineOps.tokens.as("tok")))
     val chunks = graft.operators.TextOps.cdcChunks(docs, "doc_id", "tok",
       w = cdcW, mask = cdcMask)
-    // corpus-global winner per chunk fp: ONE aggregate, partials
-    // map-side; an occurrence is a dup iff it isn't the winner
-    val winners = chunks.groupBy(col("c_fp"))
-      .agg(min(struct(col("doc_id").as("d"), col("idx").as("i"))).as("first"))
-    chunks.join(winners, "c_fp")
+    // corpus-global winner per chunk fp via a fingerprint-partitioned
+    // window, not an aggregate + join-back: the join form re-ran the
+    // whole scan→tokenize→CDC-fingerprint chain for its second branch
+    // (map-side chunking leaves no exchange to reuse) and shuffled the
+    // chunk relation twice on c_fp. One window = one chunking pass,
+    // one c_fp exchange; per-fp partitions are occurrence lists (tiny)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("c_fp"))
+    chunks
+      .withColumn("first",
+        min(struct(col("doc_id").as("d"), col("idx").as("i"))).over(wFp))
       .select(col("doc_id"), col("c_len"),
         when(col("doc_id") === col("first.d") && col("idx") === col("first.i"), 0L)
           .otherwise(1L).as("is_dup"))

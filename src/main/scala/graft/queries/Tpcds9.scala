@@ -41,24 +41,42 @@ object Tpcds9 {
   // quantity ratio.
   // ---------------------------------------------------------------- //
   def q100_ratio_chain(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DecimalFastFunctions.register(s)
+    import graft.functions.DecimalFastFunctions.{sum_unscaled_safe, unscaled_of_double}
+    // r15: the old form joined lineitem⋈orders TWICE (sold and ret
+    // branches differ only in the flag filter, so nothing
+    // canonicalizes) and then pair-exploded sold⋈ret on (custkey,
+    // partkey). Every pair-level sum decomposes over the per-(ck, pk)
+    // side aggregates — for pairs (a, b) with a ∈ sold, b ∈ ret of one
+    // (ck, pk): Σ_pairs r_qty = s_cnt·Σ r_qty, Σ_pairs s_qty =
+    // r_cnt·Σ s_qty, |pairs| = s_cnt·r_cnt — so ONE join + ONE
+    // aggregate produce the identical integers with no pair blow-up
+    // (§2.3/§3: don't join what an aggregate identity can compute).
+    // Quantities ride unscaled longs (≤ 5×10^3·cents·lines-per-(ck,pk),
+    // scale-invariant); the per-brand re-sum of count-weighted partials
+    // rides the spill-guarded any-cardinality sum.
     val li = t(s, dir, "lineitem")
     val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val sold = li.filter(col("l_returnflag") =!= "R")
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("s_ck"), col("l_partkey").as("s_pk"),
-        col("l_quantity").as("s_qty"))
-    val ret = li.filter(col("l_returnflag") === "R")
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("r_ck"), col("l_partkey").as("r_pk"),
-        col("l_quantity").as("r_qty"))
-    sold.join(ret, col("s_ck") === col("r_ck") && col("s_pk") === col("r_pk"))
-      .join(t(s, dir, "part"), col("s_pk") === col("p_partkey"))
+    val ckpk = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg(
+        count(when(col("l_returnflag") =!= "R", lit(1))).as("__sc"),
+        sum(when(col("l_returnflag") =!= "R",
+          unscaled_of_double(col("l_quantity"), 2)).otherwise(0L)).as("__su"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("__rc"),
+        sum(when(col("l_returnflag") === "R",
+          unscaled_of_double(col("l_quantity"), 2)).otherwise(0L)).as("__ru"))
+      .filter(col("__sc") > 0 && col("__rc") > 0)
+    ckpk.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n_pairs"),
+      .agg(sum(col("__sc") * col("__rc")).as("n_pairs"),
         // ratio of decimal sums, not AVG over doubles: the per-group
         // mean of FP ratios is summation-order-dependent across engines
-        (dsum(col("r_qty")) / dsum(col("s_qty"))).as("qty_ratio"),
-        dsum(col("r_qty")).as("ret_qty"))
+        (sum_unscaled_safe(col("__sc") * col("__ru"), 28, 2).cast("double") /
+          sum_unscaled_safe(col("__rc") * col("__su"), 28, 2).cast("double"))
+          .as("qty_ratio"),
+        sum_unscaled_safe(col("__sc") * col("__ru"), 28, 2).cast("double")
+          .as("ret_qty"))
       .orderBy(col("p_brand"))
   }
 
