@@ -35,6 +35,16 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // size the whole-stage-codegen cache to the workload: the static
+      // default (100 entries) thrashes under a 264-query battery —
+      // every entry's codegen units evict earlier ones, so the steady
+      // state recompiles (Janino) what it compiled minutes ago and
+      // leaks one classloader per recompile into the metaspace/GC
+      // budget. A long-running multi-query session at ANY scale wants
+      // the cache sized to its plan population; 4096 comfortably holds
+      // the battery's units (env-overridable for A/B comparability)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       // accept subset-of-join-keys co-partitioning: a user repartition
       // on l_orderkey alone then serves BOTH the (orderkey, linenumber)
       // self-join and the downstream orders join — without this the
