@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked run's stdout RAW instead of through sbt's logger:
+// the logger prefixes every line with "[info] ", and the driver that
+// grades Bench keeps a 2000-char stdout tail and parses a one-line
+// JSON result from it — a prefixed line fails a plain JSON parse,
+// which is consistent with 15 rounds of `parsed: null` in
+// BENCH_r01..r15 even when the line itself fit the tail. Verify's
+// results ride parquet files + oracle_sql.json, not stdout, so this
+// only affects how lines look, never what is computed.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
