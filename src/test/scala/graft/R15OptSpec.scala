@@ -59,11 +59,19 @@ class R15OptSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
-  test("q25 plans with no ObjectHashAggregate and no value-keyed exchange") {
+  test("q25 plans with one scan and no interpreted percentile()") {
+    // r15 pinned "no ObjectHashAggregate" against Spark's interpreted
+    // boxed-map Percentile. The r16 one-scan form is deliberately a
+    // (primitive-map) TypedImperativeAggregate, so the operator class
+    // is back — the pin now targets what the rewrites actually banned:
+    // the builtin percentile() buffer, and any second scan of lineitem.
     val plan = graft.queries.Relational.q25_percentile(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("ObjectHashAggregate"),
-      "the interpreted percentile buffer must be gone")
+    assert(!plan.contains("percentile("),
+      "the interpreted builtin percentile buffer must be gone")
+    assert(plan.contains("exact_pcts"), "the one-pass aggregate must plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"q25 must scan lineitem exactly once, saw $scans")
   }
 
   // ---------------------------------------------------------------- //
