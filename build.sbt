@@ -37,4 +37,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Size the JIT code cache to the workload (r16, measured): the
+  // 264-query battery's generated + library compiled code reaches
+  // ~180+ MB, and at the JDK-17 default (ReservedCodeCacheSize=240m,
+  // segmented ~119m profiled + ~119m non-profiled) the sweeper
+  // continuously FLUSHES cold methods — an entry idle for a few
+  // minutes loses its compiled code and its next run burns 3-7x CPU
+  // interpreted/C1 until recompilation (no JVM warning is printed for
+  // flushing, only for the disabled-compiler case). This was the whole
+  // of p22_cross_dedup's 4.2<->24s bimodality: three full-battery
+  // probe runs, identical plans and shuffle bytes, p22 occurrences
+  // 4.9/13.1/11.2 and 5.0/24.0/3.8 at 240m vs 4.4/3.8/4.0 at 1g, and
+  // the battery pass total fell ~17-25s with the variance collapsing
+  // (OPTIMIZATION_r16.md). Reservation is address space, committed
+  // grows on demand; any long-running multi-query Spark JVM wants
+  // this sized like metaspace. Env-overridable for A/B.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
+  // diagnostics passthrough (empty by default): lets a lab run add
+  // JVM flags without editing the build; later flags win, so this can
+  // also override the defaults above
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -92,10 +92,18 @@ object TextDedup {
       graft.functions.MinhashFunctions.minhash_sig(col("tok")))
     val hs = (0 until K).map(j => col("sig")(j))
     val bhs = array((0 until K / 2).map(b => hs(2 * b) * lit(P) + hs(2 * b + 1)): _*)
+    // posexplode_OUTER + null filter (r16): the non-outer generate
+    // makes the optimizer infer a vacuous `size(bhs) > 0` input filter
+    // (bhs is a literal K/2-element array) and push it to the SCAN
+    // with the bhs expression INLINED — re-evaluating the
+    // tokenize+minhash chain per document on the scan task. The outer
+    // form's null row cannot occur (bhs is never null/empty) and the
+    // guard filter on the GENERATED column stays above the generate.
     val banded = withSig
       .select(col("doc_id"), col("block"), size(col("tok")).as("sz"), bhs.as("bhs"))
       .select(col("doc_id"), col("block"), col("sz"), col("bhs"),
-        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+        posexplode_outer(col("bhs")).as(Seq("band_idx", "band_hash")))
+      .filter(col("band_idx").isNotNull)
     // slack below the implied min(|A|,|B|)/max bound so float rounding
     // can never drop a true pair
     val sizeRatio = math.max(0.0, threshold - 0.01)
@@ -217,9 +225,14 @@ object TextDedup {
     * snapshot; each incremental batch then joins against the stored
     * relation instead of re-hashing the reference. */
   def signatureIndex(docs: DataFrame, idCol: String, tokCol: String): DataFrame =
+    // outer + null guard for the same reason as the banded build: the
+    // inferred non-outer generate filter inlines the minhash chain at
+    // the scan (p22's r16 plan carried minhash_sig 16× inside the scan
+    // filter); bhs is never null/empty so the guard is row-neutral
     bandSignatures(docs, idCol, tokCol)
       .select(col("doc_id"), col("sz"),
-        posexplode(col("bhs")).as(Seq("band_idx", "band_hash")))
+        posexplode_outer(col("bhs")).as(Seq("band_idx", "band_hash")))
+      .filter(col("band_idx").isNotNull)
 
   /** Persist a signature index, laid out for the incremental-dedup
     * join: repartitioned on (band_idx, band_hash) so the parquet files

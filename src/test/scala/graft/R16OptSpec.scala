@@ -154,4 +154,46 @@ class R16OptSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("sh2"), "second seeded fingerprint must survive planning")
   }
+
+  // ---------------------------------------------------------------- //
+  // FastDoubleDecimalSumRule — the opt-in contract BOUNDARY, pinned
+  // (VERDICT r15 #8): where the rule diverges from the built-in sum is
+  // exactly where its documented clean-decimal contract is violated,
+  // and nowhere else. (The third documented edge — a beyond-DECIMAL(38)
+  // total wrapping where the built-in nulls — is unreachable by test:
+  // with |per-row term| < 2^60 it needs ~10^19 rows; the bound
+  // argument lives in UnscaledDecimalSum's scaladoc.)
+  // ---------------------------------------------------------------- //
+
+  test("FastDoubleDecimalSumRule diverges exactly at the contract boundary") {
+    import spark.implicits._
+    graft.plans.FastDoubleDecimalSumRule.install(spark)
+    val key = graft.plans.FastDoubleDecimalSumRule.ConfKey
+    def total(on: Boolean, vs: Seq[Double], scale: Int): java.math.BigDecimal = {
+      spark.conf.set(key, on.toString)
+      try {
+        val df = vs.toDF("v")
+          .agg(sum(col("v").cast(s"decimal(18,$scale)")).as("s"))
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("sum_unscaled_safe") == on,
+          s"rule fired=${!on} unexpectedly:\n$plan")
+        df.head.getDecimal(0)
+      } finally spark.conf.set(key, "false")
+    }
+    // IN contract (clean 2-decimal money values, negatives included):
+    // identical totals
+    val clean = Seq(1.01, -2.37, 0.5, 128.0, -0.25, 99999.99)
+    assert(total(on = true, clean, 2) == total(on = false, clean, 2))
+    // OUT of contract #1 — negative exact half beyond the scale:
+    // -2.5 at scale 0. Floor(x·10^s + 0.5) rounds half UP toward +inf
+    // (-2), the built-in Cast rounds HALF_UP away from zero (-3).
+    assert(total(on = true, Seq(-2.5), 0).longValueExact == -2L)
+    assert(total(on = false, Seq(-2.5), 0).longValueExact == -3L)
+    // OUT of contract #2 — dirty double: the literal 1.005 is really
+    // 1.00499999999999989…, so the rule's scaled-floor sees 100.4999…
+    // (→ 1.00) while the built-in casts through Double.toString's
+    // shortest representation "1.005" and HALF_UPs to 1.01.
+    assert(total(on = true, Seq(1.005), 2).toPlainString == "1.00")
+    assert(total(on = false, Seq(1.005), 2).toPlainString == "1.01")
+  }
 }
