@@ -44,15 +44,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // continuously FLUSHES cold methods — an entry idle for a few
   // minutes loses its compiled code and its next run burns 3-7x CPU
   // interpreted/C1 until recompilation (no JVM warning is printed for
-  // flushing, only for the disabled-compiler case). This was the whole
-  // of p22_cross_dedup's 4.2<->24s bimodality: three full-battery
-  // probe runs, identical plans and shuffle bytes, p22 occurrences
-  // 4.9/13.1/11.2 and 5.0/24.0/3.8 at 240m vs 4.4/3.8/4.0 at 1g, and
-  // the battery pass total fell ~17-25s with the variance collapsing
+  // flushing, only for the disabled-compiler case). This was
+  // p22_cross_dedup's 4.2<->24s bimodality: five full-battery probe
+  // runs, identical plans and shuffle bytes — p22 occurrences
+  // 4.9/13.1/11.2 and 5.0/24.0/3.8 at 240m, still 5.4/20.3/9.8 at
+  // 512m (the sweeper turns aggressive well below segment capacity),
+  // vs 4.4/3.8/4.0 and 5.6/3.4/5.5 at 1g across two 1g runs —
+  // stability correlates with 1g in 6/6 occurrences
   // (OPTIMIZATION_r16.md). Reservation is address space, committed
   // grows on demand; any long-running multi-query Spark JVM wants
   // this sized like metaspace. Env-overridable for A/B.
-  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "1g")}",
   // diagnostics passthrough (empty by default): lets a lab run add
   // JVM flags without editing the build; later flags win, so this can
   // also override the defaults above
